@@ -1,0 +1,41 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned so the same plan that runs on ``local[32]`` here would
+survive a 1000-executor cluster: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), explicit shuffle partitioning, Arrow for
+the few Pandas-UDF paths, and no ANSI surprises left to chance — expressions
+in this engine use ``try_*`` variants so they are correct under Spark 4's
+ANSI-on default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "csv-etl-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default ``*``).
+    ``shuffle_partitions`` defaults to the local core count — at cluster
+    scale this would be set from input size / target partition bytes, and
+    AQE coalesces the excess at runtime either way.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
