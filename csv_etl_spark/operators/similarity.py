@@ -1,0 +1,215 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, same output contract (probe_id, neighbor_id, cosine, rank):
+
+* brute_force_topk — exact: broadcast the (small) probe set against every
+  vector; per-row dot products via zip_with/aggregate (JVM-side, no UDF),
+  then a top-k window per probe.  The correctness baseline; at 100 TB this
+  is a full scan but embarrassingly parallel (no shuffle until the final
+  per-probe top-k, which is tiny).
+
+* ivf_topk — IVF-style approximate: k-means-free variant that picks the
+  first ``n_centroids`` vectors as fixed centroids (deterministic), assigns
+  every vector to its nearest centroid (map-only, broadcast centroids),
+  and probes only the ``nprobe`` closest centroid partitions per query.
+  With nprobe == n_centroids it degrades to exact (used by the tests);
+  with nprobe « n_centroids the scan cost drops ~nprobe/n_centroids —
+  the 100 TB path, where the cluster assignment is precomputed once and
+  stored as a partition column.
+
+* random_hyperplane_buckets — SimHash-for-vectors: sign pattern against
+  ``n_planes`` fixed pseudo-random hyperplanes → integer bucket; used for
+  embedding near-dup joins (bucket-equijoin instead of cross join).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast probes × all vectors.  Excludes
+    self-matches (same id).  Deterministic tie-break on neighbor id."""
+    joined = vectors.crossJoin(F.broadcast(probes)).filter(
+        F.col(id_col) != F.col(probe_id_col)
+    )
+    scored = joined.select(
+        F.col(probe_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col(probe_vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def make_probes(
+    vectors: DataFrame, n: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic probe set: the n smallest ids."""
+    return (
+        vectors.orderBy(id_col)
+        .limit(n)
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN.  Centroids = the first n_centroids vectors by id
+    (deterministic; a production build would k-means|| these — the plan
+    shape is identical).  Assignment and probe-routing are broadcast
+    map-joins; only matching clusters are scanned."""
+    centroids = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.monotonically_increasing_id().alias("_tmp"),
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+        .drop("_tmp")
+    )
+
+    # assign every vector to nearest centroid (broadcast, map-only)
+    assigned = (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            id_col,
+            vec_col,
+            "centroid_id",
+            cosine(F.col(vec_col), F.col("centroid_vec")).alias("_sim"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
+    )
+
+    # route each probe to its nprobe nearest clusters
+    probe_routes = (
+        probes.crossJoin(F.broadcast(centroids))
+        .select(
+            "probe_id",
+            "probe_vec",
+            "centroid_id",
+            cosine(F.col("probe_vec"), F.col("centroid_vec")).alias("_sim"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(F.col("_sim").desc(), F.col("centroid_id"))
+            ),
+        )
+        .filter(F.col("_rk") <= nprobe)
+        .select("probe_id", "probe_vec", F.col("centroid_id").alias("cluster"))
+    )
+
+    # scan only the routed clusters
+    joined = assigned.join(F.broadcast(probe_routes), "cluster").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    scored = joined.select(
+        "probe_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("probe_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Fixed pseudo-random unit hyperplanes (deterministic LCG — no RNG
+    state, reproducible across engines/runs)."""
+    planes = []
+    seed = 1234567
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            seed = (seed * 1103515245 + 12345) % (1 << 31)
+            row.append((seed / float(1 << 31)) * 2.0 - 1.0)
+        norm = math.sqrt(sum(x * x for x in row)) or 1.0
+        planes.append([x / norm for x in row])
+    return planes
+
+
+def random_hyperplane_buckets(
+    df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append an integer LSH bucket: bit p = sign(v · plane_p)."""
+    planes = _hyperplanes(dim, n_planes)
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 32,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup: bucket-equijoin on random-hyperplane signature,
+    verify cosine ≥ threshold.  Near-identical vectors agree on all sign
+    bits with high probability; the join is keyed, never O(n²)."""
+    b = random_hyperplane_buckets(df, dim, n_planes, vec_col)
+    left = b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("lsh_bucket").alias("ba")
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("lsh_bucket").alias("bb")
+    )
+    pairs = left.join(right, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+    return (
+        pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

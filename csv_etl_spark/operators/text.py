@@ -1,0 +1,124 @@
+"""Text analysis operators for training-data pipelines (SURVEY §2.9 /
+BASELINE north star): tokenization, quality scoring, language ID, document
+fingerprinting.
+
+All pure built-in expressions (split/filter/aggregate/transform over
+arrays) — JVM-side, no UDFs, no shuffle: these are per-row map operations
+that scale linearly with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small, order-stable English stopword list — shared with the DuckDB oracle.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are",
+]
+
+# BPE-ish word/number/punct splitter (GPT-2-style coarse approximation):
+# runs of letters, runs of digits, or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(ws_tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Regex-BPE-ish token count (letters / digits / symbol singles)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = ws_tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, PUNCT_CLASS, "")
+    return F.when(
+        F.length(col) > 0, (F.length(col) - F.length(stripped)) / F.length(col)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = ws_tokens(col)
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards moderate length,
+    presence of stopwords (English-like prose), penalizes punctuation
+    spam.  Deterministic arithmetic — SQL-expressible for the oracle."""
+    n_tok = token_count(col)
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.least(sw * F.lit(4.0), F.lit(1.0))
+    p_penalty = F.least(punct_ratio(col) * F.lit(2.0), F.lit(1.0))
+    return F.round((length_score + sw_score) / F.lit(2.0) * (F.lit(1.0) - p_penalty * F.lit(0.5)), 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: stopword-hit voting between English and a tiny
+    Romance-language list; ties/none → 'unknown'.  (A production system
+    plugs fastText/CLD3 in via mapInPandas — this operator keeps the same
+    signature with a pure-SQL heuristic, since model libs aren't available
+    here.)"""
+    toks = ws_tokens(col)
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    en_hits = F.size(F.filter(lowered, lambda t: t.isin(EN_STOPWORDS)))
+    romance = ["el", "la", "de", "que", "y", "le", "et", "un", "una", "les"]
+    ro_hits = F.size(F.filter(lowered, lambda t: t.isin(romance)))
+    return (
+        F.when((en_hits > ro_hits) & (en_hits >= 2), F.lit("en"))
+        .when((ro_hits > en_hits) & (ro_hits >= 2), F.lit("ro"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(col: Column, mod: int = 2147483647) -> Column:
+    """Order-sensitive document fingerprint: a rolling polynomial hash over
+    whitespace tokens —
+
+        fp = Σ_i  i · (131·len(tok_i) + ascii(tok_i[0]))   (mod 2³¹−1)
+
+    Deterministic and engine-agnostic (same formula runs in the DuckDB
+    oracle), unlike xxhash64 which is Spark-specific.  Cheap enough to be a
+    pre-filter for dedup at 100 TB (map-only, no shuffle)."""
+    toks = ws_tokens(col)
+    indexed = F.transform(
+        toks, lambda t, i: (i + F.lit(1)).cast("bigint") * (F.lit(131) * F.length(t) + F.ascii(t))
+    )
+    total = F.aggregate(indexed, F.lit(0).cast("bigint"), lambda acc, x: (acc + x) % F.lit(mod))
+    return total
+
+
+def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document metric projection."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(c).alias("n_tokens"),
+        bpe_token_count(c).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(mean_word_length(c), 6).alias("mean_word_len"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

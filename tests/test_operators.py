@@ -1,0 +1,206 @@
+"""Extension-operator tests: dedup family, similarity search, text analysis,
+multimodal plumbing — on small controlled data + the sf0.001 testdata."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_etl_spark.operators import dedup, similarity, text
+from csv_etl_spark.operators.multimodal import documents_as_media, extract_features
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_by_key(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "x"), (4, "a", "y")],
+        ["id", "k1", "k2"],
+    )
+    out = {(r["k1"], r["k2"]): (r["keep_id"], r["n_dups"])
+           for r in dedup.exact_dedup_by_key(df, ["k1", "k2"], "id").collect()}
+    assert out == {("a", "x"): (1, 2), ("b", "x"): (3, 1), ("a", "y"): (4, 1)}
+
+
+def test_exact_dedup_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different doc")],
+        ["doc_id", "text"],
+    )
+    out = dedup.exact_dedup_normalized(df).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_token_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    rows = df.select(dedup.token_shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == []
+
+
+def test_jaccard_pairs_exact_and_lsh_agree(spark):
+    """LSH with full signature coverage must find the high-jaccard pairs the
+    exact operator finds (here: near-identical docs → jaccard 0.8+)."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+        (3, "completely different words about spark query engines and shuffles"),
+        (4, "completely different words about spark query engines and shuffles"),
+        (5, "unrelated short text"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in exact and (3, 4) in exact
+    assert exact[(3, 4)] == 1.0
+    assert (1, 5) not in exact
+
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.minhash_lsh_pairs(df, threshold=0.5, num_hashes=16, bands=16).collect()}
+    # bands=16 (rows_per_band=1): candidate iff ANY minhash matches → recall ≈ 1 at j≥0.5
+    assert set(exact).issubset(set(lsh)) or set(lsh) == set(exact)
+    for pair, j in lsh.items():
+        assert j == pytest.approx(exact[pair])
+
+
+def test_simhash_near_duplicates_close(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 token differs
+        (3, "zzz yyy xxx www vvv uuu ttt sss"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sigs = {r["id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+
+
+def test_embedding_dup_pairs(spark):
+    vecs = [
+        (1, [1.0] * 8),
+        (2, [1.0] * 7 + [0.99]),  # near-identical to 1
+        (3, [-1.0] * 8),
+        (4, [1.0, -1.0] * 4),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             similarity.embedding_dup_pairs(df, threshold=0.99, dim=8, n_planes=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_topk_correctness(spark):
+    import math
+
+    vecs = [(i, [float(i == j) + 0.1 * j for j in range(4)]) for i in range(6)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    probes = similarity.make_probes(df, n=2)
+    got = similarity.brute_force_topk(df, probes, k=3).collect()
+
+    # python reference
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    vd = dict(vecs)
+    for pid, rows in by_probe.items():
+        expected = sorted(
+            ((cos(vd[pid], vd[i]), i) for i in vd if i != pid),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        rows.sort()
+        assert [n for _, n, _ in rows] == [i for _, i in expected]
+        for (_, _, got_cos), (exp_cos, _) in zip(rows, expected):
+            assert got_cos == pytest.approx(exp_cos, abs=1e-5)
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = similarity.make_probes(e, n=5)
+    brute = similarity.brute_force_topk(e, probes, k=3)
+    ivf = similarity.ivf_topk(e, probes, k=3, n_centroids=4, nprobe=4)
+    b = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
+    v = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in ivf.collect()}
+    assert b == v
+
+
+def test_ivf_approx_recall_reasonable(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = similarity.make_probes(e, n=5)
+    brute = {(r["probe_id"], r["neighbor_id"]) for r in
+             similarity.brute_force_topk(e, probes, k=3).collect()}
+    approx = {(r["probe_id"], r["neighbor_id"]) for r in
+              similarity.ivf_topk(e, probes, k=3, n_centroids=4, nprobe=2).collect()}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.4, f"IVF nprobe=2/4 recall too low: {recall}"
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_text_metrics_values(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat."), (2, ""), (3, "x")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in text.text_metrics(df).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert r1["stopword_ratio"] == pytest.approx(3 / 6, abs=1e-6)  # the, on, the
+    assert r1["punct_ratio"] == pytest.approx(1 / 23, abs=1e-4)
+    assert r1["lang_pred"] == "en"
+    assert rows[2]["n_tokens"] == 0 and rows[2]["lang_pred"] == "unknown"
+    assert rows[3]["n_tokens"] == 1
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "b a")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["fingerprint"] for r in text.text_metrics(df).collect()}
+    assert rows[1] != rows[2]
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    media = documents_as_media(d)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["kind"] == "image"
+        assert r["n_bytes"] > 0
+        assert len(r["features"]) == 8
+        assert r["features"][0] == float(r["n_bytes"])
+
+
+def test_multimodal_unknown_kind_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "hologram", bytearray(b"xx"), {})],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="no decoder"):
+        extract_features(df).collect()
