@@ -595,6 +595,72 @@ _ORACLE_UNION = """
 """
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+_ORACLE_CUBE = """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the user's most recent click at
+    or before it — windowed carry-forward, no join (operators/joins.py)."""
+    from csv_etl_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+                    right_values=["click_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("asof_click_id").alias("click_id"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+_ORACLE_ASOF = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           c.click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+_BUCKETS = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")]
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-vs-interval broadcast range join of events against a bucket
+    dim table."""
+    from csv_etl_spark.operators.joins import range_join_buckets
+
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    buckets = spark.createDataFrame(_BUCKETS, ["lo", "hi", "label"])
+    out = range_join_buckets(ev, buckets, "value")
+    return out.select("event_id", F.round("value", 6).alias("value"), "label")
+
+
+_ORACLE_RANGE_JOIN = """
+    WITH buckets(lo, hi, label) AS (VALUES (0.0, 5.0, 'low'), (5.0, 20.0, 'mid'),
+                                           (20.0, 1e9, 'high'))
+    SELECT event_id, round(value, 6) AS value, label
+    FROM events LEFT JOIN buckets ON value >= lo AND value < hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -910,9 +976,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_top_orders": q_window_top_orders,
         "rollup_orders": q_rollup_orders,
+        "cube_orders": q_cube_orders,
         "anti_join_customers": q_anti_join_customers,
         "semi_join_parts": q_semi_join_parts,
         "union_distinct_nations": q_union_distinct,
+        "asof_join_purchase_click": q_asof_join,
+        "range_join_buckets": q_range_join,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
@@ -952,9 +1021,12 @@ def oracle_sql() -> dict[str, str]:
         "join_revenue_by_nation": _ORACLE_JOIN_REVENUE,
         "window_top_orders": _ORACLE_WINDOW_TOP,
         "rollup_orders": _ORACLE_ROLLUP,
+        "cube_orders": _ORACLE_CUBE,
         "anti_join_customers": _ORACLE_ANTI_JOIN,
         "semi_join_parts": _ORACLE_SEMI_JOIN,
         "union_distinct_nations": _ORACLE_UNION,
+        "asof_join_purchase_click": _ORACLE_ASOF,
+        "range_join_buckets": _ORACLE_RANGE_JOIN,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_normalized": _ORACLE_DEDUP_NORM,
         "dedup_jaccard_pairs": _ORACLE_JACCARD_PAIRS,

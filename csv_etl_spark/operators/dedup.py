@@ -85,52 +85,62 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    freq_cap: int = DEFAULT_FREQ_SHINGLE_CAP,
+    freq_cap: int | None = None,
 ) -> DataFrame:
-    """EXACT Jaccard pairs (id_a < id_b, jaccard ≥ threshold) via
-    inverted-index candidate generation:
+    """EXACT Jaccard pairs (id_a < id_b, jaccard ≥ threshold) as a
+    set-similarity join in overlap-count form:
 
-      docs → explode(shingles) → filter frequent shingles → self-join on
-      shingle → distinct candidate pairs → verify exact Jaccard.
+      docs → explode(distinct shingles) → self-equijoin on shingle →
+      groupBy (id_a, id_b): count(*) = |A∩B| → jaccard = ∩/(|A|+|B|−∩).
 
-    Shuffles: one explode-groupBy (posting lists) + one join on shingle +
-    one distinct — all keyed, no cross join.  At 100 TB the freq_cap bounds
-    the worst posting list; AQE handles residual skew."""
+    Because each doc's shingles are distinct, the number of join hits per
+    pair IS the intersection size — no candidate-distinct pass, no shingle
+    arrays shuffled, no per-pair array_intersect.  Cost is one explode +
+    one keyed join + one aggregation, all with map-side partial agg; the
+    O(n²) cross join never appears because only docs sharing a shingle meet.
+
+    ``freq_cap``: optional approximation knob for adversarial data — drop
+    shingles shared by more than ``freq_cap`` docs from BOTH the join and
+    the size accounting.  Exact when None (default).  At 100 TB you set a
+    cap (stopword-like shingles contribute near-zero discrimination but
+    quadratic join cost — the standard trade)."""
     docs = df.select(
         F.col(id_col).alias("id"), token_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    docs.cache()
 
     posting = docs.select(F.col("id"), F.explode("shingles").alias("shingle"))
-    rare = (
-        posting.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") <= freq_cap)
-        .select("shingle")
-    )
-    posting = posting.join(rare, "shingle")
+    if freq_cap is not None:
+        rare = (
+            posting.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= freq_cap)
+            .select("shingle")
+        )
+        posting = posting.join(rare, "shingle")
+    # per-doc set size AFTER any capping so jaccard stays internally consistent
+    sized = posting.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    posting = posting.join(sized, "id")
 
     a = posting.alias("a")
     b = posting.alias("b")
-    candidates = (
+    inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-
-    da = docs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    db = docs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    verified = (
-        candidates.join(da, "id_a")
-        .join(db, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +178,6 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), token_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
     sig = docs.select("id", "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
-    sig.cache()
 
     band_rows = sig.select(
         "id",

@@ -58,8 +58,9 @@ def test_transform_counts_and_gate(spark, tmp_path):
     import glob
     files = glob.glob(out_dir + "/*.csv")
     assert files
-    content = "".join(open(f).read() for f in files)
-    assert content.count("\n") == 3 + 1  # 3 kept rows + header
+    lines = [ln for f in files for ln in open(f).read().splitlines()]
+    data_lines = [ln for ln in lines if ln and ln != "date,type"]
+    assert len(data_lines) == 3  # 3 kept rows (each part file has its own header)
 
 
 def test_validate_is_dry_run(spark, tmp_path):
