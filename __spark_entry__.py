@@ -30,6 +30,7 @@ from csv_etl_spark.compiler import ERRORS_COL, compile_mapping
 from csv_etl_spark.operators import dedup, similarity, text
 from csv_etl_spark.operators.multimodal import documents_as_media, extract_features
 from csv_etl_spark.plans.typed import revolut_stocks_plan
+from csv_etl_spark.sources.tables import load_events
 from csv_etl_spark.streaming.events import sessionize, windowed_counts
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -40,17 +41,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events loader tolerant of TIMESTAMP(NANOS) parquet (the driver's
-    events table is nano-precision, which Spark rejects by default):
-    read nanos as long, integer-divide to micros (exact — float division
-    would lose precision at 1e18), rebuild the timestamp.  DuckDB reads the
-    same file natively with micro truncation, so both engines see identical
-    instants."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+    """events loader tolerant of the driver's TIMESTAMP(NANOS) parquet
+    (see csv_etl_spark.sources.tables.load_events)."""
+    return load_events(spark, sf_dir)
 
 
 def _dsum(col, alias: str, out_scale: int = 4):

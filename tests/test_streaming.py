@@ -6,6 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from csv_etl_spark.sources.tables import load_events
 from csv_etl_spark.streaming.events import (
     EVENTS_SCHEMA,
     read_events_stream,
@@ -19,17 +20,19 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def events_dir(spark, tmp_path):
-    """Copy sf0.001 events into a streaming source dir."""
+    """Copy sf0.001 events into a streaming source dir (normalizing the
+    driver's TIMESTAMP(NANOS) parquet to micro precision on the way)."""
     d = str(tmp_path / "events_in")
-    spark.read.parquet(f"{SF}/events.parquet").coalesce(2).write.parquet(d)
+    load_events(spark, SF).coalesce(2).write.parquet(d)
     return d
 
 
-def _run_stream(spark, sdf, name: str):
+def _run_stream(spark, sdf, name: str, mode: str = "complete"):
+    # "complete" for aggregations; projections (no state) must use "append"
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete" if sdf.isStreaming else "append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -74,7 +77,7 @@ def test_compiled_mapping_on_stream(spark, events_dir):
         ],
     }
     stream = read_events_stream(spark, events_dir)
-    out = _run_stream(spark, stream_mapping(stream, mapping), "mapped")
+    out = _run_stream(spark, stream_mapping(stream, mapping), "mapped", mode="append")
     rows = out.collect()
     assert len(rows) > 0
     assert set(out.columns) == {"event_id", "category", "_errors"}
