@@ -73,6 +73,55 @@ def token_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k >= n, shingles).otherwise(F.array().cast("array<string>")))
 
 
+def hashed_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct shingles as 64-bit hashes.  All pair-generation joins and
+    verifies run on 8-byte longs instead of ~20-byte strings — less shuffle
+    payload, cheaper equality — at a 64-bit collision risk that is
+    negligible for any realistic shingle population."""
+    return F.transform(token_shingles(col, n), lambda s: F.xxhash64(s))
+
+
+def _shingle_docs(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingles: array<bigint>) with <n-token docs dropped, computed in
+    two staged projections (tokens, then shingle hashes from tokens) and
+    PERSISTED.
+
+    Both matter at any scale:
+    * Staging: higher-order-function lambdas are opaque to Catalyst's
+      common-subexpression elimination, so one mega-expression mentioning
+      the token array k times re-tokenizes k times.  Hashing token triples
+      directly (xxhash64 of 3 string columns) also skips building every
+      shingle string just to hash it.
+    * Persist: every downstream consumer (both sides of a self-join, the
+      candidate verify) would otherwise re-run tokenize+shingle per
+      mention — measured 10× slower at sf0.1.  MEMORY_AND_DISK so big
+      corpora spill instead of OOM; at cluster scale this table is the
+      thing you'd materialize to parquet once per corpus anyway.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    toks_col = F.col("__toks")
+    k = F.size(toks_col)
+    idx = F.sequence(F.lit(0), k - n)
+    hashed = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(toks_col, i + j + 1) for j in range(n)]),
+        )
+    )
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    # a small corpus file scans as 1-few partitions; spread the (CPU-bound)
+    # tokenize+shingle pass across the cluster before computing it
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    toks = src.select("id", ws_tokens(F.col("__text")).alias("__toks"))
+    docs = toks.filter(k >= n).select("id", hashed.alias("shingles"))
+    return docs.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
@@ -104,12 +153,15 @@ def ngram_jaccard_pairs(
     the size accounting.  Exact when None (default).  At 100 TB you set a
     cap (stopword-like shingles contribute near-zero discrimination but
     quadratic join cost — the standard trade)."""
-    docs = df.select(
-        F.col(id_col).alias("id"), token_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    docs = _shingle_docs(df, text_col, id_col, n)
 
-    posting = docs.select(F.col("id"), F.explode("shingles").alias("shingle"))
-    if freq_cap is not None:
+    if freq_cap is None:
+        # set size is known before explode — no size join, no extra shuffle
+        posting = docs.select(
+            "id", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+        )
+    else:
+        posting = docs.select(F.col("id"), F.explode("shingles").alias("shingle"))
         rare = (
             posting.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_"))
@@ -117,9 +169,9 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         posting = posting.join(rare, "shingle")
-    # per-doc set size AFTER any capping so jaccard stays internally consistent
-    sized = posting.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    posting = posting.join(sized, "id")
+        # per-doc set size AFTER capping so jaccard stays internally consistent
+        sized = posting.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        posting = posting.join(sized, "id")
 
     a = posting.alias("a")
     b = posting.alias("b")
@@ -148,13 +200,16 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed s, min over shingles of
-    xxhash64(shingle, seed=s).  Array<bigint> of length num_hashes.
-    Pure built-ins: transform + array_min over the (small) shingle set."""
+def minhash_signature(hashed: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature over ALREADY-HASHED shingles (array<bigint>):
+    the i-th hash function re-hashes the 8-byte base hash with seed i
+    (xxhash64 of a long is far cheaper than of a ~20-byte string, and
+    stays ANSI-safe — wraparound a*x+b arithmetic would throw under
+    Spark 4's ANSI-on default).  Array<bigint> of length num_hashes,
+    pure built-ins (transform + array_min)."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(s))))
+            F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(s))))
             for s in range(num_hashes)
         ]
     )
@@ -174,9 +229,7 @@ def minhash_lsh_pairs(
     exact operator IS its correctness oracle; LSH trades recall for a
     shuffle that is O(docs × bands) instead of O(candidate pairs))."""
     rows_per_band = num_hashes // bands
-    docs = df.select(
-        F.col(id_col).alias("id"), token_shingles(F.col(text_col), n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    docs = _shingle_docs(df, text_col, id_col, n)
     sig = docs.select("id", "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
 
     band_rows = sig.select(
@@ -187,13 +240,10 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig").getItem(bi * rows_per_band + ri).cast("string")
-                                    for ri in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.col("sig").getItem(bi * rows_per_band + ri)
+                                for ri in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for bi in range(bands)
