@@ -30,14 +30,18 @@ from csv_etl_spark.compiler import ERRORS_COL, compile_mapping
 from csv_etl_spark.operators import dedup, similarity, text
 from csv_etl_spark.operators.multimodal import documents_as_media, extract_features
 from csv_etl_spark.plans.typed import revolut_stocks_plan
-from csv_etl_spark.sources.tables import load_events
+from csv_etl_spark.sources.tables import ensure_parallelism, load_events, load_table
 from csv_etl_spark.streaming.events import sessionize, windowed_counts
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    # parallelize: widen single-row-group scans for expression-bound plans
+    # only (see sources/tables.py for the measured trade-off)
+    return load_table(spark, sf_dir, name, parallelize=parallelize)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +345,8 @@ _ORACLE_T7 = f"""
 
 
 def _orders_as_revolut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
+    # expression-bound pipeline (C1-C13 parse chains): widen the scan
+    o = _t(spark, sf_dir, "orders", parallelize=True)
     k = F.col("o_orderkey")
     return o.select(
         F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("Date"),
@@ -805,7 +810,8 @@ def q_ann_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    # tokenize/regex-heavy per-row work: widen the scan
+    d = _t(spark, sf_dir, "documents", parallelize=True)
     return text.text_metrics(d)
 
 

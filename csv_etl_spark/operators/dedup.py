@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from csv_etl_spark.operators.text import ws_tokens
+from csv_etl_spark.sources.tables import ensure_parallelism
 
 # Cap on how many docs may share one shingle before we drop it as a
 # candidate generator (stopword-like shingles explode the join at scale;
@@ -111,12 +112,11 @@ def _shingle_docs(
             lambda i: F.xxhash64(*[F.element_at(toks_col, i + j + 1) for j in range(n)]),
         )
     )
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     # a small corpus file scans as 1-few partitions; spread the (CPU-bound)
     # tokenize+shingle pass across the cluster before computing it
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    src = ensure_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    )
     toks = src.select("id", ws_tokens(F.col("__text")).alias("__toks"))
     docs = toks.filter(k >= n).select("id", hashed.alias("shingles"))
     return docs.persist(StorageLevel.MEMORY_AND_DISK)
