@@ -736,9 +736,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via random-hyperplane LSH buckets (rows-only)."""
+    """Embedding near-dup via random-hyperplane LSH buckets.
+
+    The driver's embeddings are near-orthogonal (max natural cosine ~0.5),
+    so a 0.9-threshold dedup over the raw table is vacuously empty.  Plant
+    deterministic near-dups — every 50th vector re-appears scaled by 1.5
+    under id+10^9 (same direction ⇒ identical sign bits ⇒ guaranteed
+    bucket collision, cosine exactly 1) — so the operator provably finds
+    them AND the query gains a full DuckDB oracle instead of a rows-only
+    check."""
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_dup_pairs(e, threshold=0.9, dim=32, n_planes=8)
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    aug = e.select("vec_id", "embedding").unionByName(planted)
+    return similarity.embedding_dup_pairs(aug, threshold=0.9, n_planes=8)
+
+
+_ORACLE_DEDUP_EMBEDDING = """
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5) AS emb
+      FROM embeddings WHERE vec_id % 50 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({cos}, 6) AS cosine
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE {cos} >= 0.9
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1029,7 +1058,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_normalized": _ORACLE_DEDUP_NORM,
         "dedup_jaccard_pairs": _ORACLE_JACCARD_PAIRS,
-        # dedup_minhash_lsh / dedup_simhash / dedup_embedding: rows-only
+        # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hashes)
+        "dedup_embedding": _ORACLE_DEDUP_EMBEDDING.format(cos=_cos_sql("a.emb", "b.emb")),
         "ann_bruteforce": _ORACLE_ANN_BRUTE,
         "ann_ivf_exact": _ORACLE_ANN_BRUTE,  # nprobe=all ⇒ exact ⇒ same oracle
         # ann_ivf_approx: rows-only

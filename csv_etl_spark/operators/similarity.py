@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -160,6 +162,19 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _hyperplanes_cached(dim: int, n_planes: int):
+    """numpy dim × n_planes plane matrix, cached per (dim, n_planes)."""
+    key = (dim, n_planes)
+    mat = _PLANES_CACHE.get(key)
+    if mat is None:
+        mat = np.array(_hyperplanes(dim, n_planes)).T
+        _PLANES_CACHE[key] = mat
+    return mat
+
+
+_PLANES_CACHE: dict = {}
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Fixed pseudo-random unit hyperplanes (deterministic LCG — no RNG
     state, reproducible across engines/runs)."""
@@ -176,32 +191,63 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 
 
 def random_hyperplane_buckets(
-    df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding"
+    df: DataFrame, dim: int | None = None, n_planes: int = 8, vec_col: str = "embedding"
 ) -> DataFrame:
-    """Append an integer LSH bucket: bit p = sign(v · plane_p)."""
-    planes = _hyperplanes(dim, n_planes)
-    bucket = F.lit(0).cast("bigint")
-    for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        bucket = bucket.bitwiseOR(bit)
-    return df.withColumn("lsh_bucket", bucket)
+    """Append an integer LSH bucket: bit p = sign(v · plane_p).
+
+    Implemented as a vectorized Pandas UDF (one numpy matmul of each Arrow
+    batch against the fixed plane matrix).  A pure-Column spelling (n_planes
+    × dim literal arrays under fold lambdas) is semantically identical but
+    generates a pathologically large expression tree — several seconds of
+    codegen before the first row moves; batch-matrix math is the case
+    vectorized UDFs exist for.
+
+    ``dim`` is taken from the vectors themselves (the plane matrix is a
+    deterministic function of (dim, n_planes), so every batch/worker/run
+    derives the identical planes); pass it only to assert an expected width.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    expect_dim = dim
+
+    @pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # batch × dim
+        if expect_dim is not None and mat.shape[1] != expect_dim:
+            raise ValueError(f"expected dim {expect_dim}, got {mat.shape[1]}")
+        planes_t = _hyperplanes_cached(mat.shape[1], n_planes)
+        bits = (mat @ planes_t) >= 0.0  # batch × n_planes
+        return pd.Series(bits @ weights)
+
+    return df.withColumn("lsh_bucket", bucket_of(F.col(vec_col)))
 
 
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    dim: int = 32,
+    dim: int | None = None,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-dup: bucket-equijoin on random-hyperplane signature,
     verify cosine ≥ threshold.  Near-identical vectors agree on all sign
-    bits with high probability; the join is keyed, never O(n²)."""
-    b = random_hyperplane_buckets(df, dim, n_planes, vec_col)
+    bits with high probability; the join is keyed, never O(n²).
+
+    The bucketed projection is computed once across full parallelism and
+    persisted: the 8 hyperplane dot products per row are the expensive
+    part, and both sides of the self-join (plus the verify) would
+    otherwise re-evaluate them per mention (HOF lambdas are opaque to
+    Catalyst CSE)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from csv_etl_spark.sources.tables import ensure_parallelism
+
+    src = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
+    b = random_hyperplane_buckets(src, dim, n_planes, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("lsh_bucket").alias("ba")
     )
