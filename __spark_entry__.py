@@ -164,6 +164,140 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mapping-language extensions (reference ROADMAP.md:50-52): external lookup
+# tables (broadcast join), aggregation mappings, multi-step chains
+# ---------------------------------------------------------------------------
+
+
+def q_etl_lookup_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lookup_table transform: events keyed into the nation dim via a
+    broadcast LEFT join compiled from the mapping JSON."""
+    from csv_etl_spark.plans import run_mapping
+
+    ev = _events_strings(spark, sf_dir).withColumn(
+        "nkey", (F.col("user_id").cast("long") % 25).cast("string")
+    )
+    mapping = {
+        "id": "lkt", "name": "lkt", "filter_rules": [],
+        "field_mappings": [
+            {"destination_field": "event_id", "source_field": "event_id",
+             "transform_type": "direct", "transform_config": {}},
+            {"destination_field": "nation", "source_field": "nkey",
+             "transform_type": "lookup_table",
+             "transform_config": {"table": "nation", "key": "n_nationkey",
+                                  "value": "n_name", "_default": "UNKNOWN"}},
+        ],
+    }
+    nation = _t(spark, sf_dir, "nation")
+    return run_mapping(ev, mapping, with_errors=False, tables={"nation": nation})
+
+
+_ORACLE_ETL_LOOKUP_TABLE = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL})
+    SELECT ev.event_id,
+           coalesce(n.n_name, 'UNKNOWN') AS nation
+    FROM ev LEFT JOIN nation n
+      ON CAST(CAST(ev.user_id AS BIGINT) % 25 AS VARCHAR) = CAST(n.n_nationkey AS VARCHAR)
+"""
+
+
+def q_etl_aggregate_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation mapping: transform + group_by + sum/count/avg declared in
+    the mapping JSON (reference ROADMAP.md:51), compiled to groupBy.agg with
+    exact decimal accumulation."""
+    from csv_etl_spark.plans import run_mapping
+
+    ev = _events_strings(spark, sf_dir)
+    mapping = {
+        "id": "aggm", "name": "aggm",
+        "filter_rules": [{"field": "event_type", "operator": "equals", "value": "error"}],
+        "field_mappings": [
+            {"destination_field": "category", "source_field": "event_type",
+             "transform_type": "lookup",
+             "transform_config": {"click": "engagement", "view": "engagement",
+                                  "purchase": "revenue", "signup": "growth",
+                                  "_default": "other"}},
+            {"destination_field": "value", "source_field": "value",
+             "transform_type": "direct", "transform_config": {}},
+        ],
+        "group_by": ["category"],
+        "aggregations": [
+            {"destination_field": "total", "source_field": "value", "agg": "sum"},
+            {"destination_field": "n", "agg": "count"},
+            {"destination_field": "avg_value", "source_field": "value", "agg": "avg"},
+        ],
+    }
+    out = run_mapping(ev, mapping, with_errors=False)
+    return out.select(
+        "category",
+        F.round("total", 4).alias("total"),
+        "n",
+        F.round("avg_value", 4).alias("avg_value"),
+    )
+
+
+_ORACLE_ETL_AGGREGATE = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL})
+    SELECT CASE event_type WHEN 'click' THEN 'engagement' WHEN 'view' THEN 'engagement'
+                WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'growth'
+                ELSE 'other' END AS category,
+           round(CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE), 4) AS total,
+           count(*) AS n,
+           round(CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(38,6)))
+                      / count(CAST(value AS DOUBLE)) AS DOUBLE), 4) AS avg_value
+    FROM ev
+    WHERE NOT (event_type = 'error')
+    GROUP BY 1
+"""
+
+
+def q_etl_chained_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage mapping chain (reference ROADMAP.md:52 "multi-step
+    pipelines"): stage 1 filters + derives, stage 2 transforms stage 1's
+    destinations — one collapsed Catalyst plan, not two passes."""
+    from csv_etl_spark.plans import chain_mappings
+
+    ev = _events_strings(spark, sf_dir)
+    stage1 = {
+        "id": "s1", "name": "s1",
+        "filter_rules": [{"field": "event_type", "operator": "equals", "value": "error"}],
+        "field_mappings": [
+            {"destination_field": "event_id", "source_field": "event_id",
+             "transform_type": "direct", "transform_config": {}},
+            {"destination_field": "tag", "source_field": "event_type",
+             "transform_type": "prefix", "transform_config": {"value": "evt:"}},
+            {"destination_field": "value2", "source_field": None,
+             "transform_type": "formula", "transform_config": {"expression": "value * 2"}},
+        ],
+    }
+    stage2 = {
+        "id": "s2", "name": "s2",
+        "filter_rules": [{"field": "tag", "operator": "equals", "value": "evt:signup"}],
+        "field_mappings": [
+            {"destination_field": "event_id", "source_field": "event_id",
+             "transform_type": "direct", "transform_config": {}},
+            {"destination_field": "tag", "source_field": "tag",
+             "transform_type": "suffix", "transform_config": {"value": "!"}},
+            {"destination_field": "value4", "source_field": None,
+             "transform_type": "formula", "transform_config": {"expression": "value2 * 2"}},
+        ],
+    }
+    out = chain_mappings(ev, [stage1, stage2], with_errors=False)
+    return out.select("event_id", "tag", F.round(F.col("value4"), 6).alias("value4"))
+
+
+_ORACLE_ETL_CHAINED = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL}),
+    s1 AS (
+      SELECT event_id, 'evt:' || event_type AS tag, CAST(value AS DOUBLE) * 2 AS value2
+      FROM ev WHERE NOT (event_type = 'error')
+    )
+    SELECT event_id, tag || '!' AS tag, round(value2 * 2, 6) AS value4
+    FROM s1 WHERE NOT (tag = 'evt:signup')
+"""
+
+
+# ---------------------------------------------------------------------------
 # Filter operators F1-F7 (skip semantics — SURVEY §2.2)
 # ---------------------------------------------------------------------------
 
@@ -987,6 +1121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ETL core (SURVEY §2.2/§2.3)
         "etl_dynamic_mapping": q_etl_dynamic_mapping,
+        # mapping-language extensions (ROADMAP.md:50-52)
+        "etl_lookup_table": q_etl_lookup_table,
+        "etl_aggregate_mapping": q_etl_aggregate_mapping,
+        "etl_chained_mappings": q_etl_chained_mappings,
         "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
         "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
         "f3_in": _filter_query([{"field": "event_type", "operator": "in", "values": ["click", "view"]}]),
@@ -1034,6 +1172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "etl_dynamic_mapping": _ORACLE_ETL_DYNAMIC,
+        "etl_lookup_table": _ORACLE_ETL_LOOKUP_TABLE,
+        "etl_aggregate_mapping": _ORACLE_ETL_AGGREGATE,
+        "etl_chained_mappings": _ORACLE_ETL_CHAINED,
         "f1_equals": _filter_oracle("NOT (event_type = 'error')"),
         "f2_not_equals": _filter_oracle("NOT (event_type <> 'error')"),
         "f3_in": _filter_oracle("event_type NOT IN ('click', 'view')"),

@@ -225,6 +225,24 @@ def compile_field(fm: FieldMapping, source_columns: list[str]) -> CompiledField:
         error = F.when(value.isNull(), F.lit(f"Formula evaluation failed: {expression}"))
         return CompiledField(fm.destination_field, value, error, src)
 
+    if tt == TransformType.LOOKUP_TABLE:
+        # extension (reference ROADMAP.md:50): lookup against an external
+        # table, realized as a broadcast left join in CompiledMapping.apply.
+        # The value/error expressions reference the join-produced column.
+        alias = f"__lkt_{fm.destination_field}"
+        joined_val = F.col(f"`{alias}_v`")
+        default = cfg.get("_default")
+        value = F.coalesce(joined_val, F.lit(default).cast("string"))
+        error = (
+            F.when(
+                joined_val.isNull() & src.isNotNull(),
+                F.lit("Lookup value not found in lookup table"),
+            )
+            if default is None
+            else None
+        )
+        return CompiledField(fm.destination_field, value, error, src)
+
     if tt == TransformType.CONDITIONAL:
         # dynamic.py:175-183: ordered first-match-wins; an `else` entry is a
         # catch-all that terminates evaluation
@@ -262,6 +280,17 @@ def compile_field(fm: FieldMapping, source_columns: list[str]) -> CompiledField:
 
 
 @dataclass
+class LookupJoin:
+    """A pending broadcast-join for one ``lookup_table`` field."""
+
+    alias: str  # join-column prefix: produces `{alias}_k` / `{alias}_v`
+    source_field: str | None
+    table: str  # name resolved via the ``tables`` argument of apply()
+    key: str  # key column in the external table
+    value: str  # value column in the external table
+
+
+@dataclass
 class CompiledMapping:
     """A mapping compiled against a known source-column list."""
 
@@ -270,6 +299,7 @@ class CompiledMapping:
     fields: list[CompiledField]
     has_filters: bool
     source_columns: list[str] = dc_field(default_factory=list)
+    lookup_joins: list[LookupJoin] = dc_field(default_factory=list)
 
     def errors_column(self, line_col: str | None = None) -> Column:
         """Array<struct<field,message,source_value[,line]>> of this row's
@@ -296,17 +326,92 @@ class CompiledMapping:
         df: DataFrame,
         with_errors: bool = True,
         line_col: str | None = None,
+        tables: dict[str, DataFrame] | None = None,
+        carry: list[str] | None = None,
     ) -> DataFrame:
-        """filter → project.  Output columns = destination fields in mapping
-        order (reference ``transform_row``, dynamic.py:239-257), plus
-        ``_errors`` (and the carried line column) when requested."""
+        """filter → [broadcast lookup joins] → project [→ aggregate].
+
+        Output columns = destination fields in mapping order (reference
+        ``transform_row``, dynamic.py:239-257), plus ``_errors`` (and the
+        carried line/extra columns) when requested.
+
+        ``tables`` resolves ``lookup_table`` fields to DataFrames; each
+        becomes one broadcast LEFT join (keys deduplicated so the join
+        can't fan out rows).  ``carry`` lists input columns to pass through
+        untouched (used by mapping chains to accumulate errors).
+
+        If the mapping declares ``aggregations``, the projected rows are
+        then grouped by ``group_by`` — see :meth:`aggregate`."""
         out = df.filter(self.keep) if self.has_filters else df
+
+        for lj in self.lookup_joins:
+            if not tables or lj.table not in tables:
+                raise ValueError(
+                    f"mapping '{self.mapping.id}' needs lookup table '{lj.table}' "
+                    "passed via apply(tables={...})"
+                )
+            side = (
+                tables[lj.table]
+                .select(
+                    F.col(f"`{lj.key}`").cast("string").alias(f"{lj.alias}_k"),
+                    F.col(f"`{lj.value}`").cast("string").alias(f"{lj.alias}_v"),
+                )
+                .dropDuplicates([f"{lj.alias}_k"])
+            )
+            # plain == : a null source value matches nothing → falls to the
+            # default/error path, mirroring the in-config lookup (T4)
+            out = out.join(
+                F.broadcast(side),
+                _src(lj.source_field, self.source_columns) == F.col(f"{lj.alias}_k"),
+                "left",
+            )
+
         cols = [f.value.alias(f.name) for f in self.fields]
         if with_errors:
             cols.append(self.errors_column().alias(ERRORS_COL))
         if line_col and line_col in df.columns:
             cols.append(F.col(line_col))
-        return out.select(*cols)
+        for c in carry or []:
+            if c in df.columns:
+                cols.append(F.col(f"`{c}`"))
+        projected = out.select(*cols)
+        if self.mapping.aggregations:
+            return self.aggregate(projected)
+        return projected
+
+    def aggregate(self, projected: DataFrame) -> DataFrame:
+        """Post-projection aggregation (extension; reference ROADMAP.md:51).
+
+        Groups by the mapping's ``group_by`` destination fields.  Numeric
+        aggregates run over ``try_cast(double)`` of the (string-typed)
+        destination values; sums/avgs accumulate in DECIMAL(38,6) so the
+        result is exact and order-independent — a float sum would differ
+        from any single-threaded engine in the last bits depending on
+        partition order."""
+        exprs = []
+        for agg in self.mapping.aggregations:
+            dest = agg["destination_field"]
+            src_field = agg.get("source_field")
+            kind = agg.get("agg", "count")
+            num = F.col(f"`{src_field}`").try_cast("double") if src_field else None
+            dec = num.cast("decimal(38,6)") if num is not None else None
+            if kind == "count":
+                expr = F.count(F.col(f"`{src_field}`")) if src_field else F.count(F.lit(1))
+            elif kind == "sum":
+                expr = F.sum(dec).cast("double")
+            elif kind == "avg":
+                expr = (F.sum(dec) / F.count(num)).cast("double")
+            elif kind == "min":
+                expr = F.min(num)
+            elif kind == "max":
+                expr = F.max(num)
+            else:
+                raise ValueError(f"unknown aggregation '{kind}'")
+            exprs.append(expr.alias(dest))
+        keys = [F.col(f"`{k}`") for k in self.mapping.group_by]
+        if keys:
+            return projected.groupBy(*keys).agg(*exprs)
+        return projected.agg(*exprs)
 
 
 def compile_mapping(mapping: ETLMapping | dict, source_columns: list[str]) -> CompiledMapping:
@@ -314,10 +419,22 @@ def compile_mapping(mapping: ETLMapping | dict, source_columns: list[str]) -> Co
         mapping = ETLMapping.from_dict(mapping)
     keep = compile_filter(mapping.filter_rules, source_columns)
     fields = [compile_field(fm, source_columns) for fm in mapping.field_mappings]
+    lookup_joins = [
+        LookupJoin(
+            alias=f"__lkt_{fm.destination_field}",
+            source_field=fm.source_field,
+            table=(fm.transform_config or {}).get("table", ""),
+            key=(fm.transform_config or {}).get("key", ""),
+            value=(fm.transform_config or {}).get("value", ""),
+        )
+        for fm in mapping.field_mappings
+        if fm.transform_type == TransformType.LOOKUP_TABLE
+    ]
     return CompiledMapping(
         mapping=mapping,
         keep=keep,
         fields=fields,
         has_filters=bool(mapping.filter_rules),
         source_columns=list(source_columns),
+        lookup_joins=lookup_joins,
     )

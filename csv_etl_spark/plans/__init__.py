@@ -1,5 +1,6 @@
 from csv_etl_spark.plans.pipeline import (
     TransformResult,
+    chain_mappings,
     errors_by_line,
     run_mapping,
     transform,
@@ -9,6 +10,7 @@ from csv_etl_spark.plans.typed import revolut_crypto_plan, revolut_stocks_plan
 
 __all__ = [
     "run_mapping",
+    "chain_mappings",
     "transform",
     "validate",
     "errors_by_line",

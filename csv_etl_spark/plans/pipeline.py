@@ -53,12 +53,47 @@ def run_mapping(
     mapping: ETLMapping | dict,
     line_col: str | None = None,
     with_errors: bool = True,
+    tables: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Lazy: compile + apply, no action.  Use for composing with further
-    Spark transformations."""
+    Spark transformations.  ``tables`` resolves ``lookup_table`` fields."""
     source_columns = [c for c in df.columns if c != line_col]
     compiled = compile_mapping(mapping, source_columns)
-    return compiled.apply(df, with_errors=with_errors, line_col=line_col)
+    return compiled.apply(df, with_errors=with_errors, line_col=line_col, tables=tables)
+
+
+def chain_mappings(
+    df: DataFrame,
+    mappings: list[ETLMapping | dict],
+    with_errors: bool = True,
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Multi-step pipeline (extension; reference ROADMAP.md:52 plans
+    "multi-step pipelines"): the destination fields of stage *i* are the
+    source columns of stage *i+1* — each stage is the same compiled
+    filter+project, so the whole chain stays one Catalyst plan (collapsed
+    projections, pushed filters), not N materialized passes.
+
+    ``_errors`` accumulates across stages: a row that survives every
+    stage's filters carries the concatenation of all its field errors.
+    A stage that aggregates ends error tracking (its output rows are no
+    longer the input rows)."""
+    cur = df
+    for m in mappings:
+        carry_errors = with_errors and ERRORS_COL in cur.columns
+        source_columns = [c for c in cur.columns if c != ERRORS_COL]
+        compiled = compile_mapping(m, source_columns)
+        if carry_errors and not compiled.mapping.aggregations:
+            cur = cur.withColumnRenamed(ERRORS_COL, "__prev_errors")
+            out = compiled.apply(
+                cur, with_errors=True, tables=tables, carry=["__prev_errors"]
+            )
+            cur = out.withColumn(
+                ERRORS_COL, F.concat(F.col("__prev_errors"), F.col(ERRORS_COL))
+            ).drop("__prev_errors")
+        else:
+            cur = compiled.apply(cur, with_errors=with_errors, tables=tables)
+    return cur
 
 
 def transform(

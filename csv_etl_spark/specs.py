@@ -59,6 +59,10 @@ class TransformType(str, Enum):
     PREFIX = "prefix"
     FORMULA = "formula"
     CONDITIONAL = "conditional"
+    # extension beyond the reference (its ROADMAP.md:50 plans "lookup tables
+    # from external sources"): key/value lookup against a named external
+    # table, compiled to a broadcast left join instead of an in-config map
+    LOOKUP_TABLE = "lookup_table"
 
 
 @dataclass
@@ -210,6 +214,13 @@ class ETLMapping:
     description: str = ""
     field_mappings: list[FieldMapping] = field(default_factory=list)
     filter_rules: list[dict] = field(default_factory=list)
+    # extensions beyond the reference (its ROADMAP.md:51 plans "aggregation
+    # transforms (sum, count, avg)"): optional post-projection aggregation.
+    # ``group_by`` lists DESTINATION fields; each aggregation is
+    # {"destination_field", "source_field" (a destination field of the
+    # projection; optional for count), "agg": sum|count|avg|min|max}.
+    group_by: list[str] = field(default_factory=list)
+    aggregations: list[dict] = field(default_factory=list)
 
     @classmethod
     def from_dict(cls, d: dict) -> "ETLMapping":
@@ -221,10 +232,12 @@ class ETLMapping:
             description=d.get("description", ""),
             field_mappings=[FieldMapping.from_dict(m) for m in d.get("field_mappings", [])],
             filter_rules=list(d.get("filter_rules", [])),
+            group_by=list(d.get("group_by", [])),
+            aggregations=list(d.get("aggregations", [])),
         )
 
     def to_dict(self) -> dict:
-        return {
+        out = {
             "id": self.id,
             "name": self.name,
             "source_id": self.source_id,
@@ -233,6 +246,10 @@ class ETLMapping:
             "field_mappings": [m.to_dict() for m in self.field_mappings],
             "filter_rules": self.filter_rules,
         }
+        if self.group_by or self.aggregations:
+            out["group_by"] = self.group_by
+            out["aggregations"] = self.aggregations
+        return out
 
     def destination_fields(self) -> list[str]:
         return [m.destination_field for m in self.field_mappings]
