@@ -25,6 +25,9 @@ from csv_etl_spark import get_spark  # noqa: E402
 
 HEADLINE = [
     "etl_dynamic_mapping",
+    "etl_lookup_table",
+    "etl_aggregate_mapping",
+    "etl_chained_mappings",
     "typed_stocks_pipeline",
     "agg_pricing_summary",
     "join_revenue_by_nation",
@@ -32,6 +35,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
+    "dedup_embedding",
     "ann_bruteforce",
     "text_metrics",
     "stream_hourly_counts",
