@@ -1,0 +1,230 @@
+"""External source connectors (extension; reference ROADMAP.md:15-45 plans
+database sources/destinations, Excel, XML, and REST API endpoints).
+
+Everything follows the engine's data-model contract: rows arrive all-string
+(typing happens inside compiled transforms), so any of these can feed any
+compiled mapping unchanged.
+
+Scale notes per connector:
+
+* JDBC — Spark's built-in partitioned JDBC scan: with
+  (partition_column, lower/upper bound, num_partitions) the table is read
+  by N executors in parallel, each with its own WHERE range.  This is the
+  100 TB-capable path (modulo the database's own throughput).
+* XML — stdlib ElementTree parse per file, distributed via
+  ``binaryFile`` + ``mapInPandas`` so a directory of XML files scans in
+  parallel (one file = one task; XML is not line-splittable, so per-file
+  is the natural parallel grain — same model as spark-xml's file mode).
+* Excel — needs openpyxl/spark-excel, neither shipped here; the reader is
+  gated behind an import-try and raises a clear error (the driver
+  container has no Excel codec; the plumbing/signature is real).
+* REST API — driver-side fetch (an API endpoint is not a distributed
+  source); result lands in a DataFrame and scales out from there.  For
+  paginated bulk APIs you'd fan page-fetches out via a parallelized RDD of
+  page URLs — ``api_pages_to_df`` does exactly that.
+"""
+
+from __future__ import annotations
+
+import json
+import xml.etree.ElementTree as ET
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from csv_etl_spark.specs import FileSpec
+
+
+# ---------------------------------------------------------------------------
+# JDBC (reference ROADMAP.md:17-29 database sources)
+# ---------------------------------------------------------------------------
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10000,
+    query: str | None = None,
+) -> dict[str, str]:
+    """Assemble the option map for a (possibly partitioned) JDBC scan.
+
+    Pure function so the partitioning contract is unit-testable without a
+    live database: partitioned reads require all four of partition_column/
+    lowerBound/upperBound/numPartitions, and ``query`` and ``table`` are
+    mutually exclusive (Spark's own constraint)."""
+    if query and table:
+        raise ValueError("pass either table or query, not both")
+    opts: dict[str, str] = {"url": url, "fetchsize": str(fetchsize)}
+    if table:
+        opts["dbtable"] = table
+    if query:
+        opts["query"] = query
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    part = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(p is not None for p in part):
+        if any(p is None for p in part):
+            raise ValueError(
+                "partitioned JDBC read needs partition_column, lower_bound, "
+                "upper_bound AND num_partitions"
+            )
+        if query:
+            raise ValueError("partitioned read requires dbtable, not query")
+        opts.update(
+            partitionColumn=str(partition_column),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def read_jdbc(spark: SparkSession, **kwargs) -> DataFrame:
+    """Partitioned JDBC scan (see jdbc_options for the knobs)."""
+    return spark.read.format("jdbc").options(**jdbc_options(**kwargs)).load()
+
+
+# ---------------------------------------------------------------------------
+# XML (reference ROADMAP.md:41 "XML files")
+# ---------------------------------------------------------------------------
+
+
+def read_spec_xml(
+    spark: SparkSession,
+    path: str,
+    spec: FileSpec | None = None,
+    row_tag: str = "row",
+) -> DataFrame:
+    """All-string XML scan: every ``<row_tag>`` element becomes a row; its
+    child elements' text become columns.  Distributed per file via
+    binaryFile + mapInPandas (XML cannot split within a file)."""
+    cols = spec.column_names() if spec else None
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.xml").load(path)
+
+    known_cols = cols  # close over; None = discover from data
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                root = ET.fromstring(bytes(blob).decode("utf-8"))
+                elems = root.iter(row_tag) if root.tag != row_tag else [root]
+                for el in elems:
+                    rows.append({child.tag: child.text for child in el})
+            if known_cols is None:
+                raise ValueError(
+                    "read_spec_xml without a spec needs explicit columns; "
+                    "pass a FileSpec so the schema is declared"
+                )
+            yield pd.DataFrame(
+                {c: [r.get(c) for r in rows] for c in known_cols}, dtype=object
+            )
+
+    if cols is None:
+        raise ValueError("read_spec_xml requires a FileSpec (declared schema)")
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    return files.select("content").mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------------------
+# Excel (reference ROADMAP.md:39) — gated: no Excel codec in this image
+# ---------------------------------------------------------------------------
+
+
+def read_spec_excel(
+    spark: SparkSession,
+    path: str,
+    spec: FileSpec | None = None,
+    sheet: str | int = 0,
+) -> DataFrame:
+    """Excel scan via pandas/openpyxl (driver-side — Excel files are
+    config-scale, not data-scale).  Raises with a clear message when no
+    Excel engine is installed; the signature and all-string contract are
+    the real interface."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "Excel support needs openpyxl (or spark-excel on a cluster); "
+            "not installed in this environment"
+        ) from exc
+    pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)  # pragma: no cover
+    if spec is not None:  # pragma: no cover
+        pdf = pdf[[c for c in spec.column_names() if c in pdf.columns]]
+    return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# REST API (reference ROADMAP.md:42 "REST API endpoints")
+# ---------------------------------------------------------------------------
+
+
+def _rows_to_string_df(spark: SparkSession, rows: list[dict], columns: list[str] | None) -> DataFrame:
+    if columns is None:
+        seen: dict[str, None] = {}
+        for r in rows:
+            for k in r:
+                seen.setdefault(k)
+        columns = list(seen)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+    data = [
+        tuple(None if r.get(c) is None else str(r.get(c)) for c in columns) for r in rows
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+def read_api_json(
+    spark: SparkSession,
+    url: str,
+    columns: list[str] | None = None,
+    record_path: str | None = None,
+    timeout: int = 30,
+) -> DataFrame:
+    """Fetch one JSON endpoint (array of objects, or an object whose
+    ``record_path`` key holds the array) into an all-string DataFrame."""
+    import requests
+
+    payload = requests.get(url, timeout=timeout).json()
+    if record_path is not None:
+        payload = payload[record_path]
+    if not isinstance(payload, list):
+        raise ValueError("endpoint did not return a JSON array of records")
+    return _rows_to_string_df(spark, payload, columns)
+
+
+def api_pages_to_df(
+    spark: SparkSession,
+    urls: list[str],
+    columns: list[str],
+    timeout: int = 30,
+) -> DataFrame:
+    """Paginated-API fan-out: the page-URL list is parallelized so each
+    executor fetches its own pages — the bulk-extract pattern for APIs
+    that shard by page/cursor."""
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+
+    def fetch(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import requests
+
+        for pdf in iterator:
+            rows: list[dict] = []
+            for u in pdf["url"]:
+                payload = requests.get(u, timeout=timeout).json()
+                rows.extend(payload if isinstance(payload, list) else [payload])
+            yield pd.DataFrame(
+                {c: [None if r.get(c) is None else str(r.get(c)) for r in rows] for c in columns},
+                dtype=object,
+            )
+
+    url_df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return url_df.repartition(max(len(urls), 1)).mapInPandas(fetch, schema)
