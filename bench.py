@@ -18,6 +18,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd  # noqa: F401  (pandas_udf warm-up type hints)
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entry_mod  # noqa: E402
@@ -53,8 +55,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # warm-up: JVM/codegen/parquet footer reads on a trivial job
+    # warm-up: JVM/codegen/parquet footer reads on a trivial job, plus the
+    # python-worker pool (first pandas_udf in a session pays worker spawn —
+    # session setup, not query cost)
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 1024, 1, 32).select(_noop(F.col("id"))).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

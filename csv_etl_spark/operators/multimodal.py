@@ -99,6 +99,105 @@ def extract_features(
     return out.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def stub_resizer(kind: str, content: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: clip/repeat bytes to width*height.  A real
+    kernel (PIL ``Image.resize``) plugs in via ``resizer=``; only images
+    resize — other kinds raise, like a real kernel would."""
+    if kind != "image":
+        raise NotImplementedError(f"resize not defined for kind {kind!r}")
+    target = max(width * height, 1)
+    if not content:
+        return bytes(target)
+    reps = (target // len(content)) + 1
+    return (content * reps)[:target]
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[str, bytes, int, int], bytes] = stub_resizer,
+) -> DataFrame:
+    """Resize every image payload via Arrow-batched mapInPandas (kernel
+    injected; bytes never touch the driver)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": [
+                        None if c is None else resizer(k, bytes(c), width, height)
+                        for k, c in zip(pdf["kind"], pdf["content"])
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def stub_frame_sampler(kind: str, content: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic fake frame sampling: n_frames equal byte slices.  A
+    real kernel (ffmpeg/pyav keyframe extraction) plugs in via
+    ``sampler=``."""
+    if kind != "video":
+        raise NotImplementedError(f"frame sampling not defined for kind {kind!r}")
+    if not content:
+        return []
+    step = max(len(content) // n_frames, 1)
+    return [content[i * step : (i + 1) * step] for i in range(min(n_frames, len(content)))]
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    sampler: Callable[[str, bytes, int], list[bytes]] = stub_frame_sampler,
+) -> DataFrame:
+    """Explode each video into ≤ n_frames frame rows — the 1→N fan-out
+    shape (media row → frame rows) that downstream per-frame feature
+    pipelines consume.  Fan-out happens inside the Arrow batch, so a
+    1000-frame video never materializes as one driver-side list."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            frames: list = []
+            for mid, kind, content in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if content is None:
+                    continue
+                for i, fr in enumerate(sampler(kind, bytes(content), n_frames)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter used by tests/bench: treat document text bytes as opaque
     media payloads so the multimodal plumbing runs on driver-provided

@@ -36,6 +36,13 @@ def get_spark(app_name: str = "csv-etl-spark", shuffle_partitions: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # many distinct queries per session → lots of generated classes; the
+        # JVM default 240 MB code cache fills and silently disables JIT,
+        # degrading expression-heavy plans 5-10× mid-session
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -204,3 +204,44 @@ def test_multimodal_unknown_kind_raises(spark):
     )
     with pytest.raises(Exception, match="no decoder"):
         extract_features(df).collect()
+
+
+def test_multimodal_resize(spark):
+    from csv_etl_spark.operators.multimodal import documents_as_media, resize_media
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    out = resize_media(documents_as_media(d), width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["content"]) == 32  # stub clips/repeats to w*h
+
+
+def test_multimodal_frame_sampling_fan_out(spark):
+    from pyspark.sql import functions as F
+
+    from csv_etl_spark.operators.multimodal import documents_as_media, sample_frames
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    media = documents_as_media(d).withColumn("kind", F.lit("video"))
+    frames = sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 40  # 1 -> n fan-out
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+        assert len(r["frame"]) > 0
+    assert all(sorted(v) == [0, 1, 2, 3] for v in per_media.values())
+
+
+def test_multimodal_resize_rejects_non_image(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from csv_etl_spark.operators.multimodal import documents_as_media, resize_media
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    media = documents_as_media(d).withColumn("kind", F.lit("audio"))
+    with pytest.raises(Exception, match="resize not defined"):
+        resize_media(media, 4, 4).collect()
