@@ -297,6 +297,84 @@ _ORACLE_ETL_CHAINED = f"""
 """
 
 
+def q_spec_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-driven validation rules (ROADMAP.md:48 + ColumnSpec metadata the
+    reference never enforces): required/max_length/type checks emitting the
+    standard _errors channel."""
+    from csv_etl_spark.plans.validation import validate_against_spec
+    from csv_etl_spark.specs import FileSpec
+
+    ev = _events_strings(spark, sf_dir)
+    spec = FileSpec.from_dict(
+        {
+            "id": "events", "name": "events",
+            "columns": [
+                {"name": "event_id", "type": "integer", "required": True},
+                {"name": "ts", "type": "datetime", "date_format": "%Y-%m-%d %H:%M:%S"},
+                {"name": "user_id", "type": "integer"},
+                {"name": "event_type", "type": "string", "max_length": 5},
+                {"name": "value", "type": "float", "required": True},
+            ],
+        }
+    )
+    out = validate_against_spec(ev, spec)
+    return out.select(
+        "event_id",
+        F.size(F.col("_errors")).alias("n_errors"),
+        F.concat_ws(",", F.array_sort(F.transform("_errors", lambda e: e["field"]))).alias(
+            "err_fields"
+        ),
+    )
+
+
+_ORACLE_SPEC_VALIDATION = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL})
+    SELECT event_id,
+           (CASE WHEN length(event_type) > 5 THEN 1 ELSE 0 END) AS n_errors,
+           (CASE WHEN length(event_type) > 5 THEN 'event_type' ELSE '' END) AS err_fields
+    FROM ev
+"""
+
+
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-based MERGE/upsert (ROADMAP.md:29 batch upsert): a correction
+    batch (10% price-doubled updates + synthetic inserts) merged into
+    orders via anti-join ∪ updates."""
+    from csv_etl_spark.sources.edits import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", "o_custkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    merged = merge_upsert(o, updates.unionByName(inserts), ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+_ORACLE_MERGE_UPSERT = """
+    WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM base WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, 1.0 AS o_totalprice
+      FROM base WHERE o_orderkey % 1000 = 0
+    )
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+    FROM (
+      SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL
+      SELECT * FROM upd
+    )
+"""
+
+
 # ---------------------------------------------------------------------------
 # Filter operators F1-F7 (skip semantics — SURVEY §2.2)
 # ---------------------------------------------------------------------------
@@ -1125,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_lookup_table": q_etl_lookup_table,
         "etl_aggregate_mapping": q_etl_aggregate_mapping,
         "etl_chained_mappings": q_etl_chained_mappings,
+        "spec_validation": q_spec_validation,
+        "merge_upsert_orders": q_merge_upsert_orders,
         "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
         "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
         "f3_in": _filter_query([{"field": "event_type", "operator": "in", "values": ["click", "view"]}]),
@@ -1175,6 +1255,8 @@ def oracle_sql() -> dict[str, str]:
         "etl_lookup_table": _ORACLE_ETL_LOOKUP_TABLE,
         "etl_aggregate_mapping": _ORACLE_ETL_AGGREGATE,
         "etl_chained_mappings": _ORACLE_ETL_CHAINED,
+        "spec_validation": _ORACLE_SPEC_VALIDATION,
+        "merge_upsert_orders": _ORACLE_MERGE_UPSERT,
         "f1_equals": _filter_oracle("NOT (event_type = 'error')"),
         "f2_not_equals": _filter_oracle("NOT (event_type <> 'error')"),
         "f3_in": _filter_oracle("event_type NOT IN ('click', 'view')"),

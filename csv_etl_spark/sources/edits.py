@@ -1,15 +1,20 @@
 """S9: point row-update in place (the dashboard's inline cell edit,
-reference ``app.py:577-623``: rewrite a CSV with one row replaced).
+reference ``app.py:577-623``: rewrite a CSV with one row replaced), plus
+the scale-correct generalization: set-based MERGE/upsert
+(reference ROADMAP.md:29 plans "Batch insert/upsert for destinations").
 
-An anti-pattern at scale (SURVEY S10 notes Delta ``MERGE`` is the real
-answer) but part of the reference surface: implemented as
-read → ``when(line == n, new).otherwise(old)`` → single-file overwrite,
-which is exactly the reference's semantics with atomic replace.
+The point update is an anti-pattern at scale but part of the reference
+surface: read → ``when(line == n, new).otherwise(old)`` → single-file
+overwrite, exactly the reference's semantics with atomic replace.
+``merge_upsert`` is what you run instead at 100 TB: one anti-join + union
+(both keyed — partition-parallel, no driver involvement), equivalent to
+Delta's ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` for
+whole-row updates.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv_etl_spark.sources.csv_source import LINE_COL, read_spec_csv, with_line_numbers
@@ -44,3 +49,20 @@ def update_csv_row(
         F.col(LINE_COL),
     )
     write_single_csv_file(updated, file_path, order_by=LINE_COL)
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Set-based upsert: rows of ``updates`` replace same-key rows of
+    ``target``; new keys are appended.
+
+    Shape: target ANTI-JOIN updates (drop rows being replaced) ∪ updates.
+    Both sides hash on the key — fully parallel, and with AQE the anti
+    join broadcasts when ``updates`` is small (the common case: a daily
+    correction batch against a huge fact table).  ``updates`` should be
+    unique per key; duplicate keys are collapsed (dropDuplicates keeps an
+    arbitrary one) so the output can never contain two rows per key."""
+    if not keys:
+        raise ValueError("merge_upsert needs at least one key column")
+    kept = target.join(updates.select(*keys), keys, "left_anti")
+    deduped = updates.dropDuplicates(keys)
+    return kept.unionByName(deduped.select(*target.columns))
