@@ -1056,6 +1056,25 @@ def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.text_metrics(d)
 
 
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-100 token frequencies (vocabulary pass)."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    return text.top_tokens(d, k=100)
+
+
+_ORACLE_TOP_TOKENS = """
+    WITH toks AS (
+      SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+    SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank, token, n
+    FROM counts
+    ORDER BY n DESC, token ASC
+    LIMIT 100
+"""
+
+
 _SW = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
 _RO = ", ".join(f"'{w}'" for w in ["el", "la", "de", "que", "y", "le", "et", "un", "una", "les"])
 
@@ -1241,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_approx": q_ann_ivf_approx,
         # text analysis
         "text_metrics": q_text_metrics,
+        "text_top_tokens": q_text_top_tokens,
         # streaming semantics
         "stream_hourly_counts": q_stream_hourly_counts,
         "stream_sessionize": q_stream_sessionize,
@@ -1287,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_exact": _ORACLE_ANN_BRUTE,  # nprobe=all ⇒ exact ⇒ same oracle
         # ann_ivf_approx: rows-only
         "text_metrics": _ORACLE_TEXT_METRICS,
+        "text_top_tokens": _ORACLE_TOP_TOKENS,
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,

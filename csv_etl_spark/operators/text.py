@@ -9,7 +9,7 @@ that scale linearly with input splits at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small, order-stable English stopword list — shared with the DuckDB oracle.
@@ -121,4 +121,27 @@ def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         quality_score(c).alias("quality"),
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
+    )
+
+
+def top_tokens(
+    df: DataFrame, k: int = 100, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Corpus-level top-k token frequencies — the vocabulary/stopword-
+    discovery pass of a training-data pipeline.
+
+    explode → groupBy(token) count (map-side partial aggregation soaks up
+    Zipf skew: the hot token's partials merge, its rows never colocate) →
+    global top-k.  The final ordering uses a SINGLE-partition window over
+    only the per-token counts (vocabulary-sized, not corpus-sized) with a
+    deterministic (count desc, token asc) tie-break."""
+    toks = df.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
+    if lowercase:
+        toks = toks.select(F.lower(F.col("token")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "n")
     )
