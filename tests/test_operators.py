@@ -245,3 +245,26 @@ def test_multimodal_resize_rejects_non_image(spark):
     media = documents_as_media(d).withColumn("kind", F.lit("audio"))
     with pytest.raises(Exception, match="resize not defined"):
         resize_media(media, 4, 4).collect()
+
+
+def test_jaccard_freq_cap_drops_hot_shingles(spark):
+    """freq_cap: a shingle shared by everyone is dropped from candidate
+    generation AND size accounting; docs that only share the hot shingle
+    produce no pair."""
+    common = "the quick brown fox"
+    rows = [
+        (1, common + " alpha beta gamma delta"),
+        (2, common + " alpha beta gamma delta"),   # true near-dup of 1
+        (3, common + " wholly different words here"),
+        (4, common + " unrelated again entirely now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # without cap: every doc pairs with every other via the common prefix
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.05, n=3)
+    assert uncapped.count() == 6
+    # cap=2: shingles present in >2 docs (the common prefix) are dropped,
+    # docs 3/4 share nothing rare -> only the true dup pair remains
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.05, n=3, freq_cap=2)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 1.0  # capped universe: their remaining shingles identical
