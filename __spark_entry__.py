@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from csv_etl_spark.compiler import ERRORS_COL, compile_mapping
 from csv_etl_spark.operators import dedup, similarity, text
+from csv_etl_spark.operators import sampling as _sampling
 from csv_etl_spark.operators.multimodal import documents_as_media, extract_features
 from csv_etl_spark.plans.typed import revolut_stocks_plan
 from csv_etl_spark.sources.tables import ensure_parallelism, load_events, load_table
@@ -871,6 +872,131 @@ _ORACLE_RANGE_JOIN = """
 """
 
 
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with null-preserving aggregation: every customer,
+    including the orderless, with their F-order spend."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.col("o_orderkey")).alias("n_f_orders"),
+            _dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "f_spend"),
+        )
+    )
+
+
+_ORACLE_LEFT_OUTER = f"""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey) AS n_f_orders,
+           {_dsum_sql("coalesce(o_totalprice, 0.0)", "f_spend")}
+    FROM customer LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+      ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube): totals by
+    (status, priority), by status alone, and grand total — with grouping
+    ids so consumers can tell the levels apart."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: join + aggregate + global deterministic top-k
+    (sort + limit with orderkey tie-break)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 2))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue",
+        )
+    )
+
+
+_ORACLE_TOPK_REVENUE = f"""
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           {_dsum_sql("l_extendedprice * (1 - l_discount)", "revenue", 2)}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+"""
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable hash sampling: ~10% of events chosen by md5(event_id) —
+    identical membership in any engine (the oracle re-derives it)."""
+    from csv_etl_spark.operators.sampling import hash_sample
+
+    ev = _events_strings(spark, sf_dir)
+    return hash_sample(ev, "event_id", 0.10).select("event_id", "event_type")
+
+
+_ORACLE_SAMPLE = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL})
+    SELECT event_id, event_type
+    FROM ev
+    WHERE substr(md5(event_id), 1, 8) < '{{thr}}'
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quotas (keep all purchases, 20% of clicks, 5% of views,
+    none of the rest) — the per-source-mix pass of a training pipeline."""
+    from csv_etl_spark.operators.sampling import stratified_hash_sample
+
+    ev = _events_strings(spark, sf_dir)
+    out = stratified_hash_sample(
+        ev, "event_type",
+        {"purchase": 1.0, "click": 0.2, "view": 0.05},
+        key_col="event_id",
+    )
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_ORACLE_SAMPLE_STRAT = f"""
+    WITH ev AS ({_EVENTS_STRINGS_SQL})
+    SELECT event_type, count(*) AS n_kept
+    FROM ev
+    WHERE substr(md5(event_id), 1, 8) <
+          CASE event_type WHEN 'purchase' THEN '{{t100}}'
+               WHEN 'click' THEN '{{t20}}' WHEN 'view' THEN '{{t5}}'
+               ELSE '{{t0}}' END
+    GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -1247,6 +1373,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_distinct_nations": q_union_distinct,
         "asof_join_purchase_click": q_asof_join,
         "range_join_buckets": q_range_join,
+        "join_left_outer": q_join_left_outer,
+        "grouping_sets_orders": q_grouping_sets,
+        "topk_revenue_orders": q_topk_revenue_orders,
+        # deterministic sampling
+        "sample_deterministic": q_sample_deterministic,
+        "sample_stratified": q_sample_stratified,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
@@ -1298,6 +1430,18 @@ def oracle_sql() -> dict[str, str]:
         "union_distinct_nations": _ORACLE_UNION,
         "asof_join_purchase_click": _ORACLE_ASOF,
         "range_join_buckets": _ORACLE_RANGE_JOIN,
+        "join_left_outer": _ORACLE_LEFT_OUTER,
+        "grouping_sets_orders": _ORACLE_GROUPING_SETS,
+        "topk_revenue_orders": _ORACLE_TOPK_REVENUE,
+        "sample_deterministic": _ORACLE_SAMPLE.format(
+            thr=_sampling.fraction_threshold_hex(0.10)
+        ),
+        "sample_stratified": _ORACLE_SAMPLE_STRAT.format(
+            t100=_sampling.fraction_threshold_hex(1.0),
+            t20=_sampling.fraction_threshold_hex(0.2),
+            t5=_sampling.fraction_threshold_hex(0.05),
+            t0=_sampling.fraction_threshold_hex(0.0),
+        ),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_normalized": _ORACLE_DEDUP_NORM,
         "dedup_jaccard_pairs": _ORACLE_JACCARD_PAIRS,

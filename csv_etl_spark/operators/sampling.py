@@ -1,0 +1,80 @@
+"""Deterministic, engine-portable sampling — the subsetting pass of a
+training-data pipeline (hold-out carving, ablation subsets, per-source
+quotas).
+
+Why not ``df.sample()``: Spark's sampler is seeded per partition, so the
+selected rows change whenever partitioning changes (repartition, AQE,
+cluster size) and can never be reproduced by another engine.  At 100 TB you
+want sampling that is (a) reproducible run-to-run, (b) independent of
+physical layout, (c) verifiable downstream.  Keying the decision on a HASH
+OF THE ROW KEY gives all three: membership is a pure function of the key.
+
+``md5`` is the hash because every engine spells it identically (Spark,
+DuckDB, Postgres, Python hashlib), so the exact sample is reproducible
+anywhere — the driver's DuckDB oracle literally re-derives it.  The
+threshold compares the first 8 hex chars lexicographically, which is
+equivalent to a numeric compare of the top 32 bits: fraction f keeps keys
+with md5-prefix < hex(floor(f * 2^32)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket_hex(key: Column, digits: int = 8) -> Column:
+    """First ``digits`` hex chars of md5(key-as-string) — a uniform,
+    portable [0, 16^digits) bucket for the key."""
+    return F.substring(F.md5(key.cast("string")), 1, digits)
+
+
+def fraction_threshold_hex(fraction: float, digits: int = 8) -> str:
+    """Hex threshold t such that P(md5-prefix < t) == fraction.
+
+    fraction == 1.0 returns "g": one past the hex alphabet, so every
+    md5 prefix sorts below it (the naive 9-digit "100000000" would
+    lexicographically sort BEFORE "ffffffff" and keep almost nothing)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    n = int(fraction * (16**digits))
+    if n >= 16**digits:
+        return "g"
+    return format(n, f"0{digits}x")
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by md5(key) — deterministic,
+    layout-independent, reproducible in any engine."""
+    return df.filter(
+        hash_bucket_hex(F.col(key_col)) < F.lit(fraction_threshold_hex(fraction))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float], key_col: str,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (per-source quotas: keep 100% of
+    wiki, 10% of crawl, ...).  Same md5 mechanics, threshold chosen by the
+    stratum value."""
+    bucket = hash_bucket_hex(F.col(key_col))
+    thr: Column = F.lit(fraction_threshold_hex(default_fraction))
+    expr = None
+    for value, frac in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        t = F.lit(fraction_threshold_hex(frac))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = thr if expr is None else expr.otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_fraction: float = 0.1
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, deterministic train/holdout split on the key hash — the
+    same key lands on the same side in every run, on every engine, which
+    is what makes a holdout set trustworthy."""
+    t = F.lit(fraction_threshold_hex(holdout_fraction))
+    bucket = hash_bucket_hex(F.col(key_col))
+    return df.filter(bucket >= t), df.filter(bucket < t)
