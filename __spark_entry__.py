@@ -997,6 +997,54 @@ _ORACLE_SAMPLE_STRAT = f"""
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-for-bit)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_ORACLE_PERCENTILES = """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (expand+reaggregate under the hood) — the
+    correctness twin of the HLL sketch below."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_ORACLE_DISTINCT_USERS = """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+"""
+
+
+def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct (rows-only: sketch estimates are
+    engine-specific; tests assert ≤2% relative error vs exact).  At 100 TB
+    this is the difference between one pass with bounded memory and an
+    expand-shuffle over every distinct pair."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -1379,6 +1427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic sampling
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        # sketches / statistics
+        "value_percentiles": q_value_percentiles,
+        "distinct_users": q_distinct_users,
+        "distinct_users_approx": q_distinct_users_approx,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
@@ -1436,6 +1488,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_deterministic": _ORACLE_SAMPLE.format(
             thr=_sampling.fraction_threshold_hex(0.10)
         ),
+        "value_percentiles": _ORACLE_PERCENTILES,
+        "distinct_users": _ORACLE_DISTINCT_USERS,
+        # distinct_users_approx: rows-only (sketch estimate is engine-specific)
         "sample_stratified": _ORACLE_SAMPLE_STRAT.format(
             t100=_sampling.fraction_threshold_hex(1.0),
             t20=_sampling.fraction_threshold_hex(0.2),

@@ -268,3 +268,16 @@ def test_jaccard_freq_cap_drops_hot_shingles(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)] == 1.0  # capped universe: their remaining shingles identical
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ sketch vs exact: ≤2% relative error at rsd=0.01."""
+    import __spark_entry__ as E
+
+    exact = {r["event_type"]: r["n_users"]
+             for r in E.q_distinct_users(spark, SF).collect()}
+    approx = {r["event_type"]: r["n_users_approx"]
+              for r in E.q_distinct_users_approx(spark, SF).collect()}
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / max(n, 1) <= 0.02, (k, n, approx[k])
