@@ -1045,6 +1045,87 @@ def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a field from the JSON
+    ``props`` column JVM-side (get_json_object — no Python in the loop)
+    and aggregate on it."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.col("k")).alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_ORACLE_JSON_EXTRACT = """
+    SELECT event_type,
+           count(k) AS n_with_k, sum(k) AS sum_k, max(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+"""
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status × priority as columns (explicit value
+    list so the output schema is static — the only safe way at scale;
+    value-discovery pivots scan twice and produce unstable schemas)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(_PRIORITIES)}
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in _PRIORITIES],
+    )
+
+
+_ORACLE_PIVOT = """
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+           count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+def q_unpivot_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide numeric columns → (attr, value) long form
+    (stack() — constant-folded, single pass)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', cast(c_acctbal as double), "
+            "'nationkey', cast(c_nationkey as double)) AS (attr, value)"
+        ),
+    ).select("c_custkey", "attr", F.round("value", 2).alias("value"))
+
+
+_ORACLE_UNPIVOT = """
+    SELECT c_custkey, 'acctbal' AS attr, round(CAST(c_acctbal AS DOUBLE), 2) AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS attr, round(CAST(c_nationkey AS DOUBLE), 2) AS value
+    FROM customer
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -1427,6 +1508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic sampling
         "sample_deterministic": q_sample_deterministic,
         "sample_stratified": q_sample_stratified,
+        # semi-structured / reshaping
+        "json_extract_props": q_json_extract_props,
+        "pivot_orders": q_pivot_orders,
+        "unpivot_customer": q_unpivot_customer,
         # sketches / statistics
         "value_percentiles": q_value_percentiles,
         "distinct_users": q_distinct_users,
@@ -1488,6 +1573,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_deterministic": _ORACLE_SAMPLE.format(
             thr=_sampling.fraction_threshold_hex(0.10)
         ),
+        "json_extract_props": _ORACLE_JSON_EXTRACT,
+        "pivot_orders": _ORACLE_PIVOT,
+        "unpivot_customer": _ORACLE_UNPIVOT,
         "value_percentiles": _ORACLE_PERCENTILES,
         "distinct_users": _ORACLE_DISTINCT_USERS,
         # distinct_users_approx: rows-only (sketch estimate is engine-specific)
