@@ -643,6 +643,83 @@ _ORACLE_TYPED_STOCKS = """
 """
 
 
+def _orders_as_revolut_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders", parallelize=True)
+    k = F.col("o_orderkey")
+    price_str = F.round(F.col("o_totalprice"), 2).cast("string")
+    return o.select(
+        F.date_format("o_orderdate", "MMM dd, yyyy, hh:mm:ss a").alias("Date"),
+        F.when(k % 5 == 0, F.lit("BTC")).when(k % 5 == 1, F.lit("eth"))
+        .when(k % 5 == 2, F.lit("")).when(k % 5 == 3, F.lit("ZZZ"))
+        .otherwise(F.lit("DOT")).alias("Symbol"),
+        F.when(k % 4 == 0, F.lit("BUY")).when(k % 4 == 1, F.lit("Sell"))
+        .when(k % 4 == 2, F.lit("STAKE")).otherwise(F.lit("PAYMENT")).alias("Type"),
+        F.concat((k % 7).cast("string"), F.lit(",250.75")).alias("Quantity"),
+        F.when(k % 3 == 0, F.concat(F.lit("€"), price_str))
+        .when(k % 3 == 1, F.lit(""))
+        .otherwise(F.lit("$1,250.50")).alias("Price"),
+        F.concat(F.lit("£"), F.round(F.col("o_totalprice") / 2, 2).cast("string")).alias(
+            "Value"
+        ),
+        F.when(k % 2 == 0, F.lit("€2.50")).otherwise(F.lit("")).alias("Fees"),
+    )
+
+
+def q_typed_crypto_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto typed path (C2/C5/C6/C9 + F9-F11) over a deterministically
+    constructed revolut-crypto-shaped frame."""
+    from csv_etl_spark.plans.typed import revolut_crypto_plan
+
+    df = _orders_as_revolut_crypto(spark, sf_dir)
+    out = revolut_crypto_plan(df, account_name="Revolut Crypto")
+    return out.select(
+        "date", "symbol", "type",
+        F.round("quantity", 6).alias("quantity"),
+        F.round("unitPrice", 6).alias("unitPrice"),
+        F.round("fee", 6).alias("fee"),
+        "currency", "account", "dataSource",
+    )
+
+
+_ORACLE_TYPED_CRYPTO = """
+    WITH rev AS (
+      SELECT strftime(o_orderdate, '%b %d, %Y, %I:%M:%S %p') AS "Date",
+             CASE o_orderkey % 5 WHEN 0 THEN 'BTC' WHEN 1 THEN 'eth'
+                  WHEN 2 THEN '' WHEN 3 THEN 'ZZZ' ELSE 'DOT' END AS "Symbol",
+             CASE o_orderkey % 4 WHEN 0 THEN 'BUY' WHEN 1 THEN 'Sell'
+                  WHEN 2 THEN 'STAKE' ELSE 'PAYMENT' END AS "Type",
+             CAST(o_orderkey % 7 AS VARCHAR) || ',250.75' AS "Quantity",
+             CASE o_orderkey % 3
+                  WHEN 0 THEN '€' || CAST(round(o_totalprice, 2) AS VARCHAR)
+                  WHEN 1 THEN ''
+                  ELSE '$1,250.50' END AS "Price",
+             '£' || CAST(round(o_totalprice / 2, 2) AS VARCHAR) AS "Value",
+             CASE WHEN o_orderkey % 2 = 0 THEN '€2.50' ELSE '' END AS "Fees",
+             o_orderdate
+      FROM orders
+    ),
+    kept AS (
+      SELECT *, upper("Type") AS type_u,
+             CASE WHEN "Price" = '' THEN "Value" ELSE "Price" END AS pv
+      FROM rev
+      WHERE upper("Type") IN ('BUY', 'SELL') AND "Symbol" <> ''
+    )
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS date,
+           upper("Symbol") || '-USD' AS symbol,
+           type_u AS type,
+           round(CAST(replace("Quantity", ',', '') AS DOUBLE), 6) AS quantity,
+           round(abs(coalesce(TRY_CAST(replace(replace(replace(replace("Price", '€', ''),
+                 '$', ''), '£', ''), ',', '') AS DOUBLE), 0.0)), 6) AS unitPrice,
+           round(abs(coalesce(TRY_CAST(replace(replace(replace(replace("Fees", '€', ''),
+                 '$', ''), '£', ''), ',', '') AS DOUBLE), 0.0)), 6) AS fee,
+           CASE WHEN pv LIKE '€%' THEN 'EUR' WHEN pv LIKE '$%' THEN 'USD'
+                WHEN pv LIKE '£%' THEN 'GBP' ELSE 'EUR' END AS currency,
+           'Revolut Crypto' AS account,
+           'YAHOO' AS dataSource
+    FROM kept
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spark-native extensions: aggregation / joins / windows / rollup / set ops
 # ---------------------------------------------------------------------------
@@ -1491,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_formula": q_t7_formula,
         # typed path C1-C13
         "typed_stocks_pipeline": q_typed_stocks_pipeline,
+        "typed_crypto_pipeline": q_typed_crypto_pipeline,
         # relational extensions
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -1557,6 +1635,7 @@ def oracle_sql() -> dict[str, str]:
         "t4_lookup": _ORACLE_T4,
         "t7_formula": _ORACLE_T7,
         "typed_stocks_pipeline": _ORACLE_TYPED_STOCKS,
+        "typed_crypto_pipeline": _ORACLE_TYPED_CRYPTO,
         "agg_pricing_summary": _ORACLE_AGG_PRICING,
         "join_revenue_by_nation": _ORACLE_JOIN_REVENUE,
         "window_top_orders": _ORACLE_WINDOW_TOP,
