@@ -82,6 +82,13 @@ def hashed_shingles(col: Column, n: int = 3) -> Column:
     return F.transform(token_shingles(col, n), lambda s: F.xxhash64(s))
 
 
+# session-scoped cache: jaccard + minhash over the same corpus share one
+# persisted shingle table instead of computing and caching it twice.
+# Keyed on the plan's semantic hash; FIFO-bounded, evictees unpersisted.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+_SHINGLE_CACHE_MAX = 8
+
+
 def _shingle_docs(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
@@ -103,6 +110,13 @@ def _shingle_docs(
     """
     from pyspark.storagelevel import StorageLevel
 
+    try:
+        key = (df.semanticHash(), text_col, id_col, n)
+    except Exception:
+        key = None
+    if key is not None and key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
+
     toks_col = F.col("__toks")
     k = F.size(toks_col)
     idx = F.sequence(F.lit(0), k - n)
@@ -119,7 +133,16 @@ def _shingle_docs(
     )
     toks = src.select("id", ws_tokens(F.col("__text")).alias("__toks"))
     docs = toks.filter(k >= n).select("id", hashed.alias("shingles"))
-    return docs.persist(StorageLevel.MEMORY_AND_DISK)
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    if key is not None:
+        if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
+            oldest = next(iter(_SHINGLE_CACHE))
+            try:
+                _SHINGLE_CACHE.pop(oldest).unpersist()
+            except Exception:
+                pass
+        _SHINGLE_CACHE[key] = docs
+    return docs
 
 
 def _jaccard(a: Column, b: Column) -> Column:
