@@ -1266,6 +1266,46 @@ _ORACLE_JACCARD_PAIRS = """
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution: connected components over the exact
+    jaccard pair graph (iterative min-label propagation).  The step after
+    pair generation that actual corpus dedup needs — keep min-id per
+    component, drop the rest."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.35, n=3)
+    return dedup.resolve_duplicate_clusters(pairs).select("id", "cluster_id")
+
+
+_ORACLE_DEDUP_CLUSTERS = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS id, min(v) AS cluster_id
+    FROM reach GROUP BY u
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup pairs (rows-only driver check; exact-jaccard recall is
     asserted in tests/test_operators.py against ngram_jaccard_pairs)."""
@@ -1598,6 +1638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1667,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_normalized": _ORACLE_DEDUP_NORM,
         "dedup_jaccard_pairs": _ORACLE_JACCARD_PAIRS,
+        "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
         # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hashes)
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING.format(cos=_cos_sql("a.emb", "b.emb")),
         "ann_bruteforce": _ORACLE_ANN_BRUTE,

@@ -336,3 +336,75 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
 
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def resolve_duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → (id, cluster_id)
+    with cluster_id = min id reachable.  This is the step after any pair
+    generator (jaccard/LSH/embedding): pairs say "these two match", but
+    dedup needs CLUSTERS (keep one doc per component, drop the rest).
+
+    Iterative min-label propagation as DataFrame joins: each round every
+    vertex takes the min of its own label and its neighbors' labels;
+    converges in O(component diameter) rounds — near-dup components are
+    shallow (dup clusters are cliques or short chains), so a handful of
+    rounds in practice, ``max_iterations`` as the safety cap.  Each round
+    is one shuffle join + one aggregation, fully parallel; labels persist
+    per round and the previous round unpersists, so lineage and memory
+    stay bounded (the standard large-graph CC shape minus GraphX).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.v == labels.id)
+                .groupBy("u")
+                .agg(F.min("label").alias("nmin"))
+            )
+            # localCheckpoint, not persist: persist caches data but keeps
+            # the full lineage, which GROWS each round (round k's plan
+            # contains rounds 1..k-1) until plan analysis overflows the JVM
+            # stack on long chains.  Checkpointing truncates lineage so
+            # every round starts from materialized data.
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()

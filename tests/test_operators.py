@@ -281,3 +281,24 @@ def test_approx_distinct_within_tolerance(spark):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) / max(n, 1) <= 0.02, (k, n, approx[k])
+
+
+def test_resolve_duplicate_clusters(spark):
+    """Chain 1-2-3, pair 10-11, singleton edge 20-21: min-label CC."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["cluster_id"]
+           for r in dedup.resolve_duplicate_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_resolve_clusters_long_chain(spark):
+    """A 12-hop chain needs multiple propagation rounds to converge."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], ["id_a", "id_b"]
+    )
+    out = {r["id"]: r["cluster_id"]
+           for r in dedup.resolve_duplicate_clusters(pairs).collect()}
+    assert set(out.values()) == {100}
+    assert len(out) == 13
