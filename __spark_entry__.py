@@ -1141,7 +1141,11 @@ def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_JSON_EXTRACT = """
     SELECT event_type,
-           count(k) AS n_with_k, sum(k) AS sum_k, max(k) AS max_k
+           count(k) AS n_with_k,
+           -- DuckDB sum(BIGINT) widens to HUGEINT (-> float64 in pandas,
+           -- "123.0" vs Spark's "123"); cast back to BIGINT for an exact
+           -- cross-engine text form.
+           CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
     FROM (SELECT event_type,
                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           FROM events)
@@ -1485,9 +1489,9 @@ _ORACLE_TEXT_METRICS = f"""
            CASE WHEN sw_hits > ro_hits AND sw_hits >= 2 THEN 'en'
                 WHEN ro_hits > sw_hits AND ro_hits >= 2 THEN 'ro'
                 ELSE 'unknown' END AS lang_pred,
-           list_sum(list_transform(range(1, len(toks) + 1),
+           CAST(list_sum(list_transform(range(1, len(toks) + 1),
                     i -> (CAST(i AS BIGINT) * (131 * length(toks[i]) + ascii(toks[i])))
-                         % 2147483647)) % 2147483647 AS fingerprint
+                         % 2147483647)) % 2147483647 AS BIGINT) AS fingerprint
     FROM m
 """
 
@@ -1565,7 +1569,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "n_bytes",
         "checksum",
-        F.round(F.element_at("features", 4), 1).alias("f4"),
+        # features is array<float>; cast to double so the pandas repr
+        # matches the oracle's DOUBLE exactly (float32 123.4 != double 123.4)
+        F.round(F.element_at("features", 4).cast("double"), 1).alias("f4"),
     )
 
 
@@ -1573,8 +1579,8 @@ _ORACLE_MULTIMODAL = """
     SELECT doc_id AS media_id,
            'image' AS kind,
            octet_length(encode(text)) AS n_bytes,
-           list_sum(list_transform(range(1, least(length(text), 256) + 1),
-                    i -> ascii(text[i]))) % 1000003 AS checksum,
+           CAST(list_sum(list_transform(range(1, least(length(text), 256) + 1),
+                    i -> ascii(text[i]))) % 1000003 AS BIGINT) AS checksum,
            round(CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
                       i -> ascii(text[i]))) % 997 AS DOUBLE), 1) AS f4
     FROM documents

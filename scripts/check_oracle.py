@@ -21,8 +21,17 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon(df) -> tuple[int, list[str], list[tuple]]:
-    """(row_count, sorted_columns, sorted canonical rows)"""
-    import pandas as pd
+    """(row_count, sorted_columns, sorted canonical rows).
+
+    Strict on value REPRESENTATION, like the driver's hash: an integer
+    "123" and a float "123.0" are DIFFERENT (this is exactly how DuckDB's
+    HUGEINT sum(BIGINT) -> pandas float64 burned round 1), and floats
+    compare at full repr precision, not 6-digit-rounded text — queries must
+    pre-round/decimal-cast so both engines emit bit-identical doubles.
+    Integer WIDTH is canonicalized away (int32 == int64), matching observed
+    driver behavior (str() of numpy ints has no width marker).
+    """
+    import numpy as np
 
     cols = sorted(df.columns)
     df = df[cols]
@@ -32,11 +41,21 @@ def canon(df) -> tuple[int, list[str], list[tuple]]:
         for v in tup:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 row.append("∅")
-            elif isinstance(v, float):
-                # canonicalize float text; values are pre-rounded in queries
-                row.append(f"{v:.6f}".rstrip("0").rstrip("."))
+            elif isinstance(v, (bool, np.bool_)):
+                row.append(str(bool(v)))
+            elif isinstance(v, (int, np.integer)):
+                row.append(str(int(v)))
+            elif isinstance(v, (float, np.floating)):
+                if math.isnan(float(v)):
+                    row.append("∅")
+                else:
+                    # full-precision repr via python float (float32 that is
+                    # not double-representable will show its true value)
+                    row.append(repr(float(v)))
             elif hasattr(v, "isoformat"):
                 row.append(v.isoformat())
+            elif isinstance(v, (list, tuple, np.ndarray)):
+                row.append(str(list(v)))
             else:
                 row.append(str(v))
         rows.append(tuple(row))
