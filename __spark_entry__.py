@@ -129,12 +129,15 @@ FLAGSHIP_MAPPING = {
 def q_etl_dynamic_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_strings(spark, sf_dir)
     compiled = compile_mapping(FLAGSHIP_MAPPING, ev.columns)
-    out = compiled.apply(ev, with_errors=True)
+    # only the error COUNT is exposed, so use the codegen-friendly
+    # sum-of-whens instead of size(filter(array<struct>)) — the HOF filter
+    # is evaluated interpreted per row and costs ~40% of query time here
+    out = compiled.apply(ev, with_errors="count")
     return out.select(
         "event_id", "day", "category", "band",
         F.round(F.col("value2"), 6).alias("value2"),
         "tag", "user_tag", "source",
-        F.size(F.col(ERRORS_COL)).alias("n_errors"),
+        F.col(ERRORS_COL).alias("n_errors"),
     )
 
 
