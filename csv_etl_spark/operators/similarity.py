@@ -111,23 +111,34 @@ def ivf_topk(
         .drop("_tmp")
     )
 
-    # assign every vector to nearest centroid (broadcast, map-only)
+    # assign every vector to nearest centroid — MAP-ONLY: broadcast the
+    # centroid set as one array-of-structs row, compute all similarities as
+    # an array column, take argmax via array_position.  The previous
+    # row_number() over Window.partitionBy(vec_id) spelling shuffled
+    # N × n_centroids rows — the one scale-killer in this path at 100 TB.
+    # array_sort orders structs by centroid_id (first field), and
+    # array_position returns the FIRST max, so ties break on the lowest
+    # centroid_id exactly like the old (sim DESC, centroid_id ASC) window.
+    cent_arr = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "centroid_vec"))
+        ).alias("_cents")
+    )
+    sims = F.transform(
+        F.col("_cents"),
+        lambda c: cosine(F.col(vec_col), c.getField("centroid_vec")),
+    )
     assigned = (
-        vectors.crossJoin(F.broadcast(centroids))
+        vectors.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_sims", sims)
+        .withColumn("_best", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
         .select(
             id_col,
             vec_col,
-            "centroid_id",
-            cosine(F.col(vec_col), F.col("centroid_vec")).alias("_sim"),
+            F.element_at(F.col("_cents"), F.col("_best").cast("int"))
+            .getField("centroid_id")
+            .alias("cluster"),
         )
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("centroid_id"))
-            ),
-        )
-        .filter(F.col("_rk") == 1)
-        .select(id_col, vec_col, F.col("centroid_id").alias("cluster"))
     )
 
     # route each probe to its nprobe nearest clusters
