@@ -1,0 +1,74 @@
+"""Session-aware bounded cache for persisted DataFrames.
+
+Operators that stage an expensive intermediate (shingle tables, LSH
+bucket projections) persist it and register it here so repeated calls
+over the same corpus reuse one materialization.  Two failure modes this
+guards against (ADVICE round 1):
+
+* cached DataFrames outliving their SparkSession — keys embed the
+  applicationId, and any entry from a different (stopped/recreated)
+  session is dropped on the next access;
+* unbounded growth — FIFO-bounded, evictees unpersisted.
+
+``invalidate()`` is the explicit hook for when the underlying data is
+rewritten in place (same plan, same semanticHash, different bytes —
+semantic hashing cannot see that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class BoundedPersistCache:
+    def __init__(self, max_entries: int = 8) -> None:
+        self._entries: dict[tuple, DataFrame] = {}
+        self._max = max_entries
+
+    @staticmethod
+    def key_for(df: DataFrame, *extra) -> tuple | None:
+        """(applicationId, semanticHash, *extra) — None when the plan
+        cannot be semantically hashed (caller should then skip caching
+        AND skip persisting, so nothing leaks untracked)."""
+        try:
+            app_id = df.sparkSession.sparkContext.applicationId
+            return (app_id, df.semanticHash(), *extra)
+        except Exception:
+            return None
+
+    def get(self, key: tuple | None) -> DataFrame | None:
+        if key is None:
+            return None
+        self._evict_other_sessions(key[0])
+        return self._entries.get(key)
+
+    def put(self, key: tuple | None, df: DataFrame) -> None:
+        if key is None:
+            return
+        self._evict_other_sessions(key[0])
+        while len(self._entries) >= self._max:
+            oldest = next(iter(self._entries))
+            self._drop(oldest)
+        self._entries[key] = df
+
+    def invalidate(self, key: tuple | None = None) -> None:
+        """Drop one entry (or all, when key is None), unpersisting."""
+        if key is not None:
+            self._drop(key)
+            return
+        for k in list(self._entries):
+            self._drop(k)
+
+    def _evict_other_sessions(self, app_id: str) -> None:
+        for k in [k for k in self._entries if k[0] != app_id]:
+            # the owning session may already be stopped — unpersist
+            # best-effort, always drop the reference
+            self._drop(k)
+
+    def _drop(self, key: tuple) -> None:
+        df = self._entries.pop(key, None)
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from csv_etl_spark.operators._cache import BoundedPersistCache
 from csv_etl_spark.operators.text import ws_tokens
 from csv_etl_spark.sources.tables import ensure_parallelism
 
@@ -84,9 +85,15 @@ def hashed_shingles(col: Column, n: int = 3) -> Column:
 
 # session-scoped cache: jaccard + minhash over the same corpus share one
 # persisted shingle table instead of computing and caching it twice.
-# Keyed on the plan's semantic hash; FIFO-bounded, evictees unpersisted.
-_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
-_SHINGLE_CACHE_MAX = 8
+# Keyed on (applicationId, semanticHash, ...) so entries cannot outlive
+# their SparkSession; FIFO-bounded, evictees unpersisted.
+_SHINGLE_CACHE = BoundedPersistCache(max_entries=8)
+
+
+def clear_shingle_cache() -> None:
+    """Invalidation hook: call after rewriting a corpus in place (same
+    path, same plan shape — semantic hashing cannot detect new bytes)."""
+    _SHINGLE_CACHE.invalidate()
 
 
 def _shingle_docs(
@@ -110,12 +117,10 @@ def _shingle_docs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    try:
-        key = (df.semanticHash(), text_col, id_col, n)
-    except Exception:
-        key = None
-    if key is not None and key in _SHINGLE_CACHE:
-        return _SHINGLE_CACHE[key]
+    key = BoundedPersistCache.key_for(df, text_col, id_col, n)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     toks_col = F.col("__toks")
     k = F.size(toks_col)
@@ -133,15 +138,12 @@ def _shingle_docs(
     )
     toks = src.select("id", ws_tokens(F.col("__text")).alias("__toks"))
     docs = toks.filter(k >= n).select("id", hashed.alias("shingles"))
+    if key is None:
+        # untrackable plan: skip the persist too, so nothing leaks —
+        # downstream re-evaluation is the lesser cost in this rare path
+        return docs
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    if key is not None:
-        if len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_MAX:
-            oldest = next(iter(_SHINGLE_CACHE))
-            try:
-                _SHINGLE_CACHE.pop(oldest).unpersist()
-            except Exception:
-                pass
-        _SHINGLE_CACHE[key] = docs
+    _SHINGLE_CACHE.put(key, docs)
     return docs
 
 
@@ -372,6 +374,7 @@ def resolve_duplicate_clusters(
         .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    converged = False
     try:
         for _ in range(max_iterations):
             neighbor_min = (
@@ -404,7 +407,21 @@ def resolve_duplicate_clusters(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # a component with diameter > max_iterations would silently get
+            # MULTIPLE cluster_ids for one true component — surface it
+            import warnings
+
+            warnings.warn(
+                f"resolve_duplicate_clusters: label propagation did not "
+                f"converge within max_iterations={max_iterations}; some "
+                f"components may be split across cluster_ids. Raise "
+                f"max_iterations (rounds needed ≈ component diameter).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()

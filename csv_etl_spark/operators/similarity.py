@@ -185,6 +185,12 @@ def _hyperplanes_cached(dim: int, n_planes: int):
 
 _PLANES_CACHE: dict = {}
 
+# bounded session-aware cache for the persisted bucketed projection used by
+# embedding_dup_pairs (see csv_etl_spark.operators._cache)
+from csv_etl_spark.operators._cache import BoundedPersistCache as _BPC  # noqa: E402
+
+_BUCKET_CACHE = _BPC(max_entries=4)
+
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Fixed pseudo-random unit hyperplanes (deterministic LCG — no RNG
@@ -250,15 +256,23 @@ def embedding_dup_pairs(
     persisted: the 8 hyperplane dot products per row are the expensive
     part, and both sides of the self-join (plus the verify) would
     otherwise re-evaluate them per mention (HOF lambdas are opaque to
-    Catalyst CSE)."""
+    Catalyst CSE).  The persisted frame is registered in a session-aware
+    bounded cache (shared policy with the shingle table) so repeated
+    calls reuse it and evictees are unpersisted — it no longer leaks for
+    the life of the session."""
     from pyspark.storagelevel import StorageLevel
 
+    from csv_etl_spark.operators._cache import BoundedPersistCache
     from csv_etl_spark.sources.tables import ensure_parallelism
 
     src = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
-    b = random_hyperplane_buckets(src, dim, n_planes, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    key = BoundedPersistCache.key_for(src, n_planes, vec_col)
+    b = _BUCKET_CACHE.get(key)
+    if b is None:
+        b = random_hyperplane_buckets(src, dim, n_planes, vec_col)
+        if key is not None:
+            b = b.persist(StorageLevel.MEMORY_AND_DISK)
+            _BUCKET_CACHE.put(key, b)
     left = b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("lsh_bucket").alias("ba")
     )

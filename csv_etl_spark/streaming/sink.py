@@ -37,6 +37,12 @@ def gated_stream_writer(
     compiled = compile_mapping(mapping, stream.columns)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a batch can be retried after a
+        # partial write.  Writes are made IDEMPOTENT by landing each batch
+        # in its own batch_id=<id> hive partition with overwrite mode — a
+        # retry overwrites its own partition instead of appending
+        # duplicates.  Readers of the parent directory see batch_id as a
+        # partition column.
         out = compiled.apply(batch_df, with_errors=True)
         out = out.persist()
         try:
@@ -44,19 +50,17 @@ def gated_stream_writer(
             n_err = errs.count()
             if n_err:
                 (
-                    errs.select(
-                        F.lit(batch_id).alias("batch_id"),
-                        "*",
-                    )
-                    .withColumn(ERRORS_COL, F.to_json(F.col(ERRORS_COL)))
-                    .write.mode("append")
-                    .parquet(errors_dir)
+                    errs.withColumn(ERRORS_COL, F.to_json(F.col(ERRORS_COL)))
+                    .write.mode("overwrite")
+                    .parquet(f"{errors_dir}/batch_id={batch_id}")
                 )
             # S6 per batch: any error + fail_on_error → withhold the WHOLE
             # batch; otherwise write every row (errored rows included, like
             # the reference's fail_on_error=False path)
             if n_err == 0 or not fail_on_error:
-                out.drop(ERRORS_COL).write.mode("append").parquet(output_dir)
+                out.drop(ERRORS_COL).write.mode("overwrite").parquet(
+                    f"{output_dir}/batch_id={batch_id}"
+                )
         finally:
             out.unpersist()
 
