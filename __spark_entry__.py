@@ -1314,16 +1314,97 @@ _ORACLE_DEDUP_CLUSTERS = """
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH near-dup pairs (rows-only driver check; exact-jaccard recall is
-    asserted in tests/test_operators.py against ngram_jaccard_pairs)."""
+    """LSH near-dup pairs in PORTABLE hash mode: poly-hash shingles, affine
+    minhash family, band keys = raw signature slices.  The DuckDB oracle
+    replicates the ENTIRE pipeline (signatures → banding → bucket join →
+    exact-jaccard verify) bit-for-bit — a full value-hash check of the
+    approximate operator itself, not just of a planted subset.  The
+    xxhash64 fast path (scale default) keeps its recall assertion against
+    ngram_jaccard_pairs in tests/test_operators.py."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, threshold=0.35, n=3, num_hashes=16, bands=8)
+    return dedup.minhash_lsh_pairs(
+        d, threshold=0.35, n=3, num_hashes=16, bands=8, portable=True
+    )
+
+
+_MH_PARAMS = dedup.minhash_affine_params(16)
+
+
+def _poly_sql(s: str) -> str:
+    """DuckDB spelling of dedup.portable_string_hash — identical fold."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({s}) + 1), j -> CAST(ascii({s}[j]) AS BIGINT))), "
+        f"(acc, x) -> (acc * 131 + x) % 2147483647)"
+    )
+
+
+_MH_SIG_ITEMS = ", ".join(
+    f"list_min(list_transform(hs, p -> ({a} * p + {b}) % 2147483647))"
+    for a, b in _MH_PARAMS
+)
+
+_ORACLE_MINHASH_LSH = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(shingles, s -> {_poly_sql('s')})) AS hs
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, hs, [{_MH_SIG_ITEMS}] AS sig FROM hs),
+    bands AS (
+      SELECT doc_id, band, [sig[2 * band + 1], sig[2 * band + 2]] AS vals
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bnd
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.vals = b.vals AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ha.hs, hb.hs))), 6) AS jaccard
+    FROM cand c
+    JOIN hs ha ON ha.doc_id = c.id_a
+    JOIN hs hb ON hb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+          / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.35
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only: xxhash64 is Spark-specific)."""
+    """SimHash signatures in PORTABLE mode (31-bit polynomial token hash):
+    the oracle computes identical signatures, upgrading this from a
+    rows-only check to a full value-hash match.  The 64-bit xxhash64 mode
+    stays the scale default."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.simhash(d)
+    return dedup.simhash(d, bits=31, portable=True)
+
+
+_ORACLE_SIMHASH = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    h AS (SELECT doc_id, {_poly_sql('tok')} AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {", ".join(f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(31))}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id AS id,
+           CAST({" + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(31))} AS BIGINT)
+             AS simhash
+    FROM votes
+"""
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,12 +1497,56 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF at nprobe=2 (the scale path — rows-only check)."""
+    """IVF at nprobe=2 (the scale path).  The algorithm is deterministic
+    given the data — fixed centroids (first 8 ids), argmax assignment with
+    lowest-centroid-id tie-break, top-2 probe routing, exact scan of the
+    routed clusters — so the oracle replicates the FULL IVF pipeline in
+    SQL rather than settling for a rows-only check."""
     e = _t(spark, sf_dir, "embeddings")
     probes = similarity.make_probes(e, n=10)
     return similarity.ivf_topk(e, probes, k=5, n_centroids=8, nprobe=2).select(
         "probe_id", "neighbor_id", "cosine", "rank"
     )
+
+
+def _ivf_oracle_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5, n_probes: int = 10) -> str:
+    cos_ec = _cos_sql("e.embedding", "c.centroid_vec")
+    cos_pc = _cos_sql("p.probe_vec", "c.centroid_vec")
+    cos_ap = _cos_sql("a.embedding", "r.probe_vec")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid_vec
+      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS probe_vec
+      FROM embeddings ORDER BY vec_id LIMIT {n_probes}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.centroid_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rk = 1
+    ),
+    routes AS (
+      SELECT probe_id, probe_vec, centroid_id AS cluster FROM (
+        SELECT p.probe_id, p.probe_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {cos_pc} DESC, c.centroid_id ASC) AS rk
+        FROM probes p CROSS JOIN cents c)
+      WHERE rk <= {nprobe}
+    )
+    SELECT probe_id, neighbor_id, cosine, rank FROM (
+      SELECT r.probe_id, a.vec_id AS neighbor_id,
+             round({cos_ap}, 6) AS cosine,
+             row_number() OVER (PARTITION BY r.probe_id
+                                ORDER BY {cos_ap} DESC, a.vec_id ASC) AS rank
+      FROM assigned a JOIN routes r ON a.cluster = r.cluster
+      WHERE a.vec_id <> r.probe_id)
+    WHERE rank <= {k}
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1718,11 +1843,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_normalized": _ORACLE_DEDUP_NORM,
         "dedup_jaccard_pairs": _ORACLE_JACCARD_PAIRS,
         "dedup_clusters": _ORACLE_DEDUP_CLUSTERS,
-        # dedup_minhash_lsh / dedup_simhash: rows-only (engine-specific hashes)
+        # portable-hash mode: full-pipeline SQL replication (see queries)
+        "dedup_minhash_lsh": _ORACLE_MINHASH_LSH,
+        "dedup_simhash": _ORACLE_SIMHASH,
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING.format(cos=_cos_sql("a.emb", "b.emb")),
         "ann_bruteforce": _ORACLE_ANN_BRUTE,
         "ann_ivf_exact": _ORACLE_ANN_BRUTE,  # nprobe=all ⇒ exact ⇒ same oracle
-        # ann_ivf_approx: rows-only
+        "ann_ivf_approx": _ivf_oracle_sql(),  # deterministic IVF replicated in SQL
         "text_metrics": _ORACLE_TEXT_METRICS,
         "text_top_tokens": _ORACLE_TOP_TOKENS,
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,

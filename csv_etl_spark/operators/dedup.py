@@ -83,6 +83,48 @@ def hashed_shingles(col: Column, n: int = 3) -> Column:
     return F.transform(token_shingles(col, n), lambda s: F.xxhash64(s))
 
 
+# ---------------------------------------------------------------------------
+# Portable (engine-agnostic) hashing — the correctness-oracle path
+# ---------------------------------------------------------------------------
+#
+# xxhash64 is Spark-specific, so pipelines built on it can only get
+# rows-only driver checks.  These polynomial hashes are defined purely in
+# terms of character codes and modular arithmetic, so a SQL engine (the
+# DuckDB oracle) can replicate the ENTIRE minhash/LSH/simhash pipeline
+# bit-for-bit.  The xxhash64 path stays the scale default (one hash call
+# vs a per-character fold); the portable path is for verifiability.
+
+POLY_BASE = 131
+POLY_MOD = 2147483647  # 2^31 − 1 (Mersenne prime)
+
+
+def portable_string_hash(col: Column) -> Column:
+    """h = fold(chars): (acc·131 + code) mod (2³¹−1).  Engine-agnostic:
+    DuckDB spells the identical fold with list_reduce over ascii codes."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * F.lit(POLY_BASE) + c) % F.lit(POLY_MOD),
+    )
+
+
+def minhash_affine_params(num_hashes: int = 16) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for the affine minhash family
+    h_i(p) = (a_i·p + b_i) mod (2³¹−1) — fixed LCG, no RNG state, shared
+    verbatim with the SQL oracle.  a_i·p < 2⁶² so BIGINT arithmetic never
+    wraps (ANSI-safe)."""
+    seed = 987654321
+    out = []
+    for _ in range(num_hashes):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        a = seed % (POLY_MOD - 1) + 1
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        b = seed % POLY_MOD
+        out.append((a, b))
+    return out
+
+
 # session-scoped cache: jaccard + minhash over the same corpus share one
 # persisted shingle table instead of computing and caching it twice.
 # Keyed on (applicationId, semanticHash, ...) so entries cannot outlive
@@ -97,7 +139,7 @@ def clear_shingle_cache() -> None:
 
 
 def _shingle_docs(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, portable: bool = False
 ) -> DataFrame:
     """(id, shingles: array<bigint>) with <n-token docs dropped, computed in
     two staged projections (tokens, then shingle hashes from tokens) and
@@ -117,7 +159,7 @@ def _shingle_docs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    key = BoundedPersistCache.key_for(df, text_col, id_col, n)
+    key = BoundedPersistCache.key_for(df, text_col, id_col, n, portable)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -125,12 +167,21 @@ def _shingle_docs(
     toks_col = F.col("__toks")
     k = F.size(toks_col)
     idx = F.sequence(F.lit(0), k - n)
-    hashed = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.xxhash64(*[F.element_at(toks_col, i + j + 1) for j in range(n)]),
+    if portable:
+        # oracle-replicable: polynomial hash of the space-joined shingle
+        hashed = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: portable_string_hash(F.concat_ws(" ", F.slice(toks_col, i + 1, n))),
+            )
         )
-    )
+    else:
+        hashed = F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(*[F.element_at(toks_col, i + j + 1) for j in range(n)]),
+            )
+        )
     # a small corpus file scans as 1-few partitions; spread the (CPU-bound)
     # tokenize+shingle pass across the cluster before computing it
     src = ensure_parallelism(
@@ -225,13 +276,27 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(hashed: Column, num_hashes: int = 16) -> Column:
+def minhash_signature(hashed: Column, num_hashes: int = 16, portable: bool = False) -> Column:
     """MinHash signature over ALREADY-HASHED shingles (array<bigint>):
     the i-th hash function re-hashes the 8-byte base hash with seed i
     (xxhash64 of a long is far cheaper than of a ~20-byte string, and
     stays ANSI-safe — wraparound a*x+b arithmetic would throw under
     Spark 4's ANSI-on default).  Array<bigint> of length num_hashes,
-    pure built-ins (transform + array_min)."""
+    pure built-ins (transform + array_min).
+
+    ``portable``: use the affine family (a_i·p + b_i) mod (2³¹−1) over
+    portable poly-hashes instead — fully replicable in the SQL oracle."""
+    if portable:
+        params = minhash_affine_params(num_hashes)
+
+        def affine(a: int, b: int):
+            # closure factory — default-arg lambdas would change the arity
+            # PySpark infers for the higher-order function
+            return lambda p: (F.lit(a) * p + F.lit(b)) % F.lit(POLY_MOD)
+
+        return F.array(
+            *[F.array_min(F.transform(hashed, affine(a, b))) for a, b in params]
+        )
     return F.array(
         *[
             F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(s))))
@@ -248,29 +313,36 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH: signature → band keys → bucket join →
     exact-Jaccard verify.  Output schema matches ngram_jaccard_pairs (the
     exact operator IS its correctness oracle; LSH trades recall for a
-    shuffle that is O(docs × bands) instead of O(candidate pairs))."""
+    shuffle that is O(docs × bands) instead of O(candidate pairs)).
+
+    ``portable``: engine-agnostic hashing throughout (poly-hash shingles,
+    affine minhash, band keys joined on raw signature slices instead of a
+    re-hash) so a SQL oracle can replicate the full pipeline exactly.
+    xxhash64 (default) is the scale path — cheaper per token."""
     rows_per_band = num_hashes // bands
-    docs = _shingle_docs(df, text_col, id_col, n)
-    sig = docs.select("id", "shingles", minhash_signature(F.col("shingles"), num_hashes).alias("sig"))
+    docs = _shingle_docs(df, text_col, id_col, n, portable=portable)
+    sig = docs.select(
+        "id", "shingles", minhash_signature(F.col("shingles"), num_hashes, portable).alias("sig")
+    )
+
+    def bucket_of(bi: int) -> Column:
+        items = [F.col("sig").getItem(bi * rows_per_band + ri) for ri in range(rows_per_band)]
+        if portable:
+            # raw signature slice as the key — no engine-specific re-hash
+            return F.array(*items)
+        return F.array(F.xxhash64(*items))
 
     band_rows = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig").getItem(bi * rows_per_band + ri)
-                                for ri in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), bucket_of(bi).alias("bucket"))
                     for bi in range(bands)
                 ]
             )
@@ -307,14 +379,28 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: per token-hash bit, majority vote
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash signature per document: per token-hash bit, majority vote
     weighted +1/−1; bit set where the vote is positive.
 
-    Implemented explode → single groupBy with 64 conditional sums (partial
-    aggregation map-side), then bit-recombine — one shuffle keyed on doc id."""
+    Implemented explode → single groupBy with ``bits`` conditional sums
+    (partial aggregation map-side), then bit-recombine — one shuffle keyed
+    on doc id.
+
+    ``portable``: hash tokens with the engine-agnostic polynomial hash
+    (31 useful bits — pass bits<=31) so the SQL oracle can compute
+    identical signatures; default xxhash64/64-bit is the scale path."""
     toks = df.select(F.col(id_col).alias("id"), F.explode(ws_tokens(F.col(text_col))).alias("tok"))
-    hashed = toks.select("id", F.xxhash64("tok").alias("h"))
+    if portable:
+        hashed = toks.select("id", portable_string_hash(F.col("tok")).alias("h"))
+    else:
+        hashed = toks.select("id", F.xxhash64("tok").alias("h"))
     votes = hashed.groupBy("id").agg(
         *[
             F.sum(
