@@ -15,9 +15,10 @@ Scale notes per connector:
   ``binaryFile`` + ``mapInPandas`` so a directory of XML files scans in
   parallel (one file = one task; XML is not line-splittable, so per-file
   is the natural parallel grain — same model as spark-xml's file mode).
-* Excel — needs openpyxl/spark-excel, neither shipped here; the reader is
-  gated behind an import-try and raises a clear error (the driver
-  container has no Excel codec; the plumbing/signature is real).
+* Excel — REAL reader with zero codec dependencies: .xlsx is ZIP-of-XML
+  (ECMA-376), parsed with stdlib zipfile + ElementTree (sources/xlsx.py),
+  distributed per file via ``binaryFile`` + ``mapInPandas`` exactly like
+  the XML path (a workbook is not splittable; file = parallel grain).
 * REST API — driver-side fetch (an API endpoint is not a distributed
   source); result lands in a DataFrame and scales out from there.  For
   paginated bulk APIs you'd fan page-fetches out via a parallelized RDD of
@@ -137,7 +138,7 @@ def read_spec_xml(
 
 
 # ---------------------------------------------------------------------------
-# Excel (reference ROADMAP.md:39) — gated: no Excel codec in this image
+# Excel (reference ROADMAP.md:39) — dependency-free OOXML parser
 # ---------------------------------------------------------------------------
 
 
@@ -146,22 +147,52 @@ def read_spec_excel(
     path: str,
     spec: FileSpec | None = None,
     sheet: str | int = 0,
+    has_header: bool = True,
 ) -> DataFrame:
-    """Excel scan via pandas/openpyxl (driver-side — Excel files are
-    config-scale, not data-scale).  Raises with a clear message when no
-    Excel engine is installed; the signature and all-string contract are
-    the real interface."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Excel support needs openpyxl (or spark-excel on a cluster); "
-            "not installed in this environment"
-        ) from exc
-    pdf = pd.read_excel(path, sheet_name=sheet, dtype=str)  # pragma: no cover
-    if spec is not None:  # pragma: no cover
-        pdf = pdf[[c for c in spec.column_names() if c in pdf.columns]]
-    return spark.createDataFrame(pdf.astype(object).where(pdf.notna(), None))  # pragma: no cover
+    """All-string Excel scan — a REAL implementation with no Excel-codec
+    dependency: .xlsx is ZIP-of-XML (ECMA-376 SpreadsheetML), parsed with
+    stdlib zipfile + ElementTree (csv_etl_spark.sources.xlsx).
+
+    Distributed per file via binaryFile + mapInPandas like the XML path
+    (a workbook is not splittable; one file = one task).  Header row keys
+    the columns (csv.DictReader semantics, reference dynamic.py:298-302);
+    with a ``spec``, its declared columns select/rename the output and a
+    file/spec mismatch yields nulls — matching the CSV scan contract.
+    Without a spec, the schema is discovered from the first file's header
+    (one driver-side peek)."""
+    from pathlib import Path
+
+    from csv_etl_spark.sources.xlsx import xlsx_dicts, xlsx_header
+
+    p = Path(path)
+    if p.is_dir():
+        files = (
+            spark.read.format("binaryFile").option("pathGlobFilter", "*.xlsx").load(str(p))
+        )
+    else:
+        files = spark.read.format("binaryFile").load(str(p))
+
+    if spec is not None:
+        cols = spec.column_names()
+    else:
+        first = min(p.glob("*.xlsx")) if p.is_dir() else p
+        cols = xlsx_header(first.read_bytes(), sheet)
+        if not cols:
+            raise ValueError(f"no header row found in {first}")
+
+    known_cols = list(cols)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for blob in pdf["content"]:
+                rows.extend(xlsx_dicts(bytes(blob), sheet, has_header))
+            yield pd.DataFrame(
+                {c: [r.get(c) for r in rows] for c in known_cols}, dtype=object
+            )
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in known_cols])
+    return files.select("content").mapInPandas(parse, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -78,15 +78,119 @@ def test_xml_requires_spec(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_excel_raises_clear_error_without_engine(spark, tmp_path):
-    try:
-        import openpyxl  # noqa: F401
+def _write_xlsx(
+    path,
+    header: list[str],
+    rows: list[list],
+    shared_strings: bool = False,
+    sheet_name: str = "Sheet1",
+):
+    """Minimal ECMA-376 workbook writer (stdlib zipfile — the test fixture
+    mirror of sources/xlsx.py).  ``shared_strings=False`` writes strings
+    inline; True routes them through xl/sharedStrings.xml like most real
+    producers do."""
+    import zipfile
 
-        pytest.skip("openpyxl installed; gate not active")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_spec_excel(spark, str(tmp_path / "x.xlsx"))
+    def col_letter(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    shared: list[str] = []
+
+    def cell_xml(r, c, v):
+        ref = f"{col_letter(c)}{r}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if shared_strings:
+            shared.append(str(v))
+            return f'<c r="{ref}" t="s"><v>{len(shared) - 1}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    all_rows = [header] + rows
+    sheet_rows = "".join(
+        f'<row r="{ri + 1}">'
+        + "".join(cell_xml(ri + 1, ci, v) for ci, v in enumerate(row))
+        + "</row>"
+        for ri, row in enumerate(all_rows)
+    )
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet = f'<worksheet xmlns="{ns}"><sheetData>{sheet_rows}</sheetData></worksheet>'
+    workbook = (
+        f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+        f'<sheet name="{sheet_name}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    sst = (
+        f'<sst xmlns="{ns}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    content_types = (
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        if shared_strings:
+            zf.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_excel_scan_all_string(spark, tmp_path):
+    """Inline-string workbook: header-keyed, numbers/bools stringified,
+    missing cells null — the CSV scan contract on xlsx bytes."""
+    _write_xlsx(
+        tmp_path / "a.xlsx",
+        ["Ticker", "Qty", "Price", "Active"],
+        [["AAPL", 10, 185.5, True], ["MSFT", 5, 390, False], ["GOOG", None, 12.34, True]],
+    )
+    df = read_spec_excel(spark, str(tmp_path / "a.xlsx"))
+    rows = {r["Ticker"]: r for r in df.collect()}
+    assert df.columns == ["Ticker", "Qty", "Price", "Active"]
+    assert all(t == "string" for _, t in df.dtypes)
+    assert rows["AAPL"]["Qty"] == "10" and rows["AAPL"]["Price"] == "185.5"
+    assert rows["AAPL"]["Active"] == "TRUE" and rows["MSFT"]["Active"] == "FALSE"
+    assert rows["GOOG"]["Qty"] is None
+
+
+def test_excel_shared_strings_directory_and_spec(spark, tmp_path):
+    """sharedStrings workbooks in a directory scan; spec selects/declares
+    columns, spec/file mismatch yields nulls (CSV-contract parity)."""
+    d = tmp_path / "xl"
+    d.mkdir()
+    _write_xlsx(d / "a.xlsx", ["Ticker", "Qty"], [["AAPL", 1]], shared_strings=True)
+    _write_xlsx(d / "b.xlsx", ["Ticker", "Qty"], [["MSFT", 2]], shared_strings=True)
+    df = read_spec_excel(spark, str(d), spec=_spec(["Ticker", "Qty", "Missing"]))
+    rows = {r["Ticker"]: r for r in df.collect()}
+    assert set(rows) == {"AAPL", "MSFT"}
+    assert rows["AAPL"]["Qty"] == "1"
+    assert rows["MSFT"]["Missing"] is None
+
+
+def test_excel_sheet_by_name_and_bad_sheet(spark, tmp_path):
+    _write_xlsx(tmp_path / "c.xlsx", ["K"], [["v"]], sheet_name="Data")
+    df = read_spec_excel(spark, str(tmp_path / "c.xlsx"), sheet="Data")
+    assert [r["K"] for r in df.collect()] == ["v"]
+    from csv_etl_spark.sources.xlsx import xlsx_rows
+
+    with pytest.raises(ValueError, match="no sheet named"):
+        xlsx_rows((tmp_path / "c.xlsx").read_bytes(), sheet="Nope")
 
 
 # ---------------------------------------------------------------------------
