@@ -1,0 +1,283 @@
+"""Thin HTTP facade over the compiled-plan engine — the JSON endpoints of
+the reference dashboard (``/root/reference/src/converter_dashboard/app.py``)
+mapped 1:1 onto existing engine functions.  The HTML UI is presentation and
+stays out of scope (SURVEY §7); everything a dashboard client calls is here:
+
+| endpoint | reference | engine |
+|---|---|---|
+| GET  /api/specs/sources,destinations  | app.py spec lists | SpecStore |
+| GET/DELETE /api/mappings[/<id>]       | app.py:392-399 CRUD | SpecStore |
+| POST /api/mappings/<id>/save          | app.py:424-448 visual save | SpecStore.save_mapping |
+| GET  /api/preview/<src>/<file>        | app.py:515-575 | read_spec_csv + validate |
+| POST /api/preview/<src>/<file>/update | app.py:577-623 | sources.edits.update_csv_row |
+| POST /api/preview/<src>/<file>/convert| app.py:625-677 | plans.transform (gated) |
+| POST /api/process/<source_id>         | app.py:161-231 | plans.transform per file |
+
+Documented divergence (intentional, like the compiler's): the reference's
+visual-editor save always persists ``filter_rules: []`` — a recorded bug
+(``templates/mappings/visual.html:551``) that silently wipes filters.
+This facade persists the filter_rules present in the payload and leaves
+existing ones untouched when the key is absent.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from csv_etl_spark.plans import transform, validate
+from csv_etl_spark.sources.csv_source import LINE_COL, read_spec_csv, with_line_numbers
+from csv_etl_spark.sources.edits import update_csv_row
+from csv_etl_spark.sources.sinks import write_single_csv_file
+from csv_etl_spark.specs import FieldMapping, SpecStore, TransformType
+
+
+def _error_entries(result, cap: int | None = None) -> list[dict]:
+    """Errors DF → reference JSON shape (line/field/message/value)."""
+    df = result.errors
+    rows = df.limit(cap).collect() if cap is not None else df.collect()
+    out = []
+    for r in rows:
+        d = r.asDict()
+        out.append(
+            {
+                "line": d.get(LINE_COL),
+                "field": d.get("field"),
+                "message": d.get("message"),
+                "value": str(d["source_value"]) if d.get("source_value") else "",
+            }
+        )
+    return out
+
+
+def create_app(
+    spark: SparkSession,
+    config_dir: str,
+    input_dir: str,
+    output_dir: str,
+):
+    """Build the Flask app.  All state lives in the reference-compatible
+    JSON config files and the input/output directories — the app object
+    itself is stateless (cluster-deployable behind any WSGI server)."""
+    from flask import Flask, jsonify, request
+
+    app = Flask(__name__)
+    store = SpecStore(config_dir)
+    in_root, out_root = Path(input_dir), Path(output_dir)
+
+    def _source_file(source_id: str, filename: str):
+        source = store.get_source(source_id)
+        if not source:
+            return None, None, (jsonify({"error": "Source not found"}), 404)
+        path = in_root / source.default_directory / filename
+        if not path.exists():
+            return None, None, (jsonify({"error": "File not found"}), 404)
+        return source, path, None
+
+    # -- spec / mapping CRUD ------------------------------------------------
+
+    @app.get("/api/specs/sources")
+    def list_sources():
+        return jsonify({k: v.to_dict() for k, v in store.sources().items()})
+
+    @app.get("/api/specs/destinations")
+    def list_destinations():
+        return jsonify({k: v.to_dict() for k, v in store.destinations().items()})
+
+    @app.get("/api/mappings")
+    def list_mappings():
+        return jsonify({k: v.to_dict() for k, v in store.mappings().items()})
+
+    @app.get("/api/mappings/<mapping_id>")
+    def get_mapping(mapping_id: str):
+        m = store.get_mapping(mapping_id)
+        if not m:
+            return jsonify({"error": "Mapping not found"}), 404
+        return jsonify(m.to_dict())
+
+    @app.delete("/api/mappings/<mapping_id>")
+    def delete_mapping(mapping_id: str):
+        if not store.delete_mapping(mapping_id):
+            return jsonify({"error": "Mapping not found"}), 404
+        return jsonify({"success": True})
+
+    @app.post("/api/mappings/<mapping_id>/save")
+    def save_mapping(mapping_id: str):
+        # reference app.py:424-448, minus the filter-wipe bug: filter_rules
+        # persist from the payload, or stay untouched when absent
+        mapping = store.get_mapping(mapping_id)
+        if not mapping:
+            return jsonify({"error": "Mapping not found"}), 404
+        data = request.get_json() or {}
+        mapping.field_mappings = [
+            FieldMapping(
+                destination_field=fm["destination_field"],
+                source_field=fm.get("source_field"),
+                transform_type=TransformType(fm.get("transform_type", "direct")),
+                transform_config=fm.get("transform_config", {}),
+            )
+            for fm in data.get("field_mappings", [])
+        ]
+        if "filter_rules" in data:
+            mapping.filter_rules = data["filter_rules"]
+        store.save_mapping(mapping)
+        return jsonify({"success": True, "message": "Mapping saved"})
+
+    # -- preview / validate (app.py:515-575) --------------------------------
+
+    @app.get("/api/preview/<source_id>/<filename>")
+    def preview(source_id: str, filename: str):
+        source, path, err = _source_file(source_id, filename)
+        if err:
+            return err
+        df = with_line_numbers(read_spec_csv(spark, str(path), source))
+        columns = [c for c in df.columns if c != LINE_COL]
+        rows = [
+            {"_line": r[LINE_COL], **{c: r[c] for c in columns}}
+            for r in df.orderBy(LINE_COL).collect()
+        ]
+
+        errors_by_line: dict[int, list[dict]] = {}
+        validation = None
+        mapping_id = request.args.get("mapping_id")
+        if mapping_id:
+            mapping = store.get_mapping(mapping_id)
+            if mapping:
+                result = validate(df, mapping, line_col=LINE_COL)
+                validation = {
+                    "success_count": result.success_count,
+                    "skipped_count": result.skipped_count,
+                    "error_count": result.error_count,
+                    "logs": result.log_messages[-50:],
+                }
+                for e in _error_entries(result):
+                    errors_by_line.setdefault(e["line"], []).append(
+                        {k: e[k] for k in ("field", "message", "value")}
+                    )
+
+        return jsonify(
+            {
+                "columns": columns,
+                "rows": rows,
+                "total": len(rows),
+                "errors_by_line": errors_by_line,
+                "validation": validation,
+            }
+        )
+
+    # -- inline row edit (app.py:577-623) ------------------------------------
+
+    @app.post("/api/preview/<source_id>/<filename>/update")
+    def update_row(source_id: str, filename: str):
+        source, path, err = _source_file(source_id, filename)
+        if err:
+            return err
+        data = request.get_json() or {}
+        line, row = data.get("line"), data.get("row")
+        if not line or not row:
+            return jsonify({"error": "Missing line number or row data"}), 400
+        update_csv_row(spark, str(path), int(line), row, spec=source)
+        return jsonify({"success": True, "message": f"Row {line} updated"})
+
+    # -- single-file convert (app.py:625-677) --------------------------------
+
+    @app.post("/api/preview/<source_id>/<filename>/convert")
+    def convert(source_id: str, filename: str):
+        source, path, err = _source_file(source_id, filename)
+        if err:
+            return err
+        data = request.get_json() or {}
+        mapping_id = data.get("mapping_id")
+        if not mapping_id:
+            return jsonify({"error": "Missing mapping_id"}), 400
+        mapping = store.get_mapping(mapping_id)
+        if not mapping:
+            return jsonify({"error": "Mapping not found"}), 404
+        destination = store.get_destination(mapping.destination_id)
+        if not destination:
+            return jsonify({"error": "Destination not found"}), 404
+
+        out_file = out_root / destination.default_directory / f"{path.stem}_{destination.id}.csv"
+        df = with_line_numbers(read_spec_csv(spark, str(path), source))
+        result = transform(
+            df,
+            mapping,
+            fail_on_error=True,
+            line_col=LINE_COL,
+            write=lambda out: write_single_csv_file(out, str(out_file)),
+        )
+        if result.error_count > 0:
+            return (
+                jsonify(
+                    {
+                        "success": False,
+                        "message": f"Conversion failed with {result.error_count} errors",
+                        "errors": [
+                            {k: e[k] for k in ("line", "field", "message")}
+                            for e in _error_entries(result, cap=20)
+                        ],
+                        "logs": result.log_messages,
+                    }
+                ),
+                400,
+            )
+        return jsonify(
+            {
+                "success": True,
+                "message": f"Successfully converted {result.success_count} records",
+                "output_file": out_file.name,
+                "logs": result.log_messages,
+            }
+        )
+
+    # -- bulk process (app.py:161-231) ---------------------------------------
+
+    @app.post("/api/process/<source_id>")
+    def process(source_id: str):
+        data = request.get_json() or request.form or {}
+        mapping_id = data.get("mapping_id")
+        if not mapping_id:
+            return jsonify({"error": "Missing mapping_id"}), 400
+        mapping = store.get_mapping(mapping_id)
+        if not mapping:
+            return jsonify({"error": "Mapping not found"}), 404
+        source = store.get_source(mapping.source_id)
+        destination = store.get_destination(mapping.destination_id)
+        if not source or not destination:
+            return jsonify({"error": "Invalid source or destination in mapping"}), 400
+
+        input_path = in_root / source.default_directory
+        totals = {"success_count": 0, "skipped_count": 0, "error_count": 0}
+        all_errors: list[dict] = []
+        all_logs: list[str] = []
+        for csv_file in sorted(input_path.glob("*.csv")):
+            out_file = (
+                out_root / destination.default_directory / f"{csv_file.stem}_{destination.id}.csv"
+            )
+            df = with_line_numbers(read_spec_csv(spark, str(csv_file), source))
+            result = transform(
+                df,
+                mapping,
+                fail_on_error=True,
+                line_col=LINE_COL,
+                write=lambda out, p=str(out_file): write_single_csv_file(out, p),
+            )
+            totals["success_count"] += result.success_count
+            totals["skipped_count"] += result.skipped_count
+            totals["error_count"] += result.error_count
+            for e in _error_entries(result, cap=50):
+                all_errors.append({"file": csv_file.name, **e})
+            all_logs.extend(f"[{csv_file.name}] {m}" for m in result.log_messages)
+
+        return jsonify(
+            {
+                "mapping_name": mapping.name,
+                **totals,
+                "errors": all_errors[:50],
+                "logs": all_logs[-100:],
+                "has_more_errors": len(all_errors) > 50,
+            }
+        )
+
+    return app

@@ -184,10 +184,14 @@ def transform(
         )
         return result
     finally:
-        # keep `projected` cached while result.output/errors may still be
-        # consumed; caller-visible DFs re-use the persisted data. Spark will
-        # evict under pressure; explicit unpersist is the caller's choice.
-        pass
+        # Unpersist before returning: counters and the gated write all ran
+        # against the cached data above.  Leaving it cached poisons later
+        # reads — CacheManager matches on the PLAN, so re-reading a file
+        # that was edited in between (the preview → fix-row → convert loop)
+        # would silently serve the stale pre-edit rows.  result.errors /
+        # result.output stay valid and recompute from source on access;
+        # callers wanting them hot can persist them explicitly.
+        projected.unpersist()
 
 
 def validate(df: DataFrame, mapping: ETLMapping | dict, line_col: str | None = None) -> TransformResult:

@@ -323,3 +323,21 @@ class SpecStore:
         data = self._load("mappings.json").copy()
         data[mapping.id] = mapping.to_dict()
         self._save("mappings.json", data)
+
+    # -- deletion (reference models.py delete_* / app.py delete routes) -----
+    def _delete(self, filename: str, key: str) -> bool:
+        data = self._load(filename).copy()
+        if key not in data:
+            return False
+        del data[key]
+        self._save(filename, data)
+        return True
+
+    def delete_source(self, spec_id: str) -> bool:
+        return self._delete("sources.json", spec_id)
+
+    def delete_destination(self, spec_id: str) -> bool:
+        return self._delete("destinations.json", spec_id)
+
+    def delete_mapping(self, mapping_id: str) -> bool:
+        return self._delete("mappings.json", mapping_id)

@@ -1,0 +1,154 @@
+"""HTTP facade (csv_etl_spark.api) against the reference dashboard's JSON
+contract: preview+validate, inline row update, gated convert, bulk
+process, mapping CRUD — each endpoint driving the compiled-plan engine.
+Reference semantics at converter_dashboard/app.py:161-231, 424-448,
+515-677."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from csv_etl_spark.api import create_app
+from csv_etl_spark.specs import SpecStore
+
+
+@pytest.fixture
+def env(spark, tmp_path):
+    cfg = tmp_path / "config"
+    cfg.mkdir()
+    (cfg / "sources.json").write_text(json.dumps({
+        "src1": {
+            "id": "src1", "name": "Source 1", "default_directory": "s1",
+            "columns": [{"name": "Date", "type": "string"},
+                        {"name": "Ticker", "type": "string"},
+                        {"name": "Type", "type": "string"}],
+        }
+    }))
+    (cfg / "destinations.json").write_text(json.dumps({
+        "dst1": {
+            "id": "dst1", "name": "Dest 1", "default_directory": "d1",
+            "columns": [{"name": "date", "type": "string"},
+                        {"name": "symbol", "type": "string"}],
+        }
+    }))
+    (cfg / "mappings.json").write_text(json.dumps({
+        "m1": {
+            "id": "m1", "name": "M1", "source_id": "src1", "destination_id": "dst1",
+            "field_mappings": [
+                {"destination_field": "date", "source_field": "Date",
+                 "transform_type": "date_format",
+                 "transform_config": {"input_format": "%Y-%m-%d",
+                                      "output_format": "%d.%m.%Y"}},
+                {"destination_field": "symbol", "source_field": "Ticker",
+                 "transform_type": "direct", "transform_config": {}},
+            ],
+            "filter_rules": [{"field": "Type", "operator": "equals", "value": "SKIPME"}],
+        }
+    }))
+    in_dir = tmp_path / "in" / "s1"
+    in_dir.mkdir(parents=True)
+    (in_dir / "a.csv").write_text(
+        "Date,Ticker,Type\n"
+        "2024-01-15,AAPL,BUY\n"
+        "not-a-date,MSFT,BUY\n"
+        "2024-01-17,GOOG,SKIPME\n"
+    )
+    app = create_app(spark, str(cfg), str(tmp_path / "in"), str(tmp_path / "out"))
+    app.config["TESTING"] = True
+    return app.test_client(), tmp_path, cfg
+
+
+def test_preview_with_validation(env):
+    client, tmp_path, _ = env
+    r = client.get("/api/preview/src1/a.csv?mapping_id=m1")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["Date", "Ticker", "Type"]
+    assert body["total"] == 3
+    assert body["rows"][0] == {"_line": 2, "Date": "2024-01-15", "Ticker": "AAPL", "Type": "BUY"}
+    # line 3 has the unparseable date; skip-rule row has no errors
+    assert set(body["errors_by_line"]) == {"3"} or set(body["errors_by_line"]) == {3}
+    v = body["validation"]
+    assert (v["success_count"], v["skipped_count"], v["error_count"]) == (1, 1, 1)
+
+
+def test_preview_missing_file_and_source(env):
+    client, _, _ = env
+    assert client.get("/api/preview/nope/a.csv").status_code == 404
+    assert client.get("/api/preview/src1/nope.csv").status_code == 404
+
+
+def test_convert_gated_then_fixed_via_update(env):
+    client, tmp_path, _ = env
+    r = client.post("/api/preview/src1/a.csv/convert", json={"mapping_id": "m1"})
+    assert r.status_code == 400
+    body = r.get_json()
+    assert body["success"] is False
+    assert any(e["field"] == "date" for e in body["errors"])
+    assert not (tmp_path / "out" / "d1" / "a_dst1.csv").exists()  # withheld
+
+    # fix the bad row inline (reference validate→fix→convert loop)
+    r = client.post(
+        "/api/preview/src1/a.csv/update",
+        json={"line": 3, "row": {"Date": "2024-01-16"}},
+    )
+    assert r.status_code == 200
+
+    r = client.post("/api/preview/src1/a.csv/convert", json={"mapping_id": "m1"})
+    assert r.status_code == 200, r.get_json()
+    out = (tmp_path / "out" / "d1" / "a_dst1.csv").read_text().splitlines()
+    assert out[0] == "date,symbol"
+    assert sorted(out[1:]) == ["15.01.2024,AAPL", "16.01.2024,MSFT"]
+
+
+def test_process_bulk(env):
+    client, tmp_path, _ = env
+    (tmp_path / "in" / "s1" / "b.csv").write_text(
+        "Date,Ticker,Type\n2024-02-01,TSLA,BUY\n"
+    )
+    r = client.post("/api/process/src1", json={"mapping_id": "m1"})
+    assert r.status_code == 200
+    body = r.get_json()
+    # a.csv: 1 ok, 1 skipped, 1 error; b.csv: 1 ok
+    assert body["success_count"] == 2
+    assert body["skipped_count"] == 1
+    assert body["error_count"] == 1
+    assert body["errors"][0]["file"] == "a.csv"
+    # fail_on_error gates a.csv, b.csv converts
+    assert not (tmp_path / "out" / "d1" / "a_dst1.csv").exists()
+    assert (tmp_path / "out" / "d1" / "b_dst1.csv").exists()
+
+
+def test_mapping_save_preserves_filter_rules(env):
+    """Divergence from the reference's visual-editor bug (visual.html:551
+    always posts filter_rules: []): absent key leaves filters untouched."""
+    client, _, cfg = env
+    new_fms = [{"destination_field": "symbol", "source_field": "Ticker",
+                "transform_type": "direct", "transform_config": {}}]
+    r = client.post("/api/mappings/m1/save", json={"field_mappings": new_fms})
+    assert r.status_code == 200
+    saved = SpecStore(str(cfg)).get_mapping("m1")
+    assert len(saved.field_mappings) == 1
+    assert saved.filter_rules  # NOT wiped
+
+    r = client.post(
+        "/api/mappings/m1/save",
+        json={"field_mappings": new_fms, "filter_rules": []},
+    )
+    assert r.status_code == 200
+    assert SpecStore(str(cfg)).get_mapping("m1").filter_rules == []
+
+
+def test_mapping_crud(env):
+    client, _, _ = env
+    assert "m1" in client.get("/api/mappings").get_json()
+    assert client.get("/api/mappings/m1").get_json()["name"] == "M1"
+    assert client.get("/api/mappings/nope").status_code == 404
+    assert client.delete("/api/mappings/m1").status_code == 200
+    assert client.get("/api/mappings/m1").status_code == 404
+    assert client.delete("/api/mappings/m1").status_code == 404
+    # spec listings still served
+    assert "src1" in client.get("/api/specs/sources").get_json()
+    assert "dst1" in client.get("/api/specs/destinations").get_json()
