@@ -1388,19 +1388,18 @@ _MH_SIG_ITEMS = ", ".join(
 )
 
 _ORACLE_MINHASH_LSH = f"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(
-               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             ) AS shingles
+    WITH th AS (
+      SELECT doc_id, list_transform(toks, t -> {_poly_sql('t')}) AS th
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
       WHERE len(toks) >= 3
     ),
     hs AS (
+      -- shingle hash = fold of the 3 token hashes: ((h1·131+h2) mod M)·131+h3 mod M
       SELECT doc_id,
-             list_distinct(list_transform(shingles, s -> {_poly_sql('s')})) AS hs
-      FROM sh
+             list_distinct(list_transform(range(1, len(th) - 1),
+               i -> ((th[i] * 131 + th[i+1]) % 2147483647 * 131 + th[i+2]) % 2147483647
+             )) AS hs
+      FROM th
     ),
     sig AS (SELECT doc_id, hs, [{_MH_SIG_ITEMS}] AS sig FROM hs),
     bands AS (

@@ -168,13 +168,20 @@ def _shingle_docs(
     k = F.size(toks_col)
     idx = F.sequence(F.lit(0), k - n)
     if portable:
-        # oracle-replicable: polynomial hash of the space-joined shingle
-        hashed = F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: portable_string_hash(F.concat_ws(" ", F.slice(toks_col, i + 1, n))),
-            )
-        )
+        # oracle-replicable AND 3× cheaper than hashing shingle strings:
+        # poly-hash each TOKEN once (staged, so the char fold runs once per
+        # token instead of once per shingle mention), then combine the n
+        # token hashes arithmetically per shingle — same fold structure,
+        # one level up: sh = fold(th_i): (acc·131 + th) mod (2³¹−1)
+        th_col = F.col("__th")
+
+        def shingle_of(i: Column) -> Column:
+            acc = F.element_at(th_col, i + 1)
+            for j in range(1, n):
+                acc = (acc * F.lit(POLY_BASE) + F.element_at(th_col, i + j + 1)) % F.lit(POLY_MOD)
+            return acc
+
+        hashed = F.array_distinct(F.transform(idx, shingle_of))
     else:
         hashed = F.array_distinct(
             F.transform(
@@ -188,6 +195,15 @@ def _shingle_docs(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     )
     toks = src.select("id", ws_tokens(F.col("__text")).alias("__toks"))
+    if portable:
+        # stage the per-token hashes so the char fold runs once per token
+        # (HOF lambdas are opaque to CSE — unstaged, each shingle mention
+        # would re-fold its tokens)
+        toks = toks.select(
+            "id",
+            "__toks",
+            F.transform(F.col("__toks"), lambda t: portable_string_hash(t)).alias("__th"),
+        )
     docs = toks.filter(k >= n).select("id", hashed.alias("shingles"))
     if key is None:
         # untrackable plan: skip the persist too, so nothing leaks —
