@@ -235,49 +235,19 @@ def create_app(
 
     @app.post("/api/process/<source_id>")
     def process(source_id: str):
+        from csv_etl_spark.orchestrate import process_source
+
         data = request.get_json() or request.form or {}
         mapping_id = data.get("mapping_id")
         if not mapping_id:
             return jsonify({"error": "Missing mapping_id"}), 400
-        mapping = store.get_mapping(mapping_id)
-        if not mapping:
+        if not store.get_mapping(mapping_id):
             return jsonify({"error": "Mapping not found"}), 404
-        source = store.get_source(mapping.source_id)
-        destination = store.get_destination(mapping.destination_id)
-        if not source or not destination:
-            return jsonify({"error": "Invalid source or destination in mapping"}), 400
-
-        input_path = in_root / source.default_directory
-        totals = {"success_count": 0, "skipped_count": 0, "error_count": 0}
-        all_errors: list[dict] = []
-        all_logs: list[str] = []
-        for csv_file in sorted(input_path.glob("*.csv")):
-            out_file = (
-                out_root / destination.default_directory / f"{csv_file.stem}_{destination.id}.csv"
+        try:
+            return jsonify(
+                process_source(spark, store, mapping_id, str(in_root), str(out_root))
             )
-            df = with_line_numbers(read_spec_csv(spark, str(csv_file), source))
-            result = transform(
-                df,
-                mapping,
-                fail_on_error=True,
-                line_col=LINE_COL,
-                write=lambda out, p=str(out_file): write_single_csv_file(out, p),
-            )
-            totals["success_count"] += result.success_count
-            totals["skipped_count"] += result.skipped_count
-            totals["error_count"] += result.error_count
-            for e in _error_entries(result, cap=50):
-                all_errors.append({"file": csv_file.name, **e})
-            all_logs.extend(f"[{csv_file.name}] {m}" for m in result.log_messages)
-
-        return jsonify(
-            {
-                "mapping_name": mapping.name,
-                **totals,
-                "errors": all_errors[:50],
-                "logs": all_logs[-100:],
-                "has_more_errors": len(all_errors) > 50,
-            }
-        )
+        except ValueError as exc:
+            return jsonify({"error": str(exc)}), 400
 
     return app
