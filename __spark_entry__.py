@@ -343,19 +343,46 @@ _ORACLE_SPEC_VALIDATION = f"""
 def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-based MERGE/upsert (ROADMAP.md:29 batch upsert): a correction
     batch (10% price-doubled updates + synthetic inserts) merged into
-    orders via anti-join ∪ updates."""
+    orders via anti-join ∪ updates.
+
+    The batch is derived from orders in ONE scan — each qualifying row
+    conditionally emits its update row and/or its insert row through
+    explode(array_compact(array(when...))), instead of two separately
+    filtered scans.  (In production the batch arrives materialized; this
+    derivation keeps the contract query self-contained without rescanning
+    the fact table per batch member kind.)"""
     from csv_etl_spark.sources.edits import merge_upsert
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey", "o_custkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    batch = (
+        o.filter((F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 1000 == 0))
+        .select(
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.when(
+                            F.col("o_orderkey") % 10 == 0,
+                            F.struct(
+                                F.col("o_orderkey"),
+                                F.col("o_custkey"),
+                                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                            ),
+                        ),
+                        F.when(
+                            F.col("o_orderkey") % 1000 == 0,
+                            F.struct(
+                                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                                F.col("o_custkey"),
+                                F.lit(1.0).alias("o_totalprice"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("r")
+        )
+        .select("r.*")
     )
-    inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
-        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
-        "o_custkey",
-        F.lit(1.0).alias("o_totalprice"),
-    )
-    merged = merge_upsert(o, updates.unionByName(inserts), ["o_orderkey"])
+    merged = merge_upsert(o, batch, ["o_orderkey"])
     return merged.select(
         "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
     )
@@ -1666,6 +1693,111 @@ _ORACLE_TEXT_METRICS = f"""
 """
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the composition every
+    pretraining data pipeline runs, expressed as ONE Catalyst plan:
+
+        score (lang-id + quality + token count, map-only)
+        → gate (language / quality / length filter)
+        → exact near-dup removal (normalized text, keep lowest doc_id —
+          one shuffle on the normalized key)
+        → deterministic md5 train/holdout split (map-only, portable)
+
+    The raw corpus has no normalized duplicates, so — like dedup_embedding
+    — duplicates are PLANTED: every 20th document reappears uppercased
+    with punctuation appended (same normalized form, different doc_id,
+    degraded quality), proving the dedup stage collapses them to the
+    original.  The whole pipeline is replicated in the DuckDB oracle, so
+    gate arithmetic, dedup choice, and split membership are all
+    value-checked.  At 100 TB the only shuffle is the dedup groupBy; the
+    scoring/gating/split stages scale linearly with input splits."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+    )
+    aug = d.unionByName(planted)
+    c = F.col("text")
+    scored = aug.select(
+        "doc_id",
+        text.token_count(c).alias("n_tokens"),
+        text.quality_score(c).alias("quality"),
+        text.lang_id(c).alias("lang_pred"),
+        dedup.normalize_text(c).alias("_norm"),
+    )
+    gated = scored.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.25)
+        & (F.col("n_tokens") >= 10)
+    )
+    w = Window.partitionBy("_norm").orderBy("doc_id")
+    kept = gated.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    holdout_thr = _sampling.fraction_threshold_hex(0.1)
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "lang_pred",
+        F.when(
+            _sampling.hash_bucket_hex(F.col("doc_id")) < F.lit(holdout_thr),
+            F.lit("holdout"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+_ORACLE_CORPUS_CURATION = f"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id, upper(text) || ' !!!' AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    t AS (
+      SELECT doc_id, text,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS norm_text
+      FROM aug
+    ),
+    m AS (
+      SELECT doc_id, norm_text,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains([{_SW}], lower(x)))) AS sw_hits,
+             len(list_filter(toks, x -> list_contains([{_RO}], lower(x)))) AS ro_hits,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, norm_text, n_tokens,
+             round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                    + least(CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens
+                                 ELSE 0.0 END * 4.0, 1.0)) / 2.0
+                   * (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+                                       ELSE 0.0 END * 2.0, 1.0) * 0.5), 6) AS quality,
+             CASE WHEN sw_hits > ro_hits AND sw_hits >= 2 THEN 'en'
+                  WHEN ro_hits > sw_hits AND ro_hits >= 2 THEN 'ro'
+                  ELSE 'unknown' END AS lang_pred
+      FROM m
+    ),
+    g AS (
+      SELECT * FROM s
+      WHERE lang_pred = 'en' AND quality >= 0.25 AND n_tokens >= 10
+    ),
+    k AS (
+      SELECT *, row_number() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rk
+      FROM g
+    )
+    SELECT doc_id, n_tokens, quality, lang_pred,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{{thr}}'
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM k WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming semantics (batch-equivalent checks; live-stream tests in tests/)
 # ---------------------------------------------------------------------------
@@ -1826,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_metrics": q_text_metrics,
         "text_top_tokens": q_text_top_tokens,
+        "corpus_curation": q_corpus_curation,
         # streaming semantics
         "stream_hourly_counts": q_stream_hourly_counts,
         "stream_sessionize": q_stream_sessionize,
@@ -1896,6 +2029,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_approx": _ivf_oracle_sql(),  # deterministic IVF replicated in SQL
         "text_metrics": _ORACLE_TEXT_METRICS,
         "text_top_tokens": _ORACLE_TOP_TOKENS,
+        "corpus_curation": _ORACLE_CORPUS_CURATION.format(
+            thr=_sampling.fraction_threshold_hex(0.1)
+        ),
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,
