@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_embedding",
     "ann_bruteforce",
     "text_metrics",
+    "corpus_curation",
     "stream_hourly_counts",
     "stream_sessionize",
     "multimodal_features",

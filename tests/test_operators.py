@@ -302,3 +302,40 @@ def test_resolve_clusters_long_chain(spark):
            for r in dedup.resolve_duplicate_clusters(pairs).collect()}
     assert set(out.values()) == {100}
     assert len(out) == 13
+
+
+def test_corpus_curation_composition(spark):
+    """The corpus_curation contract query's semantics on a controlled
+    corpus: score -> gate -> normalized-text dedup (keep min id) ->
+    deterministic split.  Also asserts the split is layout-independent
+    (same membership after repartition) — the property that makes a
+    holdout set trustworthy at 100 TB."""
+    import __spark_entry__ as E
+
+    out = E.q_corpus_curation(spark, SF)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    # every kept doc passes the gate
+    for r in rows.values():
+        assert r["lang_pred"] == "en"
+        assert r["quality"] >= 0.25
+        assert r["n_tokens"] >= 10
+        assert r["split"] in ("train", "holdout")
+
+    # planted mutants (doc_id >= 1e9) never survive dedup: their original
+    # (same normalized text, lower doc_id) wins keep-min whenever both
+    # pass the gate — and the original always gates at least as high
+    # quality, so no plant can be a keeper
+    assert all(doc_id < 1_000_000_000 for doc_id in rows)
+
+    # both split sides populated at this corpus size, ~10% holdout
+    n_hold = sum(1 for r in rows.values() if r["split"] == "holdout")
+    assert 0 < n_hold < len(rows) / 2
+
+    # split membership is a pure function of doc_id — identical after a
+    # repartition (Spark's .sample() would NOT survive this)
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in E.q_corpus_curation(spark, SF).repartition(7).collect()
+    }
+    assert out2 == {k: v["split"] for k, v in rows.items()}
