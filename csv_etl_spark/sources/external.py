@@ -23,6 +23,12 @@ Scale notes per connector:
   source); result lands in a DataFrame and scales out from there.  For
   paginated bulk APIs you'd fan page-fetches out via a parallelized RDD of
   page URLs — ``api_pages_to_df`` does exactly that.
+* Google Sheets — the CSV-export endpoint of a published/link-shared
+  sheet, fetched driver-side (a sheet is capped at 10M cells — never a
+  distributed-scan problem) and parallelized from there.  Private sheets
+  need OAuth and belong behind a credential store — out of scope here;
+  the URL builder + reader cover the published-sheet path the reference
+  ROADMAP plans.
 """
 
 from __future__ import annotations
@@ -259,3 +265,52 @@ def api_pages_to_df(
 
     url_df = spark.createDataFrame([(u,) for u in urls], ["url"])
     return url_df.repartition(max(len(urls), 1)).mapInPandas(fetch, schema)
+
+
+# ---------------------------------------------------------------------------
+# Google Sheets (reference ROADMAP.md:43 "Google Sheets")
+# ---------------------------------------------------------------------------
+
+
+def sheet_export_url(spreadsheet_id: str, gid: int = 0) -> str:
+    """CSV-export URL for one tab of a published/link-shared spreadsheet."""
+    return (
+        "https://docs.google.com/spreadsheets/d/"
+        f"{spreadsheet_id}/export?format=csv&gid={gid}"
+    )
+
+
+def read_google_sheet(
+    spark: SparkSession,
+    sheet: str,
+    gid: int = 0,
+    columns: list[str] | None = None,
+    timeout: int = 30,
+) -> DataFrame:
+    """Read one sheet tab into an all-string DataFrame.
+
+    ``sheet`` is a spreadsheet id or any full URL returning CSV (the
+    export endpoint, or a test server).  Header row keys the columns —
+    same contract as the CSV scan: all values strings, typing happens in
+    compiled transforms, so a sheet can feed any mapping unchanged.
+    ``columns`` overrides/paddings the projection like the REST reader
+    (missing columns → null), matching the spec/file-mismatch semantics
+    of the reference's DictReader."""
+    import csv as _csv
+    import io
+
+    import requests
+
+    url = sheet if "://" in sheet else sheet_export_url(sheet, gid)
+    resp = requests.get(url, timeout=timeout)
+    resp.raise_for_status()
+    rdr = _csv.reader(io.StringIO(resp.text))
+    table = [row for row in rdr]
+    if not table:
+        raise ValueError(f"sheet at {url} is empty (no header row)")
+    header, data = table[0], table[1:]
+    rows = [
+        {h: (row[i] if i < len(row) else None) for i, h in enumerate(header)}
+        for row in data
+    ]
+    return _rows_to_string_df(spark, rows, columns or header)

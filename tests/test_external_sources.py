@@ -242,3 +242,72 @@ def test_api_pages_fan_out(spark, api_server):
         spark, [f"{api_server}/page1", f"{api_server}/page2"], columns=["id"]
     )
     assert sorted(r["id"] for r in df.collect()) == ["10", "11", "12"]
+
+
+# ---------------------------------------------------------------------------
+# Google Sheets — CSV export endpoint (ROADMAP "Google Sheets")
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sheet_server():
+    csv_body = "id,name,price\n1,apple,1.50\n2,pear\n3,fig,0.75,extra\n"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = (csv_body if self.path.startswith("/sheet") else "").encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_sheet_export_url():
+    from csv_etl_spark.sources.external import sheet_export_url
+
+    assert sheet_export_url("SHEET123", gid=7) == (
+        "https://docs.google.com/spreadsheets/d/SHEET123/export?format=csv&gid=7"
+    )
+
+
+def test_read_google_sheet_all_string(spark, sheet_server):
+    """Header keys columns; short rows -> null; extra cells dropped
+    (DictReader-mismatch semantics); all values strings."""
+    from csv_etl_spark.sources.external import read_google_sheet
+
+    df = read_google_sheet(spark, f"{sheet_server}/sheet")
+    assert df.columns == ["id", "name", "price"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    rows = {r["id"]: (r["name"], r["price"]) for r in df.collect()}
+    assert rows == {"1": ("apple", "1.50"), "2": ("pear", None), "3": ("fig", "0.75")}
+
+
+def test_read_google_sheet_feeds_mapping(spark, sheet_server):
+    """A sheet can feed a compiled mapping unchanged (all-string contract)."""
+    from csv_etl_spark.compiler import compile_mapping
+    from csv_etl_spark.sources.external import read_google_sheet
+
+    df = read_google_sheet(spark, f"{sheet_server}/sheet")
+    mapping = {
+        "id": "m", "name": "m", "filter_rules": [],
+        "field_mappings": [
+            {"destination_field": "label", "source_field": "name",
+             "transform_type": "prefix", "transform_config": {"value": "fruit:"}},
+            {"destination_field": "cost", "source_field": "price",
+             "transform_type": "formula", "transform_config": {"expression": "price * 2"}},
+        ],
+    }
+    out = compile_mapping(mapping, df.columns).apply(df, with_errors=False)
+    got = {r["label"]: r["cost"] for r in out.collect()}
+    assert got["fruit:apple"] == 3.0
+    assert got["fruit:pear"] == 0.0  # empty price -> 0, reference T7 semantics
