@@ -314,3 +314,98 @@ def read_google_sheet(
         for row in data
     ]
     return _rows_to_string_df(spark, rows, columns or header)
+
+
+# ---------------------------------------------------------------------------
+# JDBC destination (reference ROADMAP.md:24-33 database destinations,
+# "Batch insert/upsert for destinations")
+# ---------------------------------------------------------------------------
+
+
+def jdbc_write_options(
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    batchsize: int = 10000,
+    isolation_level: str = "READ_UNCOMMITTED",
+    truncate: bool = False,
+) -> dict[str, str]:
+    """Option map for a batched JDBC write.
+
+    ``batchsize`` controls rows per INSERT batch (each write task runs its
+    own batched transaction — N partitions insert in parallel, the database
+    is the throughput ceiling).  ``truncate`` keeps the table's DDL on
+    overwrite instead of drop/recreate.  Pure function → unit-testable
+    without a live database, like ``jdbc_options``."""
+    if not table:
+        raise ValueError("jdbc write needs a destination table")
+    if batchsize < 1:
+        raise ValueError("batchsize must be >= 1")
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batchsize),
+        "isolationLevel": isolation_level,
+        "truncate": str(truncate).lower(),
+    }
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    return opts
+
+
+def write_jdbc(df: DataFrame, mode: str = "append", **kwargs) -> None:
+    """Batched parallel JDBC write (see jdbc_write_options for knobs).
+
+    mode="append" is the plain batch insert; for upsert semantics stage
+    into a temp table and MERGE database-side, or pre-merge in Spark with
+    ``sources.edits.merge_upsert`` and overwrite (truncate=True)."""
+    df.write.format("jdbc").options(**jdbc_write_options(**kwargs)).mode(mode).save()
+
+
+# ---------------------------------------------------------------------------
+# S3 / cloud object storage (reference ROADMAP.md:44 "S3 / Cloud storage")
+# ---------------------------------------------------------------------------
+
+
+def s3a_conf(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    path_style_access: bool = False,
+    anonymous: bool = False,
+) -> dict[str, str]:
+    """Hadoop configuration for reading/writing ``s3a://`` paths — every
+    ``spark.read``/``df.write`` accepts such URIs directly once these are
+    set (no connector code needed; object stores are Hadoop filesystems).
+
+    ``endpoint`` + ``path_style_access`` cover S3-compatible stores
+    (MinIO, R2, GCS interop).  ``anonymous`` switches to unauthenticated
+    access for public buckets.  Pure option assembly (unit-testable; the
+    hadoop-aws jars must be on the cluster classpath at deploy time —
+    spark.jars.packages org.apache.hadoop:hadoop-aws)."""
+    if anonymous and (access_key or secret_key):
+        raise ValueError("anonymous access excludes explicit credentials")
+    conf: dict[str, str] = {}
+    if anonymous:
+        conf["fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    if access_key is not None:
+        conf["fs.s3a.access.key"] = access_key
+    if secret_key is not None:
+        conf["fs.s3a.secret.key"] = secret_key
+    if endpoint is not None:
+        conf["fs.s3a.endpoint"] = endpoint
+    if path_style_access:
+        conf["fs.s3a.path.style.access"] = "true"
+    return conf
+
+
+def apply_s3a_conf(spark: SparkSession, conf: dict[str, str]) -> None:
+    """Install s3a settings into the live session's Hadoop configuration."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k, v)

@@ -311,3 +311,51 @@ def test_read_google_sheet_feeds_mapping(spark, sheet_server):
     got = {r["label"]: r["cost"] for r in out.collect()}
     assert got["fruit:apple"] == 3.0
     assert got["fruit:pear"] == 0.0  # empty price -> 0, reference T7 semantics
+
+
+# ---------------------------------------------------------------------------
+# JDBC destination + S3 config (pure option assembly — no DB/bucket in image)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_write_options():
+    from csv_etl_spark.sources.external import jdbc_write_options
+
+    opts = jdbc_write_options(
+        "jdbc:postgresql://db/x", "t", user="u", password="p",
+        batchsize=5000, truncate=True,
+    )
+    assert opts["dbtable"] == "t"
+    assert opts["batchsize"] == "5000"
+    assert opts["truncate"] == "true"
+    assert opts["isolationLevel"] == "READ_UNCOMMITTED"
+    with pytest.raises(ValueError):
+        jdbc_write_options("jdbc:postgresql://db/x", "")
+    with pytest.raises(ValueError):
+        jdbc_write_options("jdbc:postgresql://db/x", "t", batchsize=0)
+
+
+def test_s3a_conf():
+    from csv_etl_spark.sources.external import s3a_conf
+
+    c = s3a_conf(access_key="AK", secret_key="SK",
+                 endpoint="http://minio:9000", path_style_access=True)
+    assert c["fs.s3a.access.key"] == "AK"
+    assert c["fs.s3a.endpoint"] == "http://minio:9000"
+    assert c["fs.s3a.path.style.access"] == "true"
+
+    anon = s3a_conf(anonymous=True)
+    assert "AnonymousAWSCredentialsProvider" in c.get(
+        "fs.s3a.aws.credentials.provider", ""
+    ) or "AnonymousAWSCredentialsProvider" in anon["fs.s3a.aws.credentials.provider"]
+    with pytest.raises(ValueError):
+        s3a_conf(access_key="AK", anonymous=True)
+
+
+def test_apply_s3a_conf_roundtrip(spark):
+    from csv_etl_spark.sources.external import apply_s3a_conf, s3a_conf
+
+    apply_s3a_conf(spark, s3a_conf(endpoint="http://e:1", path_style_access=True))
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://e:1"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
