@@ -1693,6 +1693,102 @@ _ORACLE_TEXT_METRICS = f"""
 """
 
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (map-only regexp_replace chain, JVM-side).  The
+    synthetic corpus is PII-free, so PII is PLANTED on every 10th doc —
+    an email, a phone, and an SSN-shaped token — proving each pattern
+    fires; the oracle applies the IDENTICAL chain in the IDENTICAL order
+    with RE2 'g' semantics."""
+    from csv_etl_spark.operators import cleaning
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-123-4567 ssn 123-45-6789"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cleaning.scrub_pii(seeded)
+
+
+def _pii_scrub_sql(col: str) -> tuple[str, str]:
+    """(scrubbed_expr, count_expr) applying cleaning.PII_PATTERNS in order
+    with stage-accurate counting, built from the SAME pattern list the
+    Spark operator uses."""
+    from csv_etl_spark.operators.cleaning import PII_PATTERNS
+
+    out = col
+    counts = []
+    for pattern, token in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({out}, '{p}'))")
+        out = f"regexp_replace({out}, '{p}', '{token}', 'g')"
+    return out, " + ".join(counts)
+
+
+def _oracle_pii_scrub() -> str:
+    scrubbed, n = _pii_scrub_sql("text")
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 555-123-4567 ssn 123-45-6789'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id, {scrubbed} AS scrubbed, CAST({n} AS BIGINT) AS n_redactions
+    FROM seeded
+    """
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: every 40th document doubles as a
+    'benchmark' doc, so the corpus is contaminated by construction; docs
+    sharing any 8-token shingle with the benchmark set are dropped.  The
+    benchmark shingle set broadcasts (eval sets are tiny next to a TB
+    corpus) — the corpus side stays map-only + one doc-keyed aggregate."""
+    from csv_etl_spark.operators import cleaning
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 40 == 0)
+    kept = cleaning.decontaminate(d, bench, n=8)
+    return kept.select("doc_id")
+
+
+_ORACLE_DECONTAMINATE = """
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 7, 0) + 1),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS sh
+      FROM tok
+    ),
+    bsh AS (
+      SELECT DISTINCT sh FROM csh WHERE doc_id % 40 = 0
+    ),
+    hits AS (
+      SELECT DISTINCT c.doc_id FROM csh c JOIN bsh USING (sh)
+    )
+    SELECT d.doc_id
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE h.doc_id IS NULL
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus curation — the composition every
     pretraining data pipeline runs, expressed as ONE Catalyst plan:
@@ -1958,6 +2054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_metrics": q_text_metrics,
         "text_top_tokens": q_text_top_tokens,
+        "text_pii_scrub": q_text_pii_scrub,
+        "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_curation": q_corpus_curation,
         # streaming semantics
         "stream_hourly_counts": q_stream_hourly_counts,
@@ -2029,6 +2127,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_approx": _ivf_oracle_sql(),  # deterministic IVF replicated in SQL
         "text_metrics": _ORACLE_TEXT_METRICS,
         "text_top_tokens": _ORACLE_TOP_TOKENS,
+        "text_pii_scrub": _oracle_pii_scrub(),
+        "corpus_decontaminate": _ORACLE_DECONTAMINATE,
         "corpus_curation": _ORACLE_CORPUS_CURATION.format(
             thr=_sampling.fraction_threshold_hex(0.1)
         ),

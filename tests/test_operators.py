@@ -339,3 +339,66 @@ def test_corpus_curation_composition(spark):
         for r in E.q_corpus_curation(spark, SF).repartition(7).collect()
     }
     assert out2 == {k: v["split"] for k, v in rows.items()}
+
+
+# ---------------------------------------------------------------------------
+# cleaning: PII scrub + decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_pii(spark):
+    from csv_etl_spark.operators import cleaning
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@x.com and 10.0.0.1 then 123-45-6789 or +1 555-123-4567 ok"),
+            (2, "clean text with no pii at all"),
+            (3, "double a@b.co c@d.org"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cleaning.scrub_pii(df).collect()}
+    assert out[1]["scrubbed"] == "mail <EMAIL> and <IP> then <SSN> or <PHONE> ok"
+    assert out[1]["n_redactions"] == 4
+    assert out[2]["scrubbed"] == "clean text with no pii at all"
+    assert out[2]["n_redactions"] == 0
+    assert out[3]["scrubbed"] == "double <EMAIL> <EMAIL>"
+    assert out[3]["n_redactions"] == 2
+
+
+def test_decontaminate_drops_leaked_docs(spark):
+    from csv_etl_spark.operators import cleaning
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words " + bench_text + " suffix words"),  # contains the 8-gram
+            (2, "totally unrelated text that goes on for quite a while longer"),
+            (3, bench_text),  # verbatim
+            (4, "alpha beta gamma delta only four shared tokens here padding padding"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+
+    kept = {r["doc_id"] for r in cleaning.decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {2, 4}  # 1 and 3 leak the full 8-gram; 4 shares only 4-grams
+
+    flagged = {
+        r["doc_id"]
+        for r in cleaning.decontaminate(corpus, bench, n=8, keep=False).collect()
+    }
+    assert flagged == {1, 3}
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark probe must be a broadcast join (no corpus-sized
+    shuffle) — asserted on the physical plan."""
+    from csv_etl_spark.operators import cleaning
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} " * 12) for i in range(20)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(0, "w0 " * 12)], ["doc_id", "text"])
+    plan = cleaning.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
