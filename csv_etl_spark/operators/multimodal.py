@@ -3,11 +3,12 @@ metadata (SURVEY §2.9 / BASELINE north star).
 
 Design: media rows are ``(id, kind, content: binary, meta: map<string,string>)``.
 Heavy per-item work (decode, resize, frame-sample, feature-extract) runs as
-Arrow-batched ``mapInPandas`` — the batch shape, schema contract, and
-partitioning are real and tested; the decode kernels themselves are STUBBED
-(this container has no image/audio libs) behind ``decoder=`` injection
-points: pass a real kernel (PIL/librosa/ffmpeg) in production, the
-deterministic fake (or NotImplementedError) otherwise.
+Arrow-batched ``mapInPandas`` with kernels taken by injection.  REAL
+kernels exist for every format stdlib can decode — BMP/PPM images and PCM
+WAV audio (``operators/media_codecs.real_decoder``/``real_resizer``, no
+external codec dependency); JPEG/PNG/MP3/video kernels plug in the same
+way from PIL/librosa/ffmpeg in production.  The deterministic stubs below
+remain for format-agnostic plumbing tests.
 
 Why mapInPandas: per-item media work is CPU-bound Python/native code, so the
 rule "UDFs are the slow path" inverts — Arrow batching amortizes transfer,

@@ -402,3 +402,104 @@ def test_decontaminate_broadcasts_benchmark(spark):
     bench = spark.createDataFrame([(0, "w0 " * 12)], ["doc_id", "text"])
     plan = cleaning.decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+# ---------------------------------------------------------------------------
+# real media codecs (stdlib BMP/PPM/WAV) plugged into the multimodal seams
+# ---------------------------------------------------------------------------
+
+
+def _checker(h, w):
+    import numpy as np
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[::2, ::2] = [255, 0, 0]
+    img[1::2, 1::2] = [0, 128, 255]
+    return img
+
+
+def test_bmp_roundtrip_and_ppm_roundtrip():
+    import numpy as np
+
+    from csv_etl_spark.operators import media_codecs as mc
+
+    img = _checker(5, 7)  # odd width exercises BMP row padding
+    assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+    assert np.array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+
+
+def test_wav_roundtrip_features():
+    import numpy as np
+
+    from csv_etl_spark.operators import media_codecs as mc
+
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wav = mc.encode_wav(sine, rate=16000)
+    x, rate = mc.decode_wav(wav)
+    assert rate == 16000 and x.shape == (16000, 1)
+    feats = mc.real_decoder("audio", wav)
+    n, nch, r, dur, rms, peak, zcr, dc = feats
+    assert (n, nch, r) == (16000.0, 1.0, 16000.0)
+    assert abs(dur - 1.0) < 1e-6
+    assert abs(rms - 0.5 / 2**0.5) < 1e-3  # sine RMS = A/sqrt(2)
+    assert abs(peak - 0.5) < 1e-3
+    assert abs(dc) < 1e-3
+
+
+def test_real_decoder_image_features():
+    import numpy as np
+
+    from csv_etl_spark.operators import media_codecs as mc
+
+    img = np.full((4, 8, 3), 100, dtype=np.uint8)
+    img[:, :, 0] = 200  # R plane brighter
+    feats = mc.real_decoder("image", mc.encode_bmp(img))
+    w, h, c, mr, mg, mb, gstd, aspect = feats
+    assert (w, h, c) == (8.0, 4.0, 3.0)
+    assert (mr, mg, mb) == (200.0, 100.0, 100.0)
+    assert aspect == 2.0
+    with pytest.raises(NotImplementedError, match="codec library"):
+        mc.real_decoder("image", b"\x89PNG....")
+
+
+def test_real_resizer_nearest_neighbor():
+    import numpy as np
+
+    from csv_etl_spark.operators import media_codecs as mc
+
+    img = _checker(4, 4)
+    out = mc.decode_bmp(mc.real_resizer("image", mc.encode_bmp(img), 8, 8))
+    assert out.shape == (8, 8, 3)
+    # nearest-neighbor: each source pixel becomes a 2x2 block
+    assert np.array_equal(out[0, 0], img[0, 0]) and np.array_equal(out[1, 1], img[0, 0])
+    ppm_out = mc.decode_ppm(mc.real_resizer("image", mc.encode_ppm(img), 2, 2))
+    assert ppm_out.shape == (2, 2, 3)  # format preserved on re-encode
+
+
+def test_real_kernels_through_spark_plumbing(spark):
+    """End-to-end: binary BMP/WAV payloads through extract_features and
+    resize_media with the REAL kernels — the full multimodal path with no
+    stub anywhere."""
+    import numpy as np
+
+    from csv_etl_spark.operators import media_codecs as mc
+    from csv_etl_spark.operators.multimodal import extract_features, resize_media
+
+    bmp = mc.encode_bmp(_checker(6, 6))
+    wav = mc.encode_wav(np.zeros(100, dtype=np.float32) + 0.25, rate=8000)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(bmp), {}), (2, "audio", bytearray(wav), {})],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    feats = {r["media_id"]: r["features"] for r in
+             extract_features(df, decoder=mc.real_decoder).collect()}
+    assert feats[1][0] == 6.0 and feats[1][2] == 3.0      # image w, channels
+    assert feats[2][2] == 8000.0                           # audio rate
+    assert abs(feats[2][4] - 0.25) < 1e-3                  # DC signal RMS
+
+    resized = resize_media(
+        df.filter("kind = 'image'"), 3, 3, resizer=mc.real_resizer
+    ).collect()[0]
+    assert (resized["width"], resized["height"]) == (3, 3)
+    assert mc.decode_bmp(bytes(resized["content"])).shape == (3, 3, 3)
