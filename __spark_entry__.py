@@ -1693,6 +1693,62 @@ _ORACLE_TEXT_METRICS = f"""
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality signals (Gopher-rules family), with
+    degenerate repetition PLANTED on every 25th doc (its first 6 tokens
+    repeated 5×) so high-dup outliers provably exist."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    head6 = F.array_join(F.slice(text.ws_tokens(F.col("text")), 1, 6), " ")
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat_ws(" ", F.col("text"), *([head6] * 5)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.repetition_metrics(seeded)
+
+
+_ORACLE_TEXT_REPETITION = """
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 25 = 0 THEN
+               concat_ws(' ', text,
+                 array_to_string(string_split_regex(trim(text), '\\s+')[1:6], ' '),
+                 array_to_string(string_split_regex(trim(text), '\\s+')[1:6], ' '),
+                 array_to_string(string_split_regex(trim(text), '\\s+')[1:6], ' '),
+                 array_to_string(string_split_regex(trim(text), '\\s+')[1:6], ' '),
+                 array_to_string(string_split_regex(trim(text), '\\s+')[1:6], ' '))
+             ELSE text END AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM seeded
+    ),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN len(g2) > 0
+                THEN round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+                ELSE 0.0 END AS dup_2gram_frac,
+           CASE WHEN len(g3) > 0
+                THEN round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+                ELSE 0.0 END AS dup_3gram_frac
+    FROM g
+"""
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (map-only regexp_replace chain, JVM-side).  The
     synthetic corpus is PII-free, so PII is PLANTED on every 10th doc —
@@ -2054,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_metrics": q_text_metrics,
         "text_top_tokens": q_text_top_tokens,
+        "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_curation": q_corpus_curation,
@@ -2127,6 +2184,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_approx": _ivf_oracle_sql(),  # deterministic IVF replicated in SQL
         "text_metrics": _ORACLE_TEXT_METRICS,
         "text_top_tokens": _ORACLE_TOP_TOKENS,
+        "text_repetition": _ORACLE_TEXT_REPETITION,
         "text_pii_scrub": _oracle_pii_scrub(),
         "corpus_decontaminate": _ORACLE_DECONTAMINATE,
         "corpus_curation": _ORACLE_CORPUS_CURATION.format(

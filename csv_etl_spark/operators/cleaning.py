@@ -70,9 +70,14 @@ def string_shingles(col: Column, n: int) -> Column:
     reproduce the shingle set exactly.  Documents shorter than n tokens
     yield no shingles."""
     toks = ws_tokens(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    count = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
+    # shorter than n tokens must short-circuit to an empty array
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
     )
 
 

@@ -124,6 +124,32 @@ def text_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repeated-n-gram quality signals (the Gopher-rules family): the
+    fraction of 2-gram and 3-gram occurrences that are duplicates of an
+    earlier occurrence in the same document.  High values mark boilerplate
+    and degenerate repetition.  Map-only: array build + array_distinct per
+    row, no shuffle — linear at 100 TB like the rest of the metric pass."""
+    from csv_etl_spark.operators.cleaning import string_shingles
+
+    c = F.col(text_col)
+
+    def dup_frac(n: int) -> Column:
+        grams = string_shingles(c, n)
+        total = F.size(grams)
+        dups = total - F.size(F.array_distinct(grams))
+        return F.when(total > 0, F.round(dups / total, 6)).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col),
+        F.size(ws_tokens(c)).alias("n_tokens"),
+        dup_frac(2).alias("dup_2gram_frac"),
+        dup_frac(3).alias("dup_3gram_frac"),
+    )
+
+
 def top_tokens(
     df: DataFrame, k: int = 100, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:

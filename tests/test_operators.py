@@ -503,3 +503,19 @@ def test_real_kernels_through_spark_plumbing(spark):
     ).collect()[0]
     assert (resized["width"], resized["height"]) == (3, 3)
     assert mc.decode_bmp(bytes(resized["content"])).shape == (3, 3, 3)
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # heavy 2-gram repetition
+            (2, "one two three four"),   # all distinct
+            (3, ""),                     # empty -> 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_metrics(df).collect()}
+    # "a b a b a b": 5 bigrams (a b, b a, a b, b a, a b), 2 distinct -> 3/5
+    assert out[1]["dup_2gram_frac"] == 0.6
+    assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 0 and out[3]["dup_2gram_frac"] == 0.0
