@@ -158,16 +158,16 @@ def top_tokens(
 
     explode → groupBy(token) count (map-side partial aggregation soaks up
     Zipf skew: the hot token's partials merge, its rows never colocate) →
-    global top-k.  The final ordering uses a SINGLE-partition window over
-    only the per-token counts (vocabulary-sized, not corpus-sized) with a
-    deterministic (count desc, token asc) tie-break."""
+    global top-k via orderBy(...).limit(k), which Catalyst compiles to
+    TakeOrderedAndProject: each partition keeps its local top-k and the
+    driver merges k rows per partition — the full vocabulary (billions of
+    distinct tokens on a web corpus) never funnels through one task.
+    `rank` is derived AFTER the limit, so the only window in the plan runs
+    over exactly k rows.  Deterministic (count desc, token asc) tie-break."""
     toks = df.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
     if lowercase:
         toks = toks.select(F.lower(F.col("token")).alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    topk = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "token", "n")
-    )
+    return topk.withColumn("rank", F.row_number().over(w)).select("rank", "token", "n")
