@@ -1566,27 +1566,80 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF at nprobe=2 (the scale path).  The algorithm is deterministic
-    given the data — fixed centroids (first 8 ids), argmax assignment with
+    """IVF at nprobe=2 (the scale path) with REAL centroids: sampled
+    Lloyd k-means (md5 hash-sample at 50%, 2 iterations, means rounded to
+    6 digits — every step engine-portable), then argmax assignment with
     lowest-centroid-id tie-break, top-2 probe routing, exact scan of the
-    routed clusters — so the oracle replicates the FULL IVF pipeline in
-    SQL rather than settling for a rows-only check."""
+    routed clusters.  The oracle replicates the FULL pipeline in SQL —
+    including both unrolled Lloyd iterations — rather than settling for a
+    rows-only check."""
     e = _t(spark, sf_dir, "embeddings")
     probes = similarity.make_probes(e, n=10)
-    return similarity.ivf_topk(e, probes, k=5, n_centroids=8, nprobe=2).select(
+    cents = similarity.kmeans_centroids(e, n_centroids=8, iters=2, sample_fraction=0.5)
+    return similarity.ivf_topk(e, probes, k=5, nprobe=2, centroids=cents).select(
         "probe_id", "neighbor_id", "cosine", "rank"
     )
 
 
-def _ivf_oracle_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 5, n_probes: int = 10) -> str:
+def _kmeans_iter_sql(prev: str, idx: int, dim: int) -> str:
+    """One unrolled Lloyd iteration: assign the sample to `prev` centroids
+    (cosine argmax, lowest-centroid-id tie-break), then per-cluster
+    element-wise mean rounded to 6 digits; empty clusters keep the previous
+    centroid.  Mirrors similarity.kmeans_centroids exactly."""
+    cos = _cos_sql("s.embedding", "c.centroid_vec")
+    return f"""
+    a{idx} AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT s.vec_id, s.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY {cos} DESC, c.centroid_id ASC) AS rk
+        FROM ksample s CROSS JOIN {prev} c) WHERE rk = 1
+    ),
+    m{idx} AS (
+      SELECT cluster, pos, round(avg(val), 6) AS val
+      FROM (SELECT cluster, t.i AS pos, CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS val
+            FROM a{idx} CROSS JOIN range(1, {dim + 1}) t(i))
+      GROUP BY cluster, pos
+    ),
+    c{idx} AS (
+      SELECT p.centroid_id,
+             COALESCE(mv.vec, list_transform(p.centroid_vec, x -> CAST(x AS DOUBLE)))
+               AS centroid_vec
+      FROM {prev} p LEFT JOIN (
+        SELECT cluster, list(val ORDER BY pos) AS vec FROM m{idx} GROUP BY cluster
+      ) mv ON mv.cluster = p.centroid_id
+    )"""
+
+
+def _ivf_oracle_sql(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    n_probes: int = 10,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    sample_fraction: float = 0.5,
+) -> str:
     cos_ec = _cos_sql("e.embedding", "c.centroid_vec")
     cos_pc = _cos_sql("p.probe_vec", "c.centroid_vec")
     cos_ap = _cos_sql("a.embedding", "r.probe_vec")
+    thr = _sampling.fraction_threshold_hex(sample_fraction)
+    iter_blocks = ",".join(
+        _kmeans_iter_sql("c0" if i == 1 else f"c{i - 1}", i, dim)
+        for i in range(1, kmeans_iters + 1)
+    )
     return f"""
-    WITH cents AS (
-      SELECT vec_id AS centroid_id, embedding AS centroid_vec
-      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    WITH ksample AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{thr}'
     ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+             embedding AS centroid_vec
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    {iter_blocks},
+    cents AS (SELECT centroid_id, centroid_vec FROM c{kmeans_iters}),
     probes AS (
       SELECT vec_id AS probe_id, embedding AS probe_vec
       FROM embeddings ORDER BY vec_id LIMIT {n_probes}

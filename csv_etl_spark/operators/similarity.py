@@ -8,14 +8,14 @@ Two paths, same output contract (probe_id, neighbor_id, cosine, rank):
   is a full scan but embarrassingly parallel (no shuffle until the final
   per-probe top-k, which is tiny).
 
-* ivf_topk — IVF-style approximate: k-means-free variant that picks the
-  first ``n_centroids`` vectors as fixed centroids (deterministic), assigns
-  every vector to its nearest centroid (map-only, broadcast centroids),
-  and probes only the ``nprobe`` closest centroid partitions per query.
-  With nprobe == n_centroids it degrades to exact (used by the tests);
-  with nprobe « n_centroids the scan cost drops ~nprobe/n_centroids —
-  the 100 TB path, where the cluster assignment is precomputed once and
-  stored as a partition column.
+* ivf_topk — IVF-style approximate: centroids from ``kmeans_centroids``
+  (sampled Lloyd iterations, engine-portable) or a deterministic first-n
+  fallback; assigns every vector to its nearest centroid (map-only,
+  broadcast centroids) and probes only the ``nprobe`` closest centroid
+  partitions per query.  With nprobe == n_centroids it degrades to exact
+  (used by the tests); with nprobe « n_centroids the scan cost drops
+  ~nprobe/n_centroids — the 100 TB path, where the cluster assignment is
+  precomputed once and stored as a partition column.
 
 * random_hyperplane_buckets — SimHash-for-vectors: sign pattern against
   ``n_planes`` fixed pseudo-random hyperplanes → integer bucket; used for
@@ -51,6 +51,34 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def topk_per_probe(scored: DataFrame, k: int, probe_col: str = "probe_id") -> DataFrame:
+    """Exact per-probe top-k over (probe, neighbor_id, cosine) rows, in two
+    stages.
+
+    A single ``Window.partitionBy(probe_id)`` would shuffle EVERY scored row
+    into n_probes reducer tasks — with ~10 probes that is a ~10-task
+    bottleneck no matter how many executors exist (the inverse of the
+    per-row-unique-key window anti-pattern).  Stage 1 ranks within
+    (probe, physical input partition): the exchange key has cardinality
+    n_probes × n_input_partitions, so scored rows spread across the whole
+    cluster and at most k rows per (probe, partition) survive.  Stage 2's
+    global per-probe window then receives ≤ k × n_input_partitions rows per
+    probe instead of N.  Both stages share one deterministic ordering
+    (cosine desc, neighbor_id asc), and the global top-k is contained in
+    the union of the local top-ks, so the result is row-identical to the
+    single-window spelling."""
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    local_w = Window.partitionBy(probe_col, "_pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(local_w))
+        .filter(F.col("_lrk") <= k)
+        .drop("_pid", "_lrk")
+    )
+    w = Window.partitionBy(probe_col).orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -70,10 +98,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col(vec_col), F.col(probe_vec_col)), 6).alias("cosine"),
     )
-    w = Window.partitionBy(probe_id_col).orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_per_probe(scored, k, probe_id_col)
 
 
 def make_probes(
@@ -87,6 +112,89 @@ def make_probes(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    sample_fraction: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Sampled Lloyd k-means under cosine similarity — real centroids for
+    ``ivf_topk`` (replacing the first-n-vectors placeholder).
+
+    Engine-portable by construction so a SQL oracle can replicate it:
+
+    * the training sample is the md5-hash sample of ``operators.sampling``
+      (layout-independent, reproducible in any engine);
+    * init = the first ``n_centroids`` vectors by id (deterministic);
+    * each Lloyd step assigns sample points to the most-cosine-similar
+      centroid (ties → lowest centroid id) and recomputes each centroid as
+      the element-wise mean of its members ROUNDED to ``round_digits`` —
+      the rounding collapses the ~1e-13 summation-order drift between
+      Spark's distributed avg and a sequential engine, so both derive
+      bit-identical centroids;
+    * an empty cluster keeps its previous centroid.
+
+    Scale shape: assignment is the same broadcast-literal argmax as
+    ``ivf_topk`` (map-only over the sample); the mean is a (cluster, pos)
+    groupBy over sample_rows × dim rows — bounded by the SAMPLE, not the
+    corpus (pass ``sample_fraction`` ≪ 1 at scale).  Each iteration moves
+    only n_centroids × dim rounded doubles to the driver — model
+    parameters, the same shape MLlib's KMeans keeps on the driver."""
+    from csv_etl_spark.operators.sampling import hash_sample
+
+    sample = vectors.select(F.col(id_col), F.col(vec_col))
+    if sample_fraction is not None:
+        sample = hash_sample(sample, id_col, sample_fraction)
+
+    first = vectors.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(first)
+    ]
+
+    for _ in range(iters):
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("centroid_id"),
+                    F.array(*[F.lit(v) for v in vec]).alias("centroid_vec"),
+                )
+                for cid, vec in cents
+            ]
+        )
+        sims = F.transform(
+            cent_lit, lambda c: cosine(F.col(vec_col), c.getField("centroid_vec"))
+        )
+        assigned = (
+            sample.withColumn("_sims", sims)
+            .withColumn("_best", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
+            .select(
+                F.element_at(cent_lit, F.col("_best").cast("int"))
+                .getField("centroid_id")
+                .alias("cluster"),
+                F.col(vec_col),
+            )
+            .select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+        )
+        means = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_digits).alias("val"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+            .select("cluster", F.transform("pv", lambda s: s.getField("val")).alias("vec"))
+            .collect()
+        )
+        refined = {int(r["cluster"]): [float(x) for x in r["vec"]] for r in means}
+        cents = [(cid, refined.get(cid, vec)) for cid, vec in cents]
+
+    return vectors.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in cents],
+        schema="centroid_id int, centroid_vec array<double>",
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -95,21 +203,23 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN.  Centroids = the first n_centroids vectors by id
-    (deterministic; a production build would k-means|| these — the plan
-    shape is identical).  Assignment and probe-routing are broadcast
-    map-joins; only matching clusters are scanned."""
-    centroids = (
-        vectors.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("_tmp"),
-            F.col(id_col).alias("centroid_id"),
-            F.col(vec_col).alias("centroid_vec"),
+    """IVF-style ANN.  ``centroids`` defaults to the first n_centroids
+    vectors by id (deterministic, zero-cost — used by the nprobe==all exact
+    path); pass ``kmeans_centroids(...)`` for data-adapted cells (the
+    quality path — see test_ivf_kmeans_recall).  Assignment and
+    probe-routing are broadcast map-joins; only routed clusters are
+    scanned."""
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
         )
-        .drop("_tmp")
-    )
 
     # assign every vector to nearest centroid — MAP-ONLY: broadcast the
     # centroid set as one array-of-structs row, compute all similarities as
@@ -169,8 +279,7 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col(vec_col), F.col("probe_vec")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return topk_per_probe(scored, k, "probe_id")
 
 
 def _hyperplanes_cached(dim: int, n_planes: int):
@@ -266,7 +375,10 @@ def embedding_dup_pairs(
     from csv_etl_spark.sources.tables import ensure_parallelism
 
     src = ensure_parallelism(df.select(F.col(id_col), F.col(vec_col)))
-    key = BoundedPersistCache.key_for(src, n_planes, vec_col)
+    # dim participates in the key: the plane matrix is a function of
+    # (dim, n_planes), so the same frame bucketed at a different declared
+    # dim must not reuse the cached projection
+    key = BoundedPersistCache.key_for(src, dim, n_planes, vec_col)
     b = _BUCKET_CACHE.get(key)
     if b is None:
         b = random_hyperplane_buckets(src, dim, n_planes, vec_col)

@@ -143,6 +143,45 @@ def test_ivf_full_probe_equals_brute_force(spark):
     assert b == v
 
 
+def test_ivf_kmeans_recall_beats_placeholder(spark):
+    """Planted well-separated clusters with the WORST case for the first-n
+    placeholder: the first n_centroids ids all live in cluster 0, so every
+    IVF cell is a mixture and nprobe=2 routing loses neighbors.  Sampled
+    k-means must adapt the centroids to the data and recover recall."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    dim, n_clusters, per_cluster = 16, 4, 60
+    centers = np.zeros((n_clusters, dim))
+    for c in range(n_clusters):
+        centers[c, 4 * c : 4 * c + 4] = 1.0  # orthogonal cluster directions
+    rows = []
+    vid = 0
+    # ids 0..per_cluster-1 are ALL cluster 0 (placeholder picks these),
+    # then the remaining clusters follow in id order
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + rng.normal(0.0, 0.08, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    probes = similarity.make_probes(df.filter(F.col("vec_id") % 55 == 3), n=6)
+    brute = {(r["probe_id"], r["neighbor_id"]) for r in
+             similarity.brute_force_topk(df, probes, k=5).collect()}
+
+    def recall(cents):
+        approx = {(r["probe_id"], r["neighbor_id"]) for r in
+                  similarity.ivf_topk(df, probes, k=5, n_centroids=4, nprobe=2,
+                                      centroids=cents).collect()}
+        return len(brute & approx) / len(brute)
+
+    kmeans = similarity.kmeans_centroids(df, n_centroids=4, iters=3, sample_fraction=1.0)
+    r_kmeans = recall(kmeans)
+    r_placeholder = recall(None)
+    assert r_kmeans >= r_placeholder, (r_kmeans, r_placeholder)
+    assert r_kmeans >= 0.6, f"kmeans IVF recall too low: {r_kmeans}"
+
+
 def test_ivf_approx_recall_reasonable(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     probes = similarity.make_probes(e, n=5)
@@ -389,6 +428,78 @@ def test_decontaminate_drops_leaked_docs(spark):
         for r in cleaning.decontaminate(corpus, bench, n=8, keep=False).collect()
     }
     assert flagged == {1, 3}
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """bloom=True at a tight fpp removes exactly the docs the exact path
+    removes (no false positives at this scale), with NO join on the probe
+    side — the corpus-side check is a pure map expression."""
+    from csv_etl_spark.operators import cleaning
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words " + bench_text + " suffix words"),
+            (2, "totally unrelated text that goes on for quite a while longer"),
+            (3, bench_text),
+            (4, "alpha beta gamma delta only four shared tokens here padding padding"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+
+    exact = {r["doc_id"] for r in cleaning.decontaminate(corpus, bench, n=8).collect()}
+    flt = cleaning.decontaminate(corpus, bench, n=8, bloom=True, bloom_fpp=1e-6)
+    assert {r["doc_id"] for r in flt.collect()} == exact == {2, 4}
+
+    # probe side is join-free: the ONLY join operator in the whole plan is
+    # the final keep/flag anti-join (the exact path has two), and the
+    # bloom probe shows up as inlined xxhash64 expressions
+    import re
+
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    joins = re.findall(
+        r"SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin",
+        final_plan,
+    )
+    assert len(joins) == 1, joins
+    assert "xxhash64" in plan
+
+
+def test_decontaminate_bloom_overremoves_only(spark):
+    """A sloppy fpp can only OVER-remove (false positives), never
+    under-remove: kept(bloom) ⊆ kept(exact) at any fpp."""
+    from csv_etl_spark.operators import cleaning
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(12))) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, " ".join(f"tok7_{j}" for j in range(12)))], ["doc_id", "text"]
+    )
+    exact = {r["doc_id"] for r in cleaning.decontaminate(corpus, bench, n=8).collect()}
+    loose = {
+        r["doc_id"]
+        for r in cleaning.decontaminate(
+            corpus, bench, n=8, bloom=True, bloom_fpp=0.5
+        ).collect()
+    }
+    assert 7 not in exact and 7 not in loose
+    assert loose <= exact
+
+
+def test_bloom_parameters_knob(spark):
+    from csv_etl_spark.operators.cleaning import _bloom_parameters
+
+    m1, k1 = _bloom_parameters(1000, 0.01)
+    m2, k2 = _bloom_parameters(1000, 1e-6)
+    assert m1 % 64 == 0 and m2 % 64 == 0
+    assert m2 > m1 and k2 > k1  # tighter fpp ⇒ bigger bitmap, more hashes
+    assert 7 <= k1 <= 8  # ≈ ln(2)·m/n for p=0.01 is ~6.6–7
+    with pytest.raises(ValueError):
+        _bloom_parameters(1000, 1.5)
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
