@@ -108,12 +108,16 @@ def transform(
     """Reference ``transform_file``/``validate_file`` semantics
     (``dynamic.py:267-348``) over a DataFrame.
 
-    One scan computes the transform; counters come from a single aggregation
-    over the persisted result (no per-row driver round-trips).  ``write`` is
-    an optional callable ``(DataFrame) -> None`` that replaces the default
-    CSV write — lets callers target parquet/Delta without changing gate
-    semantics.
+    ONE scan computes everything: the input-row total rides along as an
+    ``observe`` metric on the source (collected as a side-effect of the
+    counter aggregation over the persisted transform output), so the source
+    is never scanned a second time just to count it — at 100 TB the old
+    separate ``df.count()`` was a full extra pass.  ``write`` is an optional
+    callable ``(DataFrame) -> None`` that replaces the default CSV write —
+    lets callers target parquet/Delta without changing gate semantics.
     """
+    from pyspark.sql import Observation
+
     result = TransformResult()
     if isinstance(mapping, dict):
         mapping = ETLMapping.from_dict(mapping)
@@ -126,8 +130,15 @@ def transform(
         f"Field mappings: {len(mapping.field_mappings)}, Filter rules: {len(mapping.filter_rules)}"
     )
 
-    total = df.count()
-    projected = compiled.apply(df, with_errors=True, line_col=line_col)
+    # CollectMetrics sits UPSTREAM of the mapping's skip-filter, so it sees
+    # every input row; it cannot be optimized away because the filter is
+    # never a constant (rules always reference source columns).
+    obs = Observation()
+    projected = compiled.apply(
+        df.observe(obs, F.count(F.lit(1)).alias("total")),
+        with_errors=True,
+        line_col=line_col,
+    )
     projected = projected.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         agg = projected.agg(
@@ -138,6 +149,7 @@ def transform(
             ).alias("error_rows"),
         ).collect()[0]
         kept, error_count, error_rows = agg["kept"], int(agg["errors"]), int(agg["error_rows"])
+        total = int(obs.get["total"])
 
         if not mapping.field_mappings:
             # `{}` is falsy: every row counts as skipped, nothing is written
