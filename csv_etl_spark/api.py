@@ -33,10 +33,19 @@ from csv_etl_spark.sources.sinks import write_single_csv_file
 from csv_etl_spark.specs import FieldMapping, SpecStore, TransformType
 
 
+# Collect caps: the reference UI shows at most 50 errors (app.py:221) and
+# pages its previews (app.py:667), so unbounded collects buy nothing and are
+# a driver-OOM hazard on big files.  ``cap=None`` means these defaults, NOT
+# unbounded.
+DEFAULT_ERROR_CAP = 50
+DEFAULT_PREVIEW_ROWS = 500
+
+
 def _error_entries(result, cap: int | None = None) -> list[dict]:
-    """Errors DF → reference JSON shape (line/field/message/value)."""
+    """Errors DF → reference JSON shape (line/field/message/value).
+    ``cap=None`` applies DEFAULT_ERROR_CAP — collects are always bounded."""
     df = result.errors
-    rows = df.limit(cap).collect() if cap is not None else df.collect()
+    rows = df.limit(cap if cap is not None else DEFAULT_ERROR_CAP).collect()
     out = []
     for r in rows:
         d = r.asDict()
@@ -110,15 +119,21 @@ def create_app(
         if not mapping:
             return jsonify({"error": "Mapping not found"}), 404
         data = request.get_json() or {}
-        mapping.field_mappings = [
-            FieldMapping(
-                destination_field=fm["destination_field"],
-                source_field=fm.get("source_field"),
-                transform_type=TransformType(fm.get("transform_type", "direct")),
-                transform_config=fm.get("transform_config", {}),
-            )
-            for fm in data.get("field_mappings", [])
-        ]
+        try:
+            mapping.field_mappings = [
+                FieldMapping(
+                    destination_field=fm["destination_field"],
+                    source_field=fm.get("source_field"),
+                    transform_type=TransformType(fm.get("transform_type", "direct")),
+                    transform_config=fm.get("transform_config", {}),
+                )
+                for fm in data.get("field_mappings", [])
+            ]
+        except (ValueError, KeyError, TypeError) as exc:
+            # bad payload (unknown transform_type, missing destination_field,
+            # non-dict entry) is the client's fault: 400 with an error body,
+            # matching the other endpoints — not an escaped 500
+            return jsonify({"error": f"Invalid field_mappings payload: {exc}"}), 400
         if "filter_rules" in data:
             mapping.filter_rules = data["filter_rules"]
         store.save_mapping(mapping)
@@ -133,9 +148,14 @@ def create_app(
             return err
         df = with_line_numbers(read_spec_csv(spark, str(path), source))
         columns = [c for c in df.columns if c != LINE_COL]
+        # bounded collect: first N lines (override with ?limit=), full count
+        # reported separately — a preview must never materialize a 100 GB
+        # file on the driver
+        row_cap = request.args.get("limit", type=int) or DEFAULT_PREVIEW_ROWS
+        total = df.count()
         rows = [
             {"_line": r[LINE_COL], **{c: r[c] for c in columns}}
-            for r in df.orderBy(LINE_COL).collect()
+            for r in df.orderBy(LINE_COL).limit(row_cap).collect()
         ]
 
         errors_by_line: dict[int, list[dict]] = {}
@@ -160,7 +180,7 @@ def create_app(
             {
                 "columns": columns,
                 "rows": rows,
-                "total": len(rows),
+                "total": total,
                 "errors_by_line": errors_by_line,
                 "validation": validation,
             }

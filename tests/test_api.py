@@ -141,6 +141,45 @@ def test_mapping_save_preserves_filter_rules(env):
     assert SpecStore(str(cfg)).get_mapping("m1").filter_rules == []
 
 
+def test_preview_row_cap(env):
+    """Collects are bounded: ?limit caps the rows collected to the driver
+    while total still reports the full file row count."""
+    client, _, _ = env
+    body = client.get("/api/preview/src1/a.csv?limit=1").get_json()
+    assert body["total"] == 3
+    assert len(body["rows"]) == 1
+    assert body["rows"][0]["_line"] == 2
+
+
+def test_error_entries_default_cap(env, monkeypatch):
+    """cap=None means DEFAULT_ERROR_CAP, never unbounded (api.py facade
+    mirror of the reference UI's 50-error cap, app.py:221)."""
+    import csv_etl_spark.api as api_mod
+
+    monkeypatch.setattr(api_mod, "DEFAULT_ERROR_CAP", 0)
+    client, _, _ = env
+    body = client.get("/api/preview/src1/a.csv?mapping_id=m1").get_json()
+    assert body["errors_by_line"] == {}  # capped at 0 ⇒ nothing collected
+    assert body["validation"]["error_count"] == 1  # counters unaffected
+
+
+def test_mapping_save_bad_payload_is_400(env):
+    client, _, cfg = env
+    before = SpecStore(str(cfg)).get_mapping("m1").to_dict()
+    r = client.post(
+        "/api/mappings/m1/save",
+        json={"field_mappings": [{"destination_field": "x", "transform_type": "warp"}]},
+    )
+    assert r.status_code == 400 and "error" in r.get_json()
+    r = client.post(
+        "/api/mappings/m1/save",
+        json={"field_mappings": [{"source_field": "Ticker"}]},  # no destination_field
+    )
+    assert r.status_code == 400 and "error" in r.get_json()
+    # nothing was persisted by the failed saves
+    assert SpecStore(str(cfg)).get_mapping("m1").to_dict() == before
+
+
 def test_mapping_crud(env):
     client, _, _ = env
     assert "m1" in client.get("/api/mappings").get_json()
