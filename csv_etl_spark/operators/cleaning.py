@@ -12,11 +12,18 @@ Both are the shapes a 100 TB pipeline needs:
   (eval sets are KBs-to-MBs against a TB corpus), so the shingle
   membership check is a BROADCAST semi-join: the corpus side stays
   map-only — shingle, probe the broadcast set, aggregate per doc — with
-  no corpus-sized shuffle.  (At extreme benchmark sizes you'd swap the
-  broadcast set for a Bloom filter; the join shape is unchanged.)
+  no corpus-sized shuffle.  For benchmark shingle sets too big to
+  broadcast as an exact set, ``bloom=True`` swaps the set for a Bloom
+  filter bitmap whose size depends only on (expected_items, fpp) — the
+  probe becomes a pure map-side expression (xxhash64 + bit_get, no join
+  at all) and false positives only ever OVER-remove, the safe direction
+  for decontamination.
 """
 
 from __future__ import annotations
+
+import math
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -81,6 +88,60 @@ def string_shingles(col: Column, n: int) -> Column:
     )
 
 
+def _bloom_parameters(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Textbook Bloom sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2).
+    m is rounded up to a whole number of 64-bit words."""
+    if not 0.0 < fpp < 1.0:
+        raise ValueError("fpp must be in (0, 1)")
+    n = max(expected_items, 1)
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    # cap k: when m is overprovisioned (tiny n rounded up to a whole word)
+    # the optimal-k formula explodes; 16 hashes already reach fpp ≈ 2^-16
+    # at optimal load, and each extra hash is another probe expression in
+    # the plan
+    k = max(1, min(16, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_bitmap(b_sh: DataFrame, m: int, k: int) -> list[int]:
+    """Build the m-bit Bloom bitmap of benchmark shingles DISTRIBUTED —
+    the shuffle is keyed on the 64-bit word index (≤ m/64 groups with
+    map-side bit_or partials), and only the finished bitmap (m/64 longs,
+    i.e. the sketch itself) ever reaches the driver.  The benchmark
+    shingle SET can be arbitrarily large; the collect is bounded by the
+    sketch size alone."""
+    idx = F.explode(
+        F.array(*[F.pmod(F.xxhash64(F.col("_sh"), F.lit(s)), F.lit(m)) for s in range(k)])
+    ).alias("i")
+    rows = (
+        b_sh.select(idx)
+        .select(
+            F.expr("i DIV 64").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    words = [0] * (m // 64)
+    for r in rows:
+        words[int(r["w"])] = int(r["word"])
+    return words
+
+
+def _bloom_might_contain(col: Column, words: list[int], m: int, k: int) -> Column:
+    """JVM-side Bloom probe: every one of the k xxhash64-derived bits must
+    be set in the bitmap literal.  Pure expression — no UDF, no join."""
+    bits = F.lit(words)
+    checks = []
+    for s in range(k):
+        i = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(m))
+        word = F.element_at(bits, F.floor(i / F.lit(64)).cast("int") + F.lit(1))
+        checks.append(F.bit_get(word, (i % F.lit(64)).cast("int")) == 1)
+    return reduce(lambda a, b: a & b, checks)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -89,6 +150,9 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep: bool = True,
+    bloom: bool = False,
+    bloom_fpp: float = 1e-4,
+    bloom_expected_items: int | None = None,
 ) -> DataFrame:
     """Train/test decontamination: remove (``keep=True``) or flag
     (``keep=False``) corpus docs sharing ≥ ``min_overlap`` distinct
@@ -98,9 +162,21 @@ def decontaminate(
     enough to catch verbatim benchmark leakage (the standard n-gram
     decontamination recipe used for LLM training sets).
 
-    Plan shape: corpus shingles stay distributed; the benchmark shingle
-    set is distinct-ed and BROADCAST, so the probe is map-side; only the
-    per-doc overlap count aggregates (corpus-doc-keyed, combiner-friendly).
+    Plan shape (exact path): corpus shingles stay distributed; the
+    benchmark shingle set is distinct-ed and BROADCAST, so the probe is
+    map-side; only the per-doc overlap count aggregates
+    (corpus-doc-keyed, combiner-friendly).
+
+    ``bloom=True`` is the path for benchmark shingle sets too big to
+    broadcast exactly: the set collapses to an m-bit Bloom bitmap sized
+    by (``bloom_expected_items``, ``bloom_fpp``) — e.g. 100 M shingles at
+    fpp 1e-4 is a ~230 MB exact broadcast set vs a ~29 MB bitmap that
+    never grows with shingle length.  The probe is then a pure map-side
+    expression (no join), and false positives only OVER-remove — the safe
+    direction for decontamination; a false positive can also only reach
+    ``min_overlap`` > 1 if that many of a doc's distinct shingles all
+    collide.  ``bloom_expected_items`` defaults to counting the distinct
+    benchmark shingles (one extra pass over the benchmark side only).
     """
     c_sh = corpus.select(
         F.col(id_col), F.explode(F.array_distinct(string_shingles(F.col(text_col), n))).alias("_sh")
@@ -109,9 +185,15 @@ def decontaminate(
         benchmark.select(F.explode(string_shingles(F.col(text_col), n)).alias("_sh"))
         .distinct()
     )
+    if bloom:
+        expected = bloom_expected_items if bloom_expected_items is not None else b_sh.count()
+        m, k = _bloom_parameters(expected, bloom_fpp)
+        words = _bloom_bitmap(b_sh, m, k)
+        hits = c_sh.filter(_bloom_might_contain(F.col("_sh"), words, m, k))
+    else:
+        hits = c_sh.join(F.broadcast(b_sh), "_sh")
     overlaps = (
-        c_sh.join(F.broadcast(b_sh), "_sh")
-        .groupBy(id_col)
+        hits.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
