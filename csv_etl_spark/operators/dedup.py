@@ -228,8 +228,15 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     freq_cap: int | None = DEFAULT_FREQ_SHINGLE_CAP,
 ) -> DataFrame:
-    """EXACT Jaccard pairs (id_a < id_b, jaccard ≥ threshold) as a
-    set-similarity join in overlap-count form:
+    """N-gram Jaccard pairs (id_a < id_b, jaccard ≥ threshold) as a
+    set-similarity join in overlap-count form.
+
+    ⚠ DEFAULT IS APPROXIMATE: ``freq_cap`` defaults to
+    DEFAULT_FREQ_SHINGLE_CAP (shingles shared by more docs are dropped from
+    the join AND the size accounting), so out-of-the-box results are
+    frequency-capped Jaccard.  This default changed from None in round 2 —
+    callers wanting the EXACT semantics must now pass ``freq_cap=None``
+    explicitly.  The join shape:
 
       docs → explode(distinct shingles) → self-equijoin on shingle →
       groupBy (id_a, id_b): count(*) = |A∩B| → jaccard = ∩/(|A|+|B|−∩).

@@ -106,11 +106,21 @@ def xlsx_rows(blob: bytes, sheet: str | int = 0) -> list[list[str | None]]:
         width = 0
         for row_el in root.findall("m:sheetData/m:row", _NS):
             row: list[str | None] = []
+            last_ci = -1
             for cell in row_el.findall("m:c", _NS):
-                ci = _col_index(cell.get("r", ""))
+                ref = cell.get("r")
+                if ref is None:
+                    # `r` is optional per ECMA-376 §18.3.1.4 and some
+                    # streaming writers omit it: a ref-less cell follows the
+                    # previous cell positionally (NOT column A, which would
+                    # clobber earlier cells in the row)
+                    ci = last_ci + 1
+                else:
+                    ci = _col_index(ref)
                 while len(row) <= ci:
                     row.append(None)
                 row[ci] = _cell_value(cell, shared)
+                last_ci = ci
             width = max(width, len(row))
             rows.append(row)
         for row in rows:

@@ -152,6 +152,49 @@ def _write_xlsx(
             zf.writestr("xl/sharedStrings.xml", sst)
 
 
+def test_xlsx_refless_cells_follow_previous(tmp_path):
+    """Cells missing the optional ``r`` attribute (legal per ECMA-376
+    §18.3.1.4; some streaming writers omit it) are placed after the
+    previous cell in the row — NOT defaulted to column A, which would
+    silently clobber earlier cells."""
+    import zipfile
+
+    from csv_etl_spark.sources.xlsx import xlsx_rows
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def c(text, ref=None):
+        r = f' r="{ref}"' if ref else ""
+        return f'<c{r} t="inlineStr"><is><t>{text}</t></is></c>'
+
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        f'<row r="1">{c("a", "A1")}{c("b")}{c("c")}</row>'
+        f'<row r="2">{c("x")}{c("z", "C2")}{c("w")}</row>'
+        "</sheetData></worksheet>"
+    )
+    workbook = (
+        f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+        '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    path = tmp_path / "refless.xlsx"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    rows = xlsx_rows(path.read_bytes())
+    assert rows[0] == ["a", "b", "c", None]  # b, c follow a into B1, C1
+    assert rows[1] == ["x", None, "z", "w"]  # leading ref-less → col A; w → D2
+
+
 def test_excel_scan_all_string(spark, tmp_path):
     """Inline-string workbook: header-keyed, numbers/bools stringified,
     missing cells null — the CSV scan contract on xlsx bytes."""
