@@ -13,11 +13,24 @@ and assert the scale-critical plan properties hold:
 * no Window partitioned by a PER-ROW-UNIQUE key (that shuffles the whole
   frame to compute a per-row value — the round-1 IVF-assignment bug class;
   an argmax/aggregate spelling is map-only);
+* no Window partitioned by a LOW-CARDINALITY key over unreduced input
+  (the inverse anti-pattern: |keys| ≪ cores funnels the whole frame into
+  a handful of reducer tasks — the round-2 ANN-ranker bug class).  The
+  salted two-stage shape is recognized: a (key, _pid) local window before
+  the global (key) window means the global stage sees only pre-reduced
+  rows;
+* no UNPARTITIONED Window over unbounded input (single-partition sort of
+  the whole frame — the round-2 top_tokens bug class).  A plan that
+  bounds the input first (TakeOrderedAndProject / GlobalLimit) is fine:
+  the window then ranks ≤ k rows;
 * map-only queries scan their source ONCE (a second uncached scan of the
   same file doubles I/O — the round-1 dual-scan bug class).
 
 Usage: python scripts/explain_audit.py [sf_dir] [query ...]
+       python scripts/explain_audit.py --selftest
 Writes PLANS.md at the repo root summarizing each query's plan profile.
+The selftest builds synthetic GOOD and BAD window plans and asserts the
+window rules fire exactly on the bad ones (so the checks can't rot).
 """
 
 from __future__ import annotations
@@ -51,6 +64,87 @@ CROSS_OK = {"ann_bruteforce", "ann_ivf_exact", "ann_ivf_approx"}
 # expressible map-only instead (argmax over an array, aggregate, etc.)
 PER_ROW_UNIQUE_KEYS = {"vec_id", "event_id", "doc_id"}
 
+# columns whose cardinality is far below cluster cores (≈10 probes): a
+# Window partitioned SOLELY by one of these funnels every input row into
+# |keys| reducer tasks — unless a salted (key, _pid) local top-k window
+# reduced the input first (the two-stage shape in similarity.topk_per_probe)
+LOW_CARDINALITY_KEYS = {"probe_id"}
+PARTITION_SALT_COLS = {"_pid"}
+
+
+def _windowspec_args(plan: str) -> list[str]:
+    """Full argument text of every windowspecdefinition(...) call, with
+    balanced-paren scanning (args nest: specifiedwindowframe(...))."""
+    out, i, token = [], 0, "windowspecdefinition("
+    while True:
+        j = plan.find(token, i)
+        if j < 0:
+            return out
+        k, depth = j + len(token), 0
+        while k < len(plan):
+            ch = plan[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            k += 1
+        out.append(plan[j + len(token):k])
+        i = k
+
+
+def window_partition_keys(plan: str) -> list[tuple[str, ...]]:
+    """Partition-key column names of each window spec in the plan.  A spec's
+    args are partition keys (bare column refs), then sort specs (marked
+    ASC/DESC), then the frame — keys are everything before the first sort
+    spec."""
+    specs = []
+    for spec in _windowspec_args(plan):
+        args, cur, depth = [], "", 0
+        for ch in spec:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                args.append(cur.strip())
+                cur = ""
+            else:
+                cur += ch
+        args.append(cur.strip())
+        keys = []
+        for a in args:
+            if " ASC" in a or " DESC" in a or a.startswith("specifiedwindowframe"):
+                break
+            m = re.match(r"([A-Za-z_]\w*)#", a)
+            if m:
+                keys.append(m.group(1))
+        specs.append(tuple(keys))
+    return specs
+
+
+def window_flags(plan: str) -> list[str]:
+    """The three window-shape rules, shared by the audit and --selftest."""
+    flags = []
+    specs = window_partition_keys(plan)
+    all_keys = {k for s in specs for k in s}
+    bad_unique = sorted(all_keys & PER_ROW_UNIQUE_KEYS)
+    if bad_unique:
+        flags.append(f"WINDOW over per-row-unique key {','.join(bad_unique)}")
+    bounded = bool(re.search(r"TakeOrderedAndProject|GlobalLimit|CollectLimit", plan))
+    salted = {
+        s[0]
+        for s in specs
+        if len(s) >= 2 and s[0] in LOW_CARDINALITY_KEYS and set(s[1:]) & PARTITION_SALT_COLS
+    }
+    for s in specs:
+        if s == () and not bounded:
+            flags.append("UNPARTITIONED window over unbounded input")
+        elif len(s) == 1 and s[0] in LOW_CARDINALITY_KEYS and s[0] not in salted:
+            flags.append(f"LOW-CARDINALITY window key {s[0]} without salted pre-reduction")
+    return sorted(set(flags))
+
 # map-only queries that must read their source exactly once (no join /
 # union / self-reference justifies a second scan)
 EXPECT_SINGLE_SCAN = {
@@ -64,7 +158,73 @@ EXPECT_SINGLE_SCAN = {
 }
 
 
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def selftest() -> None:
+    """The window rules must FIRE on synthetic bad plans and stay quiet on
+    the good (salted / limit-bounded) spellings."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csv_etl_spark import get_spark
+
+    spark = get_spark("explain-audit-selftest")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.range(1000).select(
+        (F.col("id") % 3).alias("probe_id"), F.col("id").alias("v")
+    )
+
+    # BAD: global window keyed only by the ~3-value probe_id
+    bad_low = base.withColumn(
+        "r", F.row_number().over(Window.partitionBy("probe_id").orderBy("v"))
+    )
+    flags = window_flags(_plan_of(bad_low))
+    assert any("LOW-CARDINALITY" in f for f in flags), flags
+
+    # GOOD: salted two-stage (local (probe_id, _pid) window first)
+    lw = Window.partitionBy("probe_id", "_pid").orderBy("v")
+    gw = Window.partitionBy("probe_id").orderBy("v")
+    good_salted = (
+        base.withColumn("_pid", F.spark_partition_id())
+        .withColumn("lr", F.row_number().over(lw))
+        .filter(F.col("lr") <= 5)
+        .withColumn("r", F.row_number().over(gw))
+    )
+    flags = window_flags(_plan_of(good_salted))
+    assert not flags, flags
+
+    # BAD: unpartitioned window, nothing bounding the input
+    bad_unpart = base.withColumn("r", F.row_number().over(Window.orderBy("v")))
+    flags = window_flags(_plan_of(bad_unpart))
+    assert any("UNPARTITIONED" in f for f in flags), flags
+
+    # GOOD: limit bounds the input before the ranking window
+    good_limited = base.orderBy("v").limit(5).withColumn(
+        "r", F.row_number().over(Window.orderBy("v"))
+    )
+    flags = window_flags(_plan_of(good_limited))
+    assert not flags, flags
+
+    # BAD: window keyed by a per-row-unique column
+    uniq = spark.range(100).select(F.col("id").alias("vec_id"), F.col("id").alias("v"))
+    bad_uniq = uniq.withColumn(
+        "r", F.row_number().over(Window.partitionBy("vec_id").orderBy("v"))
+    )
+    flags = window_flags(_plan_of(bad_uniq))
+    assert any("per-row-unique" in f for f in flags), flags
+
+    print("explain_audit selftest: all window rules fire correctly")
+
+
 def main() -> None:
+    if "--selftest" in sys.argv:
+        selftest()
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -105,8 +265,9 @@ def main() -> None:
         cross = len(re.findall(r"CartesianProduct", plan))
         codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
 
-        # window partition keys (first arg of each windowspecdefinition)
-        win_keys = sorted(set(re.findall(r"windowspecdefinition\(([A-Za-z_]\w*)#", plan)))
+        # window partition keys (parsed per spec; () = unpartitioned)
+        specs = window_partition_keys(plan)
+        win_keys = sorted({k for s in specs for k in s})
         n_windows = len(re.findall(r"^\(\d+\) Window\b", plan, re.MULTILINE))
 
         # per-table scan counts from file locations; cached reuse shows as
@@ -126,9 +287,7 @@ def main() -> None:
             flags.append("MISSING broadcast")
         if cross and name not in CROSS_OK:
             flags.append("UNEXPECTED cartesian")
-        bad_win = sorted(set(win_keys) & PER_ROW_UNIQUE_KEYS)
-        if bad_win:
-            flags.append(f"WINDOW over per-row-unique key {','.join(bad_win)}")
+        flags.extend(window_flags(plan))
         if name in EXPECT_SINGLE_SCAN and dup_scans:
             flags.append(f"REPEATED SCAN {','.join(dup_scans)}")
         if flags:
@@ -148,7 +307,10 @@ def main() -> None:
         "broadcast-nested-loop ANN, which Spark may print as BroadcastNestedLoopJoin,",
         "counted under broadcast). *windows (keys)* lists each Window's partition",
         "key — a per-row-unique key there is a full-shuffle-for-a-map-result bug",
-        "and fails the audit. *dup scans* lists tables file-scanned more than once",
+        "and fails the audit; a LOW-CARDINALITY key (e.g. probe_id) fails unless a",
+        "salted (key, _pid) local window pre-reduced the input; an unpartitioned",
+        "window fails unless a TakeOrderedAndProject/limit bounds its input.",
+        "*dup scans* lists tables file-scanned more than once",
         "in one plan (cached reuse appears as InMemoryTableScan, not a dup) — a",
         "dup in a declared map-only query fails the audit; elsewhere it is",
         "surfaced for review (self-joins and unions legitimately rescan).",
