@@ -2,11 +2,21 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
-"queries": {name: sec}, "sf": <sf>}.
+"queries": {name: median sec}, "runs": {name: [sec...]},
+"spread": {name: max-min}, "sf": <sf>}.
 
-Each query is materialized with a noop write (full execution, no driver
-collect, no disk) after a warm-up of the session.  Timings are job time
-only — the session build is excluded, matching BASELINE.md's protocol.
+Protocol (round 3): each query is materialized with a noop write (full
+execution, no driver collect, no disk) $SPARK_GRAFT_BENCH_RUNS times
+(default 3) in round-robin passes; the reported figure is the per-query
+MEDIAN, with every raw run and the max-min spread alongside — this box
+shows ±50% run-to-run noise, so single-shot numbers are not comparable
+across rounds.  Session warm-up touches only SYNTHETIC frames (JVM,
+codegen, python-worker pool): no benchmark table is pre-read, so pass 1
+pays any cold file I/O and the median reflects the warm steady state —
+both visible in "runs".  Operator-level persist caches (shingle/LSH
+projections) are cleared between passes so every run measures real work,
+not a cache hit.  Timings are job time only — session build excluded,
+matching BASELINE.md's protocol.
 """
 
 from __future__ import annotations
@@ -56,10 +66,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
-    # warm-up: JVM/codegen/parquet footer reads on a trivial job, plus the
-    # python-worker pool (first pandas_udf in a session pays worker spawn —
-    # session setup, not query cost)
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # warm-up: JVM/codegen/python-worker pool on SYNTHETIC frames only — no
+    # benchmark table is touched, so the timed pass-1 runs include their own
+    # cold file I/O and the median is an honest steady-state figure (the
+    # previous protocol pre-read the events table, which also warmed the OS
+    # page cache + parquet footers for the timed queries)
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")
@@ -70,16 +81,8 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Warm the events reader path (NANOS-timestamp handling + footer) and the
-    # expression-function family the ETL queries lean on (timestamp parse/
-    # format, when-chains, concat) with a SMALL synthetic plan — this is JIT/
-    # codegen-infrastructure warm-up, the state any long-running service is
-    # in, not a dry run of the benchmarked queries themselves.
-    from csv_etl_spark.sources.tables import load_events
-
-    load_events(spark, sf_dir).select(F.count(F.lit(1))).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # expression-family codegen warm-up (timestamp parse/format, when-chains,
+    # concat) — JIT infrastructure, the state any long-running service is in
     spark.range(0, 1000, 1, 8).select(
         F.date_format(
             F.try_to_timestamp(
@@ -91,16 +94,33 @@ def main() -> None:
         F.concat(F.lit("x:"), F.col("id").cast("string")).alias("c"),
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def clear_operator_caches() -> None:
+        # persisted shingle/LSH projections survive across calls by design
+        # (session cache); between bench passes they must go, or pass 2+
+        # would time a cache hit instead of the operator
+        from csv_etl_spark.operators import dedup as _dedup
+        from csv_etl_spark.operators import similarity as _sim
 
+        _dedup._SHINGLE_CACHE.invalidate()
+        _sim._BUCKET_CACHE.invalidate()
+
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs: dict[str, list[float]] = {n: [] for n in HEADLINE if n in queries}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.perf_counter() - t0, 3))
+        clear_operator_caches()
+
+    from statistics import median
+
+    timings = {n: round(median(r), 3) for n, r in runs.items()}
+    spread = {n: round(max(r) - min(r), 3) for n, r in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -109,6 +129,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "spread": spread,
+                "n_runs": n_runs,
                 "sf": sf,
             }
         )
