@@ -1859,6 +1859,68 @@ def _oracle_pii_scrub() -> str:
     """
 
 
+def q_text_filter_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal (Raffel et al. 2020 §2.2).
+    The synthetic docs are single-line with no terminal punctuation, so
+    multi-line structure is PLANTED: every doc gains a short line, a
+    banned-substring line, a punctuation-less line, and one qualifying
+    sentence keyed to doc_id — proving each of the three drop rules and
+    the keep path fire.  Map-only higher-order functions (split → filter →
+    array_join), no shuffle; the oracle applies the identical rules with
+    DuckDB list functions."""
+    from csv_etl_spark.operators import cleaning
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("too short."),
+            F.lit("this line mentions javascript so it is banned."),
+            F.lit("this line has no terminal punctuation at all"),
+            F.concat(
+                F.lit("doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" closes with a proper sentence."),
+            ),
+        ).alias("text"),
+    )
+    return cleaning.filter_lines(seeded)
+
+
+_ORACLE_FILTER_LINES = """
+    WITH seeded AS (
+      SELECT doc_id,
+             text || chr(10) || 'too short.'
+                  || chr(10) || 'this line mentions javascript so it is banned.'
+                  || chr(10) || 'this line has no terminal punctuation at all'
+                  || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
+                  || ' closes with a proper sentence.' AS text
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lines FROM seeded
+    ),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, l ->
+               trim(l) != ''
+               AND len(string_split_regex(trim(l), '\\s+')) >= 3
+               AND regexp_matches(trim(l), '[.!?"'']$')
+               AND NOT contains(lower(trim(l)), 'javascript')
+               AND NOT contains(lower(trim(l)), 'lorem ipsum')
+               AND NOT contains(lower(trim(l)), '{')
+             ) AS kept
+      FROM s
+    )
+    SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept
+    FROM k
+"""
+
+
 def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination: every 40th document doubles as a
     'benchmark' doc, so the corpus is contaminated by construction; docs
@@ -2149,7 +2211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketches / statistics
         "value_percentiles": q_value_percentiles,
         "distinct_users": q_distinct_users,
-        "distinct_users_approx": q_distinct_users_approx,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_normalized": q_dedup_normalized,
@@ -2166,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_tokens": q_text_top_tokens,
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_filter_lines": q_text_filter_lines,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_curation": q_corpus_curation,
         # streaming semantics
@@ -2184,6 +2246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": q_grouping_sets,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "ann_ivf_exact": q_ann_ivf_exact,
+        # rows-only by design (HLL estimate is engine-specific): its driver row
+        # carries no hash signal, so it yields its window slot to an
+        # oracle-checkable query
+        "distinct_users_approx": q_distinct_users_approx,
     }
 
 
@@ -2251,6 +2317,7 @@ def oracle_sql() -> dict[str, str]:
         "text_top_tokens": _ORACLE_TOP_TOKENS,
         "text_repetition": _ORACLE_TEXT_REPETITION,
         "text_pii_scrub": _oracle_pii_scrub(),
+        "text_filter_lines": _ORACLE_FILTER_LINES,
         "corpus_decontaminate": _ORACLE_DECONTAMINATE,
         "corpus_curation": _ORACLE_CORPUS_CURATION.format(
             thr=_sampling.fraction_threshold_hex(0.1)

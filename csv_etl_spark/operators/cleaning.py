@@ -88,6 +88,53 @@ def string_shingles(col: Column, n: int) -> Column:
     )
 
 
+# C4-ish boilerplate markers (Raffel et al. 2020 §2.2: the public C4
+# recipe drops lines with "javascript", the lorem-ipsum placeholder, or
+# code-ish curly braces)
+C4_BANNED_SUBSTRINGS: list[str] = ["javascript", "lorem ipsum", "{"]
+
+
+def filter_lines(
+    df: DataFrame,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    banned_substrings: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style line-level boilerplate removal (the public C4/RealNews
+    cleaning recipe, Raffel et al. 2020): keep only lines that (a) have ≥
+    ``min_words`` whitespace words, (b) end in terminal punctuation
+    (``.!?"'`` — when ``require_terminal_punct``), and (c) contain none of
+    ``banned_substrings`` case-insensitively.  Returns the re-joined text
+    plus per-doc kept/total line counts so a downstream gate can drop docs
+    that lost too much.
+
+    Map-only: split → array filter → array_join per row, all JVM-side
+    higher-order functions — linear in input splits at 100 TB, no shuffle,
+    and every predicate is engine-portable (the oracle applies the same
+    rules in DuckDB list functions)."""
+    banned = C4_BANNED_SUBSTRINGS if banned_substrings is None else banned_substrings
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        cond = (t != "") & (F.size(F.split(t, r"\s+")) >= min_words)
+        if require_terminal_punct:
+            cond = cond & t.rlike("[.!?\"']$")
+        for b in banned:
+            cond = cond & ~F.contains(F.lower(t), F.lit(b.lower()))
+        return cond
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+    )
+
+
 def _bloom_parameters(expected_items: int, fpp: float) -> tuple[int, int]:
     """Textbook Bloom sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2).
     m is rounded up to a whole number of 64-bit words."""

@@ -385,6 +385,60 @@ def test_corpus_curation_composition(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_filter_lines_c4_rules(spark):
+    """C4-style line filter: short lines, no-terminal-punct lines, and
+    banned-substring lines drop; qualifying lines survive with order and
+    joining preserved; per-doc line accounting is exact."""
+    from csv_etl_spark.operators import cleaning
+
+    doc1 = "\n".join(
+        [
+            "This opening sentence has plenty of words.",  # kept
+            "too short.",  # < 3 words
+            "this line mentions javascript so it is banned.",  # banned substring
+            "this line has no terminal punctuation at all",  # no .!?"' ending
+            'He said "fine" and walked away saying "done"',  # ends in " -> kept
+            "   ",  # blank after trim
+            "A closing sentence that also qualifies!",  # kept
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, doc1), (2, "single good line stays right here."), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in cleaning.filter_lines(df).collect()}
+
+    assert out[1]["text"] == "\n".join(
+        [
+            "This opening sentence has plenty of words.",
+            'He said "fine" and walked away saying "done"',
+            "A closing sentence that also qualifies!",
+        ]
+    )
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (7, 3)
+    assert out[2]["text"] == "single good line stays right here."
+    assert (out[2]["n_lines"], out[2]["n_lines_kept"]) == (1, 1)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_lines_kept"]) == (1, 0)
+
+    # knobs: relax punctuation, tighten word count, custom ban list
+    relaxed = {
+        r["doc_id"]: r
+        for r in cleaning.filter_lines(
+            df, min_words=5, require_terminal_punct=False, banned_substrings=["closing"]
+        ).collect()
+    }
+    assert relaxed[1]["text"] == "\n".join(
+        [
+            "This opening sentence has plenty of words.",
+            "this line mentions javascript so it is banned.",
+            "this line has no terminal punctuation at all",
+            'He said "fine" and walked away saying "done"',
+        ]
+    )
+    assert relaxed[1]["n_lines_kept"] == 4
+
+
 def test_scrub_pii(spark):
     from csv_etl_spark.operators import cleaning
 
