@@ -1,0 +1,152 @@
+"""Sequence packing for LLM training-data pipelines.
+
+``pack_sequences`` implements concat-and-chunk packing (the GPT-style
+recipe: concatenate all documents in a deterministic order, slice the
+token stream into fixed-budget training sequences, let documents straddle
+sequence boundaries).  Each document's assignment is a pure function of
+its global start offset, which is an exclusive prefix sum of token counts
+over the document order — so the whole operator reduces to ONE exact
+distributed prefix sum plus map-only arithmetic.
+
+Scale design (the naive version is a single-partition window):
+
+* ``with_global_cumsum`` range-shuffles on the order key (one shuffle —
+  the minimum for a global order), computes each partition's LOCAL
+  exclusive cumsum inside ``mapInPandas`` (Arrow-batched, running state
+  carried across batches within a partition, zero additional shuffle),
+  aggregates per-partition totals map-side (n_partitions rows — CLUSTER-
+  sized, not data-sized), prefix-sums them on the driver, and broadcasts
+  the offsets back.  No ``Window.orderBy`` without partitioning anywhere,
+  so the plan audit's unpartitioned-window rule stays quiet by
+  construction.
+* The result is layout-independent: assignments depend only on the total
+  order of the order key, never on partition boundaries.
+
+Reference scope note: the reference engine has no packing operator; this
+is part of the training-data extension family (SURVEY §2.9) alongside
+dedup/text metrics, built from the public concat-and-chunk recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+from ._cache import BoundedPersistCache
+from .text import token_count
+
+_CUMSUM_CACHE = BoundedPersistCache()
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    out_col: str = "cum_before",
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` over the global ``order_col``
+    order, appended as ``out_col`` (long).  Exact, deterministic, and
+    layout-independent — ``order_col`` must be a total order (unique), or
+    ties make the result depend on partitioning.
+
+    Plan shape: repartitionByRange(order_col) → sortWithinPartitions →
+    local cumsum via mapInPandas → broadcast-join of driver-prefix-summed
+    partition totals.  The only data-sized movement is the range shuffle;
+    the driver materializes exactly one row per partition."""
+    spark = df.sparkSession
+    part = (
+        df.repartitionByRange(F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Persisted: the partition totals (an action, below) and the returned
+    # plan must see the SAME partitioning; registered in the bounded cache
+    # so bench/long sessions can invalidate and nothing leaks unbounded.
+    key = _CUMSUM_CACHE.key_for(part, value_col, order_col)
+    cached = _CUMSUM_CACHE.get(key)
+    if cached is not None:
+        part = cached
+    else:
+        part = part.persist()
+        _CUMSUM_CACHE.put(key, part)
+
+    # n_partitions rows — bounded by cluster parallelism, not data volume
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in part.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_t"))
+        .collect()
+    }
+    running, offsets = 0, []
+    for pid in sorted(totals):
+        offsets.append((pid, running))
+        running += int(totals[pid] or 0)
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], schema="_pid int, _poffset long"
+    )
+
+    out_schema = StructType(part.schema.fields).add("_local_before", LongType())
+
+    def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        run = 0
+        for pdf in batches:
+            v = pdf[value_col].to_numpy(dtype="int64", na_value=0)
+            yield pdf.assign(_local_before=v.cumsum() - v + run)
+            run += int(v.sum())
+
+    local = part.mapInPandas(local_cumsum, schema=out_schema)
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, (F.col("_local_before") + F.col("_poffset")).cast("long"))
+        .drop("_pid", "_local_before", "_poffset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents concatenated in
+    ``id_col`` order, token stream sliced into ``budget``-token training
+    sequences.  Returns one row per document:
+
+    * ``n_tokens`` — whitespace token count (or ``tokens_col`` when the
+      caller already tokenized);
+    * ``seq_id`` — index of the sequence holding the doc's FIRST token;
+    * ``seq_offset`` — the doc's position inside that sequence;
+    * ``n_seqs`` — how many sequences the doc spans (>1 = split across
+      boundaries, standard concat-and-chunk behavior; 0 for empty docs).
+
+    All arithmetic is integer (``div``/``%`` on longs) so an external
+    oracle reproduces it bit-exactly; the heavy lifting is the single
+    distributed prefix sum in ``with_global_cumsum``."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    n_tokens = (
+        F.col(tokens_col) if tokens_col is not None else token_count(F.col(text_col))
+    ).cast("long")
+    d = df.select(F.col(id_col), n_tokens.alias("n_tokens"))
+    c = with_global_cumsum(d, "n_tokens", id_col, "_cum_before")
+    return c.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.expr(f"_cum_before div {budget}").cast("long").alias("seq_id"),
+        (F.col("_cum_before") % budget).cast("long").alias("seq_offset"),
+        F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            (
+                F.expr(f"(_cum_before + n_tokens - 1) div {budget}")
+                - F.expr(f"_cum_before div {budget}")
+                + 1
+            ).cast("long")
+        )
+        .alias("n_seqs"),
+    )

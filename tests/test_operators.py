@@ -684,3 +684,84 @@ def test_repetition_metrics(spark):
     assert out[1]["dup_2gram_frac"] == 0.6
     assert out[2]["dup_2gram_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
     assert out[3]["n_tokens"] == 0 and out[3]["dup_2gram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: distributed prefix sum + concat-and-chunk
+# ---------------------------------------------------------------------------
+
+
+def test_global_cumsum_matches_serial(spark):
+    """The distributed prefix sum (range shuffle + mapInPandas local cumsum
+    + broadcast partition offsets) must equal the serial exclusive cumsum,
+    regardless of input layout."""
+    import random
+
+    from csv_etl_spark.operators.packing import with_global_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 50)) for i in range(500)]
+    rng.shuffle(rows)  # scrambled insertion order: result must not care
+
+    expected, run = {}, 0
+    for i, v in sorted(rows):
+        expected[i] = run
+        run += v
+
+    for n_parts in (1, 7):
+        df = spark.createDataFrame(rows, ["k", "v"]).repartition(n_parts)
+        got = {
+            r["k"]: r["cum_before"]
+            for r in with_global_cumsum(df, "v", "k").collect()
+        }
+        assert got == expected, f"mismatch at n_parts={n_parts}"
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Concat-and-chunk semantics vs a brute-force token-stream model:
+    seq_id/seq_offset locate each doc's first token; n_seqs counts straddled
+    budget boundaries; empty docs occupy zero sequences."""
+    from csv_etl_spark.operators.packing import pack_sequences
+
+    docs = [
+        (1, "one two three"),                    # 3 tokens, start 0
+        (2, " ".join(["w"] * 10)),               # 10 tokens, start 3 -> straddles
+        (3, ""),                                 # empty
+        (4, "a b c d e"),                        # 5 tokens, start 13
+        (5, " ".join(["x"] * 9)),                # 9 tokens, start 18 -> exactly to 27
+    ]
+    budget = 8
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            spark.createDataFrame(docs, ["doc_id", "text"]).repartition(3),
+            budget=budget,
+        ).collect()
+    }
+
+    # brute-force model over the concatenated token stream
+    start = 0
+    for doc_id, text in docs:
+        n = len(text.split()) if text.strip() else 0
+        r = out[doc_id]
+        assert r["n_tokens"] == n
+        assert r["seq_id"] == start // budget
+        assert r["seq_offset"] == start % budget
+        expect_spans = 0 if n == 0 else (start + n - 1) // budget - start // budget + 1
+        assert r["n_seqs"] == expect_spans, doc_id
+        start += n
+
+    assert out[2]["n_seqs"] == 2      # 10 tokens from offset 3 crosses one boundary
+    assert out[3]["n_seqs"] == 0      # empty doc
+    assert out[5]["seq_offset"] == 2  # 18 % 8
+
+
+def test_pack_sequences_plan_has_no_unpartitioned_window(spark):
+    """The packing plan must not contain any window at all — the prefix sum
+    is the mapInPandas + broadcast-offsets shape, not Window.orderBy()."""
+    from csv_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(i, "a b c") for i in range(20)], ["doc_id", "text"])
+    plan = pack_sequences(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "mapInPandas" in plan or "MapInPandas" in plan
