@@ -2065,6 +2065,45 @@ _ORACLE_CORPUS_CURATION = f"""
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): documents concatenated
+    in doc_id order, token stream cut into 512-token training sequences.
+    Reduces to ONE exact distributed prefix sum (range shuffle + mapInPandas
+    local cumsum + broadcast partition offsets — no unpartitioned window)
+    plus map-only integer arithmetic; see operators/packing.py."""
+    from csv_etl_spark.operators import packing
+
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    return packing.pack_sequences(d, budget=512)
+
+
+# Exclusive prefix sum over the doc_id total order; DuckDB's window spelling
+# is the *serial* model the distributed operator must reproduce exactly.
+_ORACLE_PACK_SEQUENCES = """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM d
+    )
+    SELECT doc_id, n_tokens,
+           cum_before // 512 AS seq_id,
+           cum_before % 512 AS seq_offset,
+           CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE (cum_before + n_tokens - 1) // 512 - cum_before // 512 + 1
+           END AS n_seqs
+    FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming semantics (batch-equivalent checks; live-stream tests in tests/)
 # ---------------------------------------------------------------------------
@@ -2203,7 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_revenue_orders": q_topk_revenue_orders,
         # deterministic sampling
         "sample_deterministic": q_sample_deterministic,
-        "sample_stratified": q_sample_stratified,
+        # sequence packing (distributed prefix sum, window-free)
+        "pack_sequences": q_pack_sequences,
         # semi-structured / reshaping
         "json_extract_props": q_json_extract_props,
         "pivot_orders": q_pivot_orders,
@@ -2242,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_in": _filter_query([{"field": "event_type", "operator": "in", "values": ["click", "view"]}]),
         "f6_is_not_empty": q_f6_is_not_empty,
         "f7_contains": _filter_query([{"field": "event_type", "operator": "contains", "value": "ick"}]),
+        "sample_stratified": q_sample_stratified,
         "cube_orders": q_cube_orders,
         "grouping_sets_orders": q_grouping_sets,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
@@ -2322,6 +2363,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _ORACLE_CORPUS_CURATION.format(
             thr=_sampling.fraction_threshold_hex(0.1)
         ),
+        "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,

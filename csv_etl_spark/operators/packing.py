@@ -90,7 +90,9 @@ def with_global_cumsum(
         offsets or [(0, 0)], schema="_pid int, _poffset long"
     )
 
-    out_schema = StructType(part.schema.fields).add("_local_before", LongType())
+    # copy the field list: StructType shares the passed list and .add()
+    # appends in place, which would corrupt part.schema itself
+    out_schema = StructType(list(part.schema.fields)).add("_local_before", LongType())
 
     def local_cumsum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         run = 0
