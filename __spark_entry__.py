@@ -1671,6 +1671,75 @@ def _ivf_oracle_sql(
     """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means clusters bound the pairwise
+    term, dedup compares only within a cluster (similarity.semantic_dedup).
+    Same planted near-dups as dedup_embedding (every 50th vector rescaled
+    under id+10^9 — cosine exactly 1) so the drop decision is provable; the
+    full pipeline (hash-sampled Lloyd centroids, argmax assignment,
+    ε-graph min-neighbor rule) is replicated in the SQL oracle."""
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(1000000000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    aug = e.select("vec_id", "embedding").unionByName(planted)
+    return similarity.semantic_dedup(
+        aug, n_centroids=8, threshold=0.9, kmeans_iters=2, sample_fraction=0.5
+    )
+
+
+def _semdedup_oracle_sql(
+    n_centroids: int = 8,
+    threshold: float = 0.9,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    sample_fraction: float = 0.5,
+) -> str:
+    cos_ec = _cos_sql("e.embedding", "c.centroid_vec")
+    cos_ab = _cos_sql("a.embedding", "b.embedding")
+    thr = _sampling.fraction_threshold_hex(sample_fraction)
+    iter_blocks = ",".join(
+        _kmeans_iter_sql("c0" if i == 1 else f"c{i - 1}", i, dim)
+        for i in range(1, kmeans_iters + 1)
+    )
+    return f"""
+    WITH aug AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000000 AS vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5) AS embedding
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    ksample AS (
+      SELECT vec_id, embedding FROM aug
+      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '{thr}'
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id,
+             embedding AS centroid_vec
+      FROM (SELECT vec_id, embedding FROM aug ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    {iter_blocks},
+    cents AS (SELECT centroid_id, centroid_vec FROM c{kmeans_iters}),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.centroid_id ASC) AS rk
+        FROM aug e CROSS JOIN cents c) WHERE rk = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.vec_id FROM assigned a
+      JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= {threshold}
+    )
+    SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS kept
+    FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2253,7 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         # dedup
         "dedup_exact": q_dedup_exact,
-        "dedup_normalized": q_dedup_normalized,
+        "semantic_dedup": q_semantic_dedup,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2283,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_is_not_empty": q_f6_is_not_empty,
         "f7_contains": _filter_query([{"field": "event_type", "operator": "contains", "value": "ick"}]),
         "sample_stratified": q_sample_stratified,
+        "dedup_normalized": q_dedup_normalized,
         "cube_orders": q_cube_orders,
         "grouping_sets_orders": q_grouping_sets,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
@@ -2351,6 +2421,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _ORACLE_MINHASH_LSH,
         "dedup_simhash": _ORACLE_SIMHASH,
         "dedup_embedding": _ORACLE_DEDUP_EMBEDDING.format(cos=_cos_sql("a.emb", "b.emb")),
+        "semantic_dedup": _semdedup_oracle_sql(),
         "ann_bruteforce": _ORACLE_ANN_BRUTE,
         "ann_ivf_exact": _ORACLE_ANN_BRUTE,  # nprobe=all ⇒ exact ⇒ same oracle
         "ann_ivf_approx": _ivf_oracle_sql(),  # deterministic IVF replicated in SQL

@@ -195,6 +195,111 @@ def kmeans_centroids(
     )
 
 
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its most-cosine-similar centroid — MAP-ONLY:
+    broadcast the centroid set as one array-of-structs row, compute all
+    similarities as an array column, take argmax via array_position.  A
+    row_number() over Window.partitionBy(vec_id) spelling would shuffle
+    N × n_centroids rows — the one scale-killer in this path at 100 TB.
+    array_sort orders structs by centroid_id (first field), and
+    array_position returns the FIRST max, so ties break on the lowest
+    centroid_id exactly like a (sim DESC, centroid_id ASC) window.
+
+    Returns (id_col, vec_col, cluster)."""
+    cent_arr = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "centroid_vec"))
+        ).alias("_cents")
+    )
+    sims = F.transform(
+        F.col("_cents"),
+        lambda c: cosine(F.col(vec_col), c.getField("centroid_vec")),
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_sims", sims)
+        .withColumn("_best", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
+        .select(
+            id_col,
+            vec_col,
+            F.element_at(F.col("_cents"), F.col("_best").cast("int"))
+            .getField("centroid_id")
+            .alias("cluster"),
+        )
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.9,
+    kmeans_iters: int = 2,
+    sample_fraction: float | None = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    recipe): k-means-cluster the embedding space, then compare pairs ONLY
+    within a cluster and drop every vector that has a more-senior (lower
+    id) τ-neighbor in its cluster.  Returns one row per input vector:
+    (id_col, cluster, kept).
+
+    Keeper rule: drop v iff ∃ u in the same cluster with id(u) < id(v) and
+    cos(u, v) ≥ threshold — the "ε-graph min-neighbor" rule.  Fully
+    parallel and deterministic (no sequential greedy state); coarser than
+    greedy-sequential dedup when τ-neighborhoods chain, which matches
+    SemDeDup's keep-one-representative intent.
+
+    Scale shape: clustering bounds the quadratic term — the self-join is
+    per-cluster (shuffle on the cluster key), so cost is Σ|cluster|², not
+    N².  At 100 TB pick n_centroids ∝ corpus size (SemDeDup uses ~100k
+    clusters for billions of docs) so clusters stay ~constant-sized; the
+    assignment step is the same map-only broadcast argmax as ``ivf_topk``
+    and the k-means fit touches only the hash sample."""
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors,
+            n_centroids=n_centroids,
+            iters=kmeans_iters,
+            sample_fraction=sample_fraction,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    assigned = assign_to_centroids(vectors, centroids, id_col=id_col, vec_col=vec_col)
+
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_vec_a"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vec_b"),
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(cosine(F.col("_vec_a"), F.col("_vec_b")) >= threshold)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -221,35 +326,7 @@ def ivf_topk(
             )
         )
 
-    # assign every vector to nearest centroid — MAP-ONLY: broadcast the
-    # centroid set as one array-of-structs row, compute all similarities as
-    # an array column, take argmax via array_position.  The previous
-    # row_number() over Window.partitionBy(vec_id) spelling shuffled
-    # N × n_centroids rows — the one scale-killer in this path at 100 TB.
-    # array_sort orders structs by centroid_id (first field), and
-    # array_position returns the FIRST max, so ties break on the lowest
-    # centroid_id exactly like the old (sim DESC, centroid_id ASC) window.
-    cent_arr = centroids.agg(
-        F.array_sort(
-            F.collect_list(F.struct("centroid_id", "centroid_vec"))
-        ).alias("_cents")
-    )
-    sims = F.transform(
-        F.col("_cents"),
-        lambda c: cosine(F.col(vec_col), c.getField("centroid_vec")),
-    )
-    assigned = (
-        vectors.crossJoin(F.broadcast(cent_arr))
-        .withColumn("_sims", sims)
-        .withColumn("_best", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
-        .select(
-            id_col,
-            vec_col,
-            F.element_at(F.col("_cents"), F.col("_best").cast("int"))
-            .getField("centroid_id")
-            .alias("cluster"),
-        )
-    )
+    assigned = assign_to_centroids(vectors, centroids, id_col=id_col, vec_col=vec_col)
 
     # route each probe to its nprobe nearest clusters
     probe_routes = (

@@ -765,3 +765,73 @@ def test_pack_sequences_plan_has_no_unpartitioned_window(spark):
     plan = pack_sequences(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "mapInPandas" in plan or "MapInPandas" in plan
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then within-cluster ε-graph)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted_neighbors(spark):
+    """Planted scaled copies (cosine 1.0 with their original) must be
+    dropped; originals and unrelated vectors kept; every input row appears
+    exactly once with its cluster id."""
+    from csv_etl_spark.operators.similarity import semantic_dedup
+
+    import math
+    import random
+
+    rng = random.Random(11)
+    base = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    planted = [(i + 1000, [1.5 * x for x in vec]) for i, vec in base if i % 10 == 0]
+    df = spark.createDataFrame(base + planted, ["vec_id", "embedding"])
+
+    out = {r["vec_id"]: r for r in semantic_dedup(
+        df, n_centroids=4, threshold=0.99, kmeans_iters=1, sample_fraction=None
+    ).collect()}
+
+    assert len(out) == len(base) + len(planted)
+    for i, _ in base:
+        assert out[i]["kept"], f"original {i} must survive"
+    for i, vec in base:
+        if i % 10 == 0:
+            pid = i + 1000
+            # copy shares the original's cluster (same direction) and dies
+            assert out[pid]["cluster"] == out[i]["cluster"]
+            assert not out[pid]["kept"], f"planted copy {pid} must be dropped"
+
+
+def test_semantic_dedup_min_id_survives_within_cluster(spark):
+    """ε-graph min-neighbor rule: among mutually-similar vectors in one
+    cluster, only the lowest id survives."""
+    from csv_etl_spark.operators.similarity import semantic_dedup
+
+    # three colinear vectors (pairwise cosine 1) + one orthogonal
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),
+        (3, [0.5, 0.0]),
+        (9, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        df, n_centroids=2, threshold=0.99, kmeans_iters=1, sample_fraction=None
+    ).collect()}
+    assert out == {1: True, 2: False, 3: False, 9: True}
+
+
+def test_semantic_dedup_pairs_join_is_cluster_keyed(spark):
+    """Scale shape: the pairwise stage must join on the cluster key (bounding
+    the quadratic term per cluster) — no cartesian product in the plan."""
+    from csv_etl_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(30)],
+        ["vec_id", "embedding"],
+    )
+    plan = semantic_dedup(
+        df, n_centroids=3, kmeans_iters=1, sample_fraction=None
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
