@@ -1461,7 +1461,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SIMHASH = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-      FROM documents WHERE trim(text) <> ''
+      FROM documents WHERE NOT regexp_matches(text, '^\\s*$')
     ),
     h AS (SELECT doc_id, {_poly_sql('tok')} AS h FROM toks),
     votes AS (
@@ -1532,7 +1532,10 @@ def _cos_sql(a: str, b: str) -> str:
         f"list_sum(list_transform(range(1, len({a}) + 1),"
         f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
     )
-    return f"({dot} / (sqrt({sq(a)}) * sqrt({sq(b)})))"
+    # Spark-side `cosine` guards zero-norm vectors (returns 0.0); mirror it
+    # here so a zero embedding cannot make the oracle NaN-diverge (ADVICE r4)
+    denom = f"(sqrt({sq(a)}) * sqrt({sq(b)}))"
+    return f"(CASE WHEN {denom} > 0 THEN {dot} / {denom} ELSE 0.0 END)"
 
 
 _ORACLE_ANN_BRUTE = f"""
@@ -1760,7 +1763,7 @@ def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_TOP_TOKENS = """
     WITH toks AS (
       SELECT lower(unnest(string_split_regex(trim(text), '\\s+'))) AS token
-      FROM documents WHERE trim(text) <> ''
+      FROM documents WHERE NOT regexp_matches(text, '^\\s*$')
     ),
     counts AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
     SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank, token, n
@@ -1776,7 +1779,7 @@ _RO = ", ".join(f"'{w}'" for w in ["el", "la", "de", "que", "y", "le", "et", "un
 _ORACLE_TEXT_METRICS = f"""
     WITH t AS (
       SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
                   ELSE string_split_regex(trim(text), '\\s+') END AS toks
       FROM documents
     ),
@@ -1848,7 +1851,7 @@ _ORACLE_TEXT_REPETITION = """
     ),
     t AS (
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
                   ELSE string_split_regex(trim(text), '\\s+') END AS toks
       FROM seeded
     ),
@@ -2007,7 +2010,7 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DECONTAMINATE = """
     WITH tok AS (
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
                   ELSE string_split_regex(trim(text), '\\s+') END AS toks
       FROM documents
     ),
@@ -2092,7 +2095,7 @@ _ORACLE_CORPUS_CURATION = f"""
     ),
     t AS (
       SELECT doc_id, text,
-             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
                   ELSE string_split_regex(trim(text), '\\s+') END AS toks,
              trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
                   '\\s+', ' ', 'g')) AS norm_text
@@ -2151,7 +2154,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_PACK_SEQUENCES = """
     WITH d AS (
       SELECT doc_id,
-             CAST(CASE WHEN trim(text) = '' THEN 0
+             CAST(CASE WHEN regexp_matches(text, '^\\s*$') THEN 0
                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
                AS n_tokens
       FROM documents

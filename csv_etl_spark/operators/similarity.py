@@ -272,6 +272,21 @@ def semantic_dedup(
             vec_col=vec_col,
         )
     assigned = assign_to_centroids(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    # `assigned` feeds three branches (both sides of the per-cluster
+    # self-join plus the final keeper left-join); without a persist the
+    # broadcast-argmax assignment and the upstream scan recompute ~3x
+    # (ADVICE round 4).  Same bounded-cache pattern as the LSH bucket
+    # projection above — entries are session-scoped and unpersisted on
+    # eviction.
+    key = _BPC.key_for(assigned, "semantic_dedup")
+    cached = _ASSIGNED_CACHE.get(key)
+    if cached is not None:
+        assigned = cached
+    else:
+        from pyspark import StorageLevel
+
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        _ASSIGNED_CACHE.put(key, assigned)
 
     a = assigned.select(
         F.col("cluster"),
@@ -376,6 +391,9 @@ _PLANES_CACHE: dict = {}
 from csv_etl_spark.operators._cache import BoundedPersistCache as _BPC  # noqa: E402
 
 _BUCKET_CACHE = _BPC(max_entries=4)
+
+# persisted centroid-assignment used 3x inside semantic_dedup
+_ASSIGNED_CACHE = _BPC(max_entries=4)
 
 
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:

@@ -26,8 +26,13 @@ PUNCT_CLASS = r"[.,!?;:]"
 
 
 def ws_tokens(col: Column) -> Column:
-    """Whitespace tokens of trimmed text; empty text → empty array."""
-    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+    """Whitespace tokens of trimmed text; empty OR whitespace-only text →
+    empty array.  The guard is a regex (not ``trim(col) == ""``) because
+    ``trim`` strips only spaces: a tab/newline-only doc would otherwise
+    fall through to ``split``, where Java drops trailing empty strings
+    (1 token) while other engines keep them (2) — the whitespace-only doc
+    must count 0 tokens everywhere (ADVICE round 4)."""
+    return F.when(col.rlike(r"^\s*$"), F.array().cast("array<string>")).otherwise(
         F.split(F.trim(col), r"\s+")
     )
 

@@ -212,6 +212,16 @@ def test_text_metrics_values(spark):
     assert rows[3]["n_tokens"] == 1
 
 
+def test_ws_tokens_whitespace_only_counts_zero(spark):
+    """Tab/newline-only docs must count 0 tokens, not Java split's 1 (or
+    another engine's 2) — the regex guard in ws_tokens (ADVICE round 4)."""
+    df = spark.createDataFrame(
+        [(1, "\t\n"), (2, "   "), (3, ""), (4, " a\tb ")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["n_tokens"] for r in text.text_metrics(df).collect()}
+    assert rows[1] == 0 and rows[2] == 0 and rows[3] == 0 and rows[4] == 2
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame([(1, "a b"), (2, "b a")], ["doc_id", "text"])
     rows = {r["doc_id"]: r["fingerprint"] for r in text.text_metrics(df).collect()}
