@@ -2177,6 +2177,232 @@ _ORACLE_PACK_SEQUENCES = """
 
 
 # ---------------------------------------------------------------------------
+# Paragraph / incremental dedup, rolling analytics, length histogram
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb GLOBAL paragraph dedup.  The synthetic docs are
+    single-line, so multi-paragraph structure is PLANTED: every doc gains
+    a shared header and footer paragraph (corpus-wide boilerplate — kept
+    only in the lowest doc) plus a per-doc closing sentence (always
+    kept), around its own body.  Winner-per-paragraph is a
+    groupBy(key).min(struct) — no window, no join on the winner path."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("subscribe to our newsletter today please."),
+            F.col("text"),
+            F.lit("all rights reserved worldwide."),
+            F.concat(
+                F.lit("closing paragraph for doc "),
+                F.col("doc_id").cast("string"),
+                F.lit("."),
+            ),
+        ).alias("text"),
+    )
+    return dedup.dedup_paragraphs(seeded)
+
+
+_ORACLE_DEDUP_PARAGRAPHS = """
+    WITH seeded AS (
+      SELECT doc_id,
+             'subscribe to our newsletter today please.' || chr(10) || text
+             || chr(10) || 'all rights reserved worldwide.'
+             || chr(10) || 'closing paragraph for doc ' || CAST(doc_id AS VARCHAR) || '.'
+               AS text
+      FROM documents
+    ),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM seeded),
+    p0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ps) + 1),
+                                   i -> {'pos': i, 'para': ps[i]})) AS u
+      FROM s
+    ),
+    p AS (
+      SELECT doc_id, u.pos AS pos, u.para AS para,
+             trim(regexp_replace(regexp_replace(lower(u.para), '[^\\w\\s]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS key
+      FROM p0
+    ),
+    kp AS (
+      SELECT doc_id, pos, para FROM (
+        SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+        FROM p WHERE key <> ''
+      ) WHERE rn = 1
+    ),
+    ka AS (
+      SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kp GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id,
+             len(list_filter(ps, x ->
+               trim(regexp_replace(regexp_replace(lower(x), '[^\\w\\s]', '', 'g'),
+                    '\\s+', ' ', 'g')) <> '')) AS n_paragraphs
+      FROM s
+    )
+    SELECT t.doc_id, coalesce(ka.text, '') AS text,
+           CAST(t.n_paragraphs AS BIGINT) AS n_paragraphs,
+           CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_paragraphs_kept
+    FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: even doc_ids play the already-curated corpus,
+    odd doc_ids the new batch.  Cross-set duplicates are PLANTED by
+    giving every batch doc with doc_id % 10 == 5 the text of corpus doc
+    (doc_id - 1); within-batch duplicates via a constant filler on
+    doc_id % 11 == 0.  Survivors = lowest-id batch doc per normalized
+    text whose key the corpus has never seen."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    donors = corpus.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("_donor")
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .join(donors, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("duplicate batch filler document.")
+            )
+            .when(
+                (F.col("doc_id") % 10 == 5) & F.col("_donor").isNotNull(),
+                F.col("_donor"),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return dedup.incremental_dedup(batch, corpus)
+
+
+_ORACLE_DEDUP_INCREMENTAL = """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    donors AS (SELECT doc_id + 1 AS doc_id, text AS donor FROM corpus),
+    batch AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 11 = 0 THEN 'duplicate batch filler document.'
+                  WHEN b.doc_id % 10 = 5 AND donor IS NOT NULL THEN donor
+                  ELSE b.text END AS text
+      FROM documents b LEFT JOIN donors ON b.doc_id = donors.doc_id
+      WHERE b.doc_id % 2 = 1
+    ),
+    keys AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS k
+      FROM batch
+    ),
+    w AS (
+      SELECT k, min(doc_id) AS doc_id, count(*) AS n_dups_in_batch
+      FROM keys WHERE k <> '' GROUP BY k
+    ),
+    seen AS (
+      SELECT DISTINCT
+             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS k
+      FROM corpus
+    )
+    SELECT w.doc_id, CAST(w.n_dups_in_batch AS BIGINT) AS n_dups_in_batch
+    FROM w
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.k = w.k AND seen.k <> '')
+"""
+
+
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-FRAME analytics over events: per-user lag/delta, 4-row
+    rolling sum/avg, per-user sequence numbers.  One shuffle keyed on
+    user_id (high-cardinality — spreads across all reducers)."""
+    from csv_etl_spark.operators.rolling import rolling_metrics
+
+    ev = _t(spark, sf_dir, "events", parallelize=True)
+    return rolling_metrics(ev, frame_rows=3)
+
+
+_ORACLE_EVENTS_ROLLING = """
+    SELECT user_id, event_id, value,
+           lag(value) OVER w AS prev_value,
+           round(value - lag(value) OVER w, 6) AS delta,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rolling_avg,
+           CAST(row_number() OVER w AS BIGINT) AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (32-token chunks, 8-token overlap)
+    — map-only posexplode + array slice, no shuffle."""
+    from csv_etl_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+# stride = 32 - 8 = 24; chunk c covers tokens [c*24+1 .. c*24+32] (1-based,
+# end-inclusive DuckDB slice == Spark slice(start, length) with auto-cap)
+_ORACLE_CHUNK_DOCUMENTS = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) = 0 THEN 0
+                  WHEN len(toks) <= 8 THEN 1
+                  ELSE CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT) END AS n_chunks
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS cid FROM g
+    )
+    SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+           array_to_string(toks[CAST(cid*24+1 AS BIGINT):CAST(cid*24+32 AS BIGINT)], ' ')
+             AS chunk_text,
+           CAST(len(toks[CAST(cid*24+1 AS BIGINT):CAST(cid*24+32 AS BIGINT)]) AS BIGINT)
+             AS n_chunk_tokens
+    FROM c
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution of the corpus in 16-token bins — the
+    pass that picks sequence budgets and length gates.  Map-side partials
+    reduce to ~n_bins rows."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    return text.length_histogram(d, bin_width=16)
+
+
+_ORACLE_DOC_LENGTH_HISTOGRAM = """
+    WITH n AS (
+      SELECT CAST(CASE WHEN regexp_matches(text, '^\\s*$') THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    b AS (SELECT n_tokens, n_tokens // 16 AS bin FROM n)
+    SELECT bin * 16 AS bin_lo, bin * 16 + 15 AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM b GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
 # Streaming semantics (batch-equivalent checks; live-stream tests in tests/)
 # ---------------------------------------------------------------------------
 
@@ -2279,7 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is already represented inside the window (f2/f3/f6/f7 filter probes are
     # covered by f4/f5 + test_filter_ops_parity; cube/grouping_sets by rollup;
     # dedup_jaccard_capped by dedup_jaccard_pairs; ann_ivf_exact by
-    # ann_ivf_approx).  All 59 remain oracle-checked locally via
+    # ann_ivf_approx).  All 66 remain oracle-checked locally via
     # scripts/check_oracle.py regardless of position.
     return {
         # ETL core (SURVEY §2.2/§2.3)
@@ -2360,6 +2586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": q_grouping_sets,
         "dedup_jaccard_capped": q_dedup_jaccard_capped,
         "ann_ivf_exact": q_ann_ivf_exact,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "dedup_incremental": q_dedup_incremental,
+        "events_rolling": q_events_rolling,
+        "doc_length_histogram": q_doc_length_histogram,
+        "chunk_documents": q_chunk_documents,
         # rows-only by design (HLL estimate is engine-specific): its driver row
         # carries no hash signal, so it yields its window slot to an
         # oracle-checkable query
@@ -2438,6 +2669,11 @@ def oracle_sql() -> dict[str, str]:
             thr=_sampling.fraction_threshold_hex(0.1)
         ),
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
+        "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
+        "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
+        "events_rolling": _ORACLE_EVENTS_ROLLING,
+        "doc_length_histogram": _ORACLE_DOC_LENGTH_HISTOGRAM,
+        "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,

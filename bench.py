@@ -54,6 +54,10 @@ HEADLINE = [
     "stream_hourly_counts",
     "stream_sessionize",
     "multimodal_features",
+    # round 5 additions
+    "dedup_paragraphs",
+    "events_rolling",
+    "chunk_documents",
 ]
 
 

@@ -538,3 +538,129 @@ def resolve_duplicate_clusters(
         return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level global dedup (C4 / RefinedWeb recipe)
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """GLOBAL paragraph-level exact dedup — the C4 (Raffel et al. 2020
+    §2.2) / RefinedWeb recipe: a paragraph occurring more than once
+    ANYWHERE in the corpus is kept only at its first occurrence (lowest
+    ``(doc_id, position)``); every later copy is dropped, and each doc's
+    text is re-joined from its surviving paragraphs in original order.
+    Catches boilerplate (headers, footers, cookie banners) that
+    document-level dedup can't see.
+
+    Returns one row per input doc: ``(id_col, text, n_paragraphs,
+    n_paragraphs_kept)`` — ``n_paragraphs`` counts non-empty paragraphs
+    after normalization, and docs whose every paragraph lost come back
+    with empty text and ``n_paragraphs_kept = 0``.
+
+    Scale shape: two shuffles and one doc-keyed join, no windows.
+    posexplode is map-only; the winner per paragraph key is a
+    ``groupBy(key).agg(min(struct(doc, pos, para)))`` with map-side
+    partials (never a window over mostly-unique keys — the sort would be
+    wasted); re-assembly is a second groupBy on doc_id; the only join
+    carries per-doc totals back in on ``id_col``, both sides already
+    doc-keyed.  Paragraph-key cardinality ~ corpus size, so no reducer
+    hot-spots; a frequent-paragraph skew (the same banner 10^9 times)
+    lands on ONE reducer only for the agg's final merge of already
+    map-combined partials — bounded."""
+    key = normalize_text(F.col("_para"))
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        )
+        .withColumn("_key", key)
+        .filter(F.col("_key") != "")
+    )
+    winners = (
+        exploded.groupBy("_key")
+        .agg(F.min(F.struct("_doc", "_pos", "_para")).alias("_first"))
+        .select(
+            F.col("_first._doc").alias("_doc"),
+            F.col("_first._pos").alias("_pos"),
+            F.col("_first._para").alias("_para"),
+        )
+    )
+    kept = winners.groupBy("_doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s.getField("_para"),
+            ),
+            sep,
+        ).alias("_text"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(
+            F.filter(F.split(F.col(text_col), sep), lambda p: normalize_text(p) != "")
+        )
+        .cast("bigint")
+        .alias("n_paragraphs"),
+    )
+    return (
+        totals.join(kept, totals[id_col] == kept["_doc"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+            F.col("n_paragraphs"),
+            F.coalesce(F.col("_n_kept"), F.lit(0).cast("bigint")).alias(
+                "n_paragraphs_kept"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (new-batch vs curated-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch of documents against an already-curated corpus
+    AND within itself — the shape every continuously-ingesting training
+    pipeline needs (yesterday's crawl is clean; today's must not re-add
+    yesterday's docs or its own internal copies).
+
+    Keeps, per normalized-text key present in the batch, the lowest-id
+    batch doc — and only if that key never appears in ``corpus``.
+    Returns ``(id_col, n_dups_in_batch)``.
+
+    Scale shape: one groupBy on the batch key (map-side partials), one
+    distinct over corpus keys, one left_anti shuffle join keyed on the
+    normalized text.  The corpus side projects to the key column only, so
+    shuffle payload is keys, not documents; for corpora whose key set is
+    still too large to shuffle per increment, pre-compute the corpus key
+    table once and reuse it across batches (it only grows by the batch
+    survivors), or front a Bloom filter exactly like
+    ``cleaning.decontaminate(bloom=True)`` to cut the anti-join input."""
+    b = batch.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_k")
+    ).filter(F.col("_k") != "")
+    winners = b.groupBy("_k").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).cast("bigint").alias("n_dups_in_batch"),
+    )
+    seen = (
+        corpus.select(normalize_text(F.col(text_col)).alias("_k"))
+        .filter(F.col("_k") != "")
+        .distinct()
+    )
+    return winners.join(seen, "_k", "left_anti").select(id_col, "n_dups_in_batch")

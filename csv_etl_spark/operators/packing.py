@@ -152,3 +152,59 @@ def pack_sequences(
         )
         .alias("n_seqs"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking — the standard pre-tokenization step
+    that turns long documents into fixed-budget training windows:
+    chunk ``c`` of a doc covers tokens ``[c·stride, c·stride +
+    chunk_tokens)`` with ``stride = chunk_tokens - overlap``, so
+    consecutive chunks share ``overlap`` tokens of context.  Chunk count
+    per doc: 1 when ``n_tokens ≤ overlap`` (a doc always yields a chunk
+    if it has any tokens), else ``ceil((n_tokens - overlap) / stride)`` —
+    every chunk contributes at least one new token, no degenerate tail
+    chunk fully contained in its predecessor.  Docs with zero tokens
+    yield no rows.
+
+    Returns ``(id_col, chunk_id, chunk_text, n_chunk_tokens)``.
+
+    Scale shape: pure map — split → per-row sequence of chunk ids →
+    posexplode → array slice/join.  No shuffle, no window, no state;
+    output size is input tokens × (1 + overlap/stride)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from .text import ws_tokens
+
+    t = df.select(
+        F.col(id_col),
+        ws_tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    n = F.col("_n")
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= overlap, F.lit(1))
+        .otherwise(F.ceil((n - F.lit(overlap)).cast("double") / F.lit(stride)))
+        .cast("int")
+    )
+    # filter BEFORE sequence(): sequence(0, -1) would emit a descending
+    # two-element array for zero-token docs, not an empty one
+    exploded = t.withColumn("_nc", n_chunks).filter(F.col("_nc") > 0).select(
+        F.col(id_col),
+        "_toks",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("_", "chunk_id"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+    )

@@ -176,3 +176,35 @@ def top_tokens(
     topk = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return topk.withColumn("rank", F.row_number().over(w)).select("rank", "token", "n")
+
+
+def length_histogram(
+    df: DataFrame, text_col: str = "text", bin_width: int = 16
+) -> DataFrame:
+    """Corpus token-length histogram — the length-distribution pass used
+    to pick truncation budgets and length gates before training.  One row
+    per ``bin_width``-token bin: ``(bin_lo, bin_hi, n_docs,
+    total_tokens)``.
+
+    Map-only token count per doc, then a groupBy on the bin id — a few
+    hundred groups regardless of corpus size, with map-side partials
+    doing virtually all the work, so the final reduce moves ~n_bins rows.
+    Low-cardinality GROUPING is fine at scale (unlike low-cardinality
+    window PARTITIONING): partials shrink the shuffle to one row per
+    (mapper, bin)."""
+    n = token_count(F.col(text_col))
+    b = F.floor(n / F.lit(bin_width)).cast("bigint")
+    return (
+        df.select(n.alias("_n"), b.alias("_bin"))
+        .groupBy("_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            (F.col("_bin") * bin_width).alias("bin_lo"),
+            (F.col("_bin") * bin_width + bin_width - 1).alias("bin_hi"),
+            "n_docs",
+            "total_tokens",
+        )
+    )

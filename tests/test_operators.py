@@ -845,3 +845,120 @@ def test_semantic_dedup_pairs_join_is_cluster_keyed(spark):
         df, n_centroids=3, kmeans_iters=1, sample_fraction=None
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level / incremental dedup, rolling metrics, length histogram
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_global_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Shared banner here.\nBody of doc one.\nShared footer text."),
+            (2, "Shared banner here.\nBody of doc two.\nShared footer text."),
+            (3, "SHARED BANNER, here!\nshared footer text"),  # normalizes to dups
+            (4, "   \n\t"),  # only whitespace paragraphs
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in dedup.dedup_paragraphs(df).collect()}
+    # doc 1 is first everywhere: keeps all three paragraphs verbatim
+    assert rows[1]["text"] == "Shared banner here.\nBody of doc one.\nShared footer text."
+    assert rows[1]["n_paragraphs"] == 3 and rows[1]["n_paragraphs_kept"] == 3
+    # doc 2 loses both boilerplate paragraphs, keeps its body
+    assert rows[2]["text"] == "Body of doc two."
+    assert rows[2]["n_paragraphs"] == 3 and rows[2]["n_paragraphs_kept"] == 1
+    # doc 3's paragraphs normalize to already-seen keys: everything dropped
+    assert rows[3]["text"] == "" and rows[3]["n_paragraphs_kept"] == 0
+    # whitespace-only paragraphs never count
+    assert rows[4]["n_paragraphs"] == 0 and rows[4]["text"] == ""
+
+
+def test_incremental_dedup_batch_vs_corpus(spark):
+    corpus = spark.createDataFrame(
+        [(1, "old news article."), (2, "curated reference doc.")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Old News Article!"),  # dup of corpus after normalization
+            (11, "fresh doc alpha."),
+            (12, "fresh doc alpha."),  # within-batch dup of 11
+            (13, "fresh doc beta."),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["n_dups_in_batch"]
+        for r in dedup.incremental_dedup(batch, corpus).collect()
+    }
+    assert rows == {11: 2, 13: 1}
+
+
+def test_rolling_metrics_values(spark):
+    from datetime import datetime
+
+    from csv_etl_spark.operators.rolling import rolling_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0), 7, 1.0),
+            (2, datetime(2024, 1, 1, 0, 1), 7, 2.0),
+            (3, datetime(2024, 1, 1, 0, 2), 7, 4.0),
+            (4, datetime(2024, 1, 1, 0, 3), 7, 8.0),
+            (5, datetime(2024, 1, 1, 0, 4), 7, 16.0),
+            (6, datetime(2024, 1, 1, 0, 0), 9, 5.0),
+        ],
+        ["event_id", "ts", "user_id", "value"],
+    )
+    rows = {
+        r["event_id"]: r
+        for r in rolling_metrics(df, frame_rows=3).collect()
+    }
+    assert rows[1]["prev_value"] is None and rows[1]["delta"] is None
+    assert rows[2]["delta"] == 1.0 and rows[2]["prev_value"] == 1.0
+    # frame = last 3 preceding + current: at event 5 → 2+4+8+16
+    assert rows[5]["rolling_sum"] == 30.0
+    assert rows[5]["rolling_avg"] == 7.5
+    assert [rows[i]["seq"] for i in (1, 2, 3, 4, 5)] == [1, 2, 3, 4, 5]
+    assert rows[6]["seq"] == 1 and rows[6]["rolling_sum"] == 5.0
+
+
+def test_length_histogram_bins(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, " ".join(["w"] * 20)), (4, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["bin_lo"]: r for r in text.length_histogram(df, bin_width=16).collect()}
+    assert rows[0]["n_docs"] == 3 and rows[0]["total_tokens"] == 5
+    assert rows[16]["n_docs"] == 1 and rows[16]["total_tokens"] == 20
+    assert rows[16]["bin_hi"] == 31
+
+
+def test_chunk_documents_sliding_windows(spark):
+    from csv_etl_spark.operators.packing import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1, text_col="text")
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"]) for r in out.collect())
+    )
+    # doc 1: stride 3, n=10 → ceil(9/3)=3 chunks: [0:4], [3:7], [6:10]
+    assert rows[0] == (1, 0, "t0 t1 t2 t3", 4)
+    assert rows[1] == (1, 1, "t3 t4 t5 t6", 4)
+    assert rows[2] == (1, 2, "t6 t7 t8 t9", 4)
+    # doc 2: n=2 > overlap=1 → ceil(1/3)=1 chunk, short
+    assert rows[3] == (2, 0, "a b", 2)
+    # doc 3: zero tokens → no rows
+    assert len(rows) == 4
+
+
+def test_chunk_documents_tiny_doc_single_chunk(spark):
+    from csv_etl_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=8, overlap=4).collect()
+    assert len(out) == 1 and out[0]["chunk_text"] == "x" and out[0]["n_chunk_tokens"] == 1
