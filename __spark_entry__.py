@@ -2379,6 +2379,46 @@ _ORACLE_CHUNK_DOCUMENTS = """
 """
 
 
+def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-salted aggregation over the LOW-cardinality
+    event_type key (the exact shape where one hot key would otherwise pin
+    one reducer).  The salted result must equal a plain GROUP BY — that
+    equality IS the oracle.  Double sums rounded to 6 decimals: the
+    salted merge and DuckDB's single-pass sum add in different orders
+    (error ~1e-8 at this scale, far under the rounding)."""
+    from csv_etl_spark.operators.partitioning import salted_agg
+
+    ev = _t(spark, sf_dir, "events", parallelize=True)
+    out = salted_agg(
+        ev.select("event_type", "value"),
+        keys=["event_type"],
+        aggs=[
+            ("value", "count", "n_events"),
+            ("value", "sum", "sum_value"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+_ORACLE_SALTED_AGG = """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY event_type
+"""
+
+
 def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length distribution of the corpus in 16-token bins — the
     pass that picks sequence budgets and length gates.  Map-side partials
@@ -2505,7 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is already represented inside the window (f2/f3/f6/f7 filter probes are
     # covered by f4/f5 + test_filter_ops_parity; cube/grouping_sets by rollup;
     # dedup_jaccard_capped by dedup_jaccard_pairs; ann_ivf_exact by
-    # ann_ivf_approx).  All 66 remain oracle-checked locally via
+    # ann_ivf_approx).  All 68 remain oracle-checked locally via
     # scripts/check_oracle.py regardless of position.
     return {
         # ETL core (SURVEY §2.2/§2.3)
@@ -2591,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "doc_length_histogram": q_doc_length_histogram,
         "chunk_documents": q_chunk_documents,
+        "salted_agg_events": q_salted_agg_events,
         # rows-only by design (HLL estimate is engine-specific): its driver row
         # carries no hash signal, so it yields its window slot to an
         # oracle-checkable query
@@ -2674,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling": _ORACLE_EVENTS_ROLLING,
         "doc_length_histogram": _ORACLE_DOC_LENGTH_HISTOGRAM,
         "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
+        "salted_agg_events": _ORACLE_SALTED_AGG,
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,
