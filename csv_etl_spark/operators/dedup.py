@@ -570,18 +570,26 @@ def dedup_paragraphs(
     partials (never a window over mostly-unique keys — the sort would be
     wasted); re-assembly is a second groupBy on doc_id; the only join
     carries per-doc totals back in on ``id_col``, both sides already
-    doc-keyed.  Paragraph-key cardinality ~ corpus size, so no reducer
-    hot-spots; a frequent-paragraph skew (the same banner 10^9 times)
-    lands on ONE reducer only for the agg's final merge of already
-    map-combined partials — bounded."""
-    key = normalize_text(F.col("_para"))
+    doc-keyed.  The groupBy key is ``xxhash64`` of the normalized
+    paragraph, not the string itself — the paragraph text must ride the
+    shuffle once as payload (it rebuilds the doc), but an 8-byte key
+    instead of a second copy of the string halves the shuffle bytes;
+    64-bit collisions (a paragraph silently deduped against a different
+    one) are ~n²/2⁶⁵ — negligible at any real corpus size, same trade as
+    ``exact_dedup_normalized``.  Paragraph-key cardinality ~ corpus size,
+    so no reducer hot-spots; a frequent-paragraph skew (the same banner
+    10^9 times) lands on ONE reducer only for the agg's final merge of
+    already map-combined partials — bounded."""
+    norm = normalize_text(F.col("_para"))
     exploded = (
         df.select(
             F.col(id_col).alias("_doc"),
             F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
         )
-        .withColumn("_key", key)
-        .filter(F.col("_key") != "")
+        .withColumn("_norm", norm)
+        .filter(F.col("_norm") != "")
+        .withColumn("_key", F.xxhash64("_norm"))
+        .drop("_norm")
     )
     winners = (
         exploded.groupBy("_key")
@@ -644,23 +652,30 @@ def incremental_dedup(
     Returns ``(id_col, n_dups_in_batch)``.
 
     Scale shape: one groupBy on the batch key (map-side partials), one
-    distinct over corpus keys, one left_anti shuffle join keyed on the
-    normalized text.  The corpus side projects to the key column only, so
-    shuffle payload is keys, not documents; for corpora whose key set is
-    still too large to shuffle per increment, pre-compute the corpus key
-    table once and reuse it across batches (it only grows by the batch
-    survivors), or front a Bloom filter exactly like
-    ``cleaning.decontaminate(bloom=True)`` to cut the anti-join input."""
-    b = batch.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("_k")
-    ).filter(F.col("_k") != "")
+    distinct over corpus keys, one left_anti shuffle join.  Both sides
+    key on ``xxhash64`` of the normalized text — 8-byte keys instead of
+    full document strings in the shuffle (64-bit collision odds are
+    negligible; same trade as ``exact_dedup_normalized``), and the corpus
+    side projects to the key column only, so its shuffle payload is 8
+    bytes/doc.  For corpora whose key set is still too large to shuffle
+    per increment, pre-compute the corpus key table once and reuse it
+    across batches (it only grows by the batch survivors), or front a
+    Bloom filter exactly like ``cleaning.decontaminate(bloom=True)`` to
+    cut the anti-join input."""
+    norm = normalize_text(F.col(text_col))
+    b = (
+        batch.select(F.col(id_col), norm.alias("_n"))
+        .filter(F.col("_n") != "")
+        .select(F.col(id_col), F.xxhash64("_n").alias("_k"))
+    )
     winners = b.groupBy("_k").agg(
         F.min(id_col).alias(id_col),
         F.count(F.lit(1)).cast("bigint").alias("n_dups_in_batch"),
     )
     seen = (
-        corpus.select(normalize_text(F.col(text_col)).alias("_k"))
-        .filter(F.col("_k") != "")
+        corpus.select(norm.alias("_n"))
+        .filter(F.col("_n") != "")
+        .select(F.xxhash64("_n").alias("_k"))
         .distinct()
     )
     return winners.join(seen, "_k", "left_anti").select(id_col, "n_dups_in_batch")
