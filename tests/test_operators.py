@@ -962,3 +962,38 @@ def test_chunk_documents_tiny_doc_single_chunk(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     out = chunk_documents(df, chunk_tokens=8, overlap=4).collect()
     assert len(out) == 1 and out[0]["chunk_text"] == "x" and out[0]["n_chunk_tokens"] == 1
+
+
+def test_chunk_documents_coverage_invariants(spark):
+    """Property sweep on one Spark round-trip: for a batch of random-ish
+    docs, (a) stripping the overlap prefix of every chunk after the first
+    and concatenating reconstructs the token stream exactly, (b) no chunk
+    exceeds the budget, (c) every chunk past the first starts exactly
+    stride tokens after its predecessor."""
+    from csv_etl_spark.operators.packing import chunk_documents
+
+    chunk_tokens, overlap = 16, 4
+    stride = chunk_tokens - overlap
+    docs = []
+    lengths = [0, 1, 3, 4, 5, 11, 12, 13, 16, 17, 28, 29, 47, 100, 133]
+    for did, n in enumerate(lengths):
+        docs.append((did, " ".join(f"w{did}_{i}" for i in range(n))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"].split(" "), r["n_chunk_tokens"])
+        )
+    for did, n in enumerate(lengths):
+        chunks = sorted(by_doc.get(did, []))
+        if n == 0:
+            assert chunks == []
+            continue
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        rebuilt: list[str] = []
+        for cid, toks, n_toks in chunks:
+            assert len(toks) == n_toks <= chunk_tokens
+            assert toks == [f"w{did}_{i}" for i in range(cid * stride, min(cid * stride + chunk_tokens, n))]
+            rebuilt.extend(toks if cid == 0 else toks[overlap:])
+        assert rebuilt == [f"w{did}_{i}" for i in range(n)]
