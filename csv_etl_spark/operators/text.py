@@ -208,3 +208,66 @@ def length_histogram(
             "total_tokens",
         )
     )
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Encode each document as integer token ids from a frequency-ranked
+    vocabulary built over the SAME corpus — the id-mapping step between
+    text curation and sequence packing.  Token id = frequency rank
+    (1 = most frequent, ties broken token-asc, exactly ``top_tokens``'s
+    ordering); out-of-vocabulary tokens map to 0.
+
+    Returns ``(id_col, token_ids, n_tokens, n_oov)`` with ``token_ids``
+    in original token order.
+
+    Scale shape: the vocabulary is ``top_tokens`` (partial-agg counts +
+    TakeOrderedAndProject — never a full-vocab single-partition sort) and
+    is ≤ ``vocab_size`` rows, so the token→id join BROADCASTS it;
+    re-assembly is one groupBy on the doc id (map-side partials,
+    high-cardinality key).  The explode temporarily multiplies rows by
+    tokens-per-doc, the same cost every shingle/top-token pass already
+    pays."""
+    vocab = top_tokens(df, k=vocab_size, text_col=text_col, lowercase=lowercase)
+    toks = ws_tokens(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("_pos", "_tok"),
+    )
+    if lowercase:
+        exploded = exploded.withColumn("_tok", F.lower(F.col("_tok")))
+    joined = exploded.join(
+        F.broadcast(vocab.select(F.col("token").alias("_tok"), F.col("rank"))),
+        "_tok",
+        "left",
+    ).select(
+        F.col(id_col),
+        "_pos",
+        F.coalesce(F.col("rank"), F.lit(0)).cast("bigint").alias("_id"),
+    )
+    encoded = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_id"))),
+            lambda s: s.getField("_id"),
+        ).alias("token_ids"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("_id") == 0, 1).otherwise(0)).cast("bigint").alias("n_oov"),
+    )
+    # zero-token docs produce no exploded rows — restore them with empty arrays
+    totals = df.select(F.col(id_col))
+    return (
+        totals.join(encoded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("token_ids"), F.array().cast("array<bigint>")).alias(
+                "token_ids"
+            ),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce(F.col("n_oov"), F.lit(0).cast("bigint")).alias("n_oov"),
+        )
+    )

@@ -997,3 +997,20 @@ def test_chunk_documents_coverage_invariants(spark):
             assert toks == [f"w{did}_{i}" for i in range(cid * stride, min(cid * stride + chunk_tokens, n))]
             rebuilt.extend(toks if cid == 0 else toks[overlap:])
         assert rebuilt == [f"w{did}_{i}" for i in range(n)]
+
+
+def test_tokens_to_ids_rank_encoding(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),
+            (2, "the zebra"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    # counts: the=3; and/cat/dog/zebra=1 → ranks: the=1, and=2, cat=3, dog=4, zebra=5
+    out = {r["doc_id"]: r for r in text.tokens_to_ids(df, vocab_size=4).collect()}
+    assert out[1]["token_ids"] == [1, 3, 2, 1, 4] and out[1]["n_oov"] == 0
+    # zebra (rank 5) is beyond vocab_size=4 → OOV id 0
+    assert out[2]["token_ids"] == [1, 0] and out[2]["n_oov"] == 1
+    assert out[3]["token_ids"] == [] and out[3]["n_tokens"] == 0
