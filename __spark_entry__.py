@@ -2432,6 +2432,39 @@ _ORACLE_TOKENS_TO_IDS = """
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-estimated unigram LM quality score per doc (the CCNet
+    perplexity-gate shape).  avg rounded to 6 decimals: libm ln() may
+    differ in the last ulp between engines."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    return text.unigram_logprob(d)
+
+
+_ORACLE_UNIGRAM_LOGPROB = """
+    WITH ts AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    t AS (SELECT doc_id, lower(unnest(toks)) AS tok FROM ts),
+    counts AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts),
+    sc AS (
+      SELECT t.doc_id, ln(c.n / tot.total) AS lp
+      FROM t JOIN counts c ON t.tok = c.tok CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens, round(avg(lp), 6) AS avg_logprob
+      FROM sc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(a.avg_logprob, 0.0) AS avg_logprob
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def q_salted_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase skew-salted aggregation over the LOW-cardinality
     event_type key (the exact shape where one hot key would otherwise pin
@@ -2598,7 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is already represented inside the window (f2/f3/f6/f7 filter probes are
     # covered by f4/f5 + test_filter_ops_parity; cube/grouping_sets by rollup;
     # dedup_jaccard_capped by dedup_jaccard_pairs; ann_ivf_exact by
-    # ann_ivf_approx).  All 69 remain oracle-checked locally via
+    # ann_ivf_approx).  All 70 remain oracle-checked locally via
     # scripts/check_oracle.py regardless of position.
     return {
         # ETL core (SURVEY §2.2/§2.3)
@@ -2692,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "salted_agg_events": q_salted_agg_events,
         "tokens_to_ids": q_tokens_to_ids,
+        "unigram_logprob": q_unigram_logprob,
         # rows-only by design (HLL estimate is engine-specific): its driver row
         # carries no hash signal, so it yields its window slot to an
         # oracle-checkable query
@@ -2777,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
         "salted_agg_events": _ORACLE_SALTED_AGG,
         "tokens_to_ids": _ORACLE_TOKENS_TO_IDS,
+        "unigram_logprob": _ORACLE_UNIGRAM_LOGPROB,
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,

@@ -271,3 +271,54 @@ def tokens_to_ids(
             F.coalesce(F.col("n_oov"), F.lit(0).cast("bigint")).alias("n_oov"),
         )
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", lowercase: bool = True
+) -> DataFrame:
+    """Language-model quality proxy (the CCNet/perplexity-filter shape,
+    with a unigram model estimated from the corpus itself): each doc is
+    scored by the mean natural-log probability of its tokens under the
+    corpus unigram distribution.  Gibberish and rare-token soup score
+    far below typical prose; filtering on a score quantile is the classic
+    LM quality gate.  Returns ``(id_col, n_tokens, avg_logprob)`` —
+    higher (less negative) = more typical; empty docs score 0.0.
+
+    Scale shape: one token groupBy (map-side partials soak the Zipf head),
+    a single-row total aggregated then broadcast (one-row nested-loop —
+    constant cost), and a token-keyed join of the exploded corpus against
+    the count table — AQE's skew-join splits the hot-token side.  The
+    corpus is deliberately scanned twice (count pass + score pass): at
+    100 TB, re-reading columnar parquet beats persisting the exploded
+    token stream (~10x the source bytes) to disk; the one-pass window
+    spelling (``count(*) over (partition by tok)``) would land the whole
+    Zipf head on single reducers — the skew anti-pattern.  The mean is
+    rounded to 6 decimals so libm ulp differences and addition order
+    cannot leak into the result."""
+    toks = ws_tokens(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    if lowercase:
+        exploded = exploded.withColumn("_tok", F.lower(F.col("_tok")))
+    counts = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").cast("double").alias("_total"))
+    scored = (
+        exploded.join(counts, "_tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log(F.col("_n") / F.col("_total")).alias("_lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+        )
+    )

@@ -1014,3 +1014,24 @@ def test_tokens_to_ids_rank_encoding(spark):
     # zebra (rank 5) is beyond vocab_size=4 → OOV id 0
     assert out[2]["token_ids"] == [1, 0] and out[2]["n_oov"] == 1
     assert out[3]["token_ids"] == [] and out[3]["n_tokens"] == 0
+
+
+def test_unigram_logprob_ranks_typicality(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the"),        # only the most frequent token
+            (2, "the rare"),            # mixes in a singleton
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.unigram_logprob(df).collect()}
+    # corpus: the=4, rare=1, total=5
+    assert rows[1]["avg_logprob"] == pytest.approx(math.log(4 / 5), abs=1e-6)
+    assert rows[2]["avg_logprob"] == pytest.approx(
+        (math.log(4 / 5) + math.log(1 / 5)) / 2, abs=1e-6
+    )
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+    assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] == 0.0
