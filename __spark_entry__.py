@@ -1383,6 +1383,83 @@ _ORACLE_DEDUP_CLUSTERS = """
 """
 
 
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster REPRESENTATIVE selection: connected components
+    over the exact jaccard pair graph, then keep the highest-quality
+    member per cluster (ties → lowest id).  Quality is rounded to 6
+    decimals on BOTH sides so the selection ordering is engine-portable
+    (rounded-quality parity is already proven by text_metrics)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.35, n=3, freq_cap=None)
+    labels = dedup.resolve_duplicate_clusters(pairs)
+    scores = d.select(
+        F.col("doc_id").alias("id"),
+        F.round(text.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    return dedup.cluster_representatives(labels, scores)
+
+
+# formatted with sw=_SW at oracle_sql() time (_SW is defined further down)
+_ORACLE_DEDUP_REPRESENTATIVES = """
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS id, min(v) AS cluster_id FROM reach GROUP BY u),
+    t AS (
+      SELECT doc_id, text,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains([{sw}], lower(x)))) AS sw_hits,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id,
+             round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                    + least(CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens
+                                 ELSE 0.0 END * 4.0, 1.0)) / 2.0
+                   * (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+                                       ELSE 0.0 END * 2.0, 1.0) * 0.5), 6) AS quality
+      FROM m
+    ),
+    r AS (
+      SELECT cc.cluster_id, cc.id, q.quality,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY q.quality DESC, cc.id ASC) AS rn,
+             count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+      FROM cc JOIN q ON cc.id = q.doc_id
+    )
+    SELECT cluster_id, id AS rep_id, CAST(n_members AS BIGINT) AS n_members
+    FROM r WHERE rn = 1
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH near-dup pairs in PORTABLE hash mode: poly-hash shingles, affine
     minhash family, band keys = raw signature slices.  The DuckDB oracle
@@ -2432,6 +2509,26 @@ _ORACLE_TOKENS_TO_IDS = """
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: position = exclusive
+    prefix sum of 1s over the md5(id) order (window-free — the oracle's
+    row_number spelling is the serial model the distributed prefix sum
+    must reproduce exactly)."""
+    from csv_etl_spark.operators.packing import shuffled_positions
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id")
+    return shuffled_positions(d)
+
+
+_ORACLE_CORPUS_SHUFFLE = """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || '|')) - 1 AS BIGINT)
+             AS position
+    FROM documents
+"""
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-estimated unigram LM quality score per doc (the CCNet
     perplexity-gate shape).  avg rounded to 6 decimals: libm ln() may
@@ -2631,7 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is already represented inside the window (f2/f3/f6/f7 filter probes are
     # covered by f4/f5 + test_filter_ops_parity; cube/grouping_sets by rollup;
     # dedup_jaccard_capped by dedup_jaccard_pairs; ann_ivf_exact by
-    # ann_ivf_approx).  All 70 remain oracle-checked locally via
+    # ann_ivf_approx).  All 72 remain oracle-checked locally via
     # scripts/check_oracle.py regardless of position.
     return {
         # ETL core (SURVEY §2.2/§2.3)
@@ -2726,6 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_events": q_salted_agg_events,
         "tokens_to_ids": q_tokens_to_ids,
         "unigram_logprob": q_unigram_logprob,
+        "corpus_shuffle": q_corpus_shuffle,
+        "dedup_representatives": q_dedup_representatives,
         # rows-only by design (HLL estimate is engine-specific): its driver row
         # carries no hash signal, so it yields its window slot to an
         # oracle-checkable query
@@ -2812,6 +2911,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_agg_events": _ORACLE_SALTED_AGG,
         "tokens_to_ids": _ORACLE_TOKENS_TO_IDS,
         "unigram_logprob": _ORACLE_UNIGRAM_LOGPROB,
+        "corpus_shuffle": _ORACLE_CORPUS_SHUFFLE,
+        "dedup_representatives": _ORACLE_DEDUP_REPRESENTATIVES.format(sw=_SW),
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,

@@ -679,3 +679,41 @@ def incremental_dedup(
         .distinct()
     )
     return winners.join(seen, "_k", "left_anti").select(id_col, "n_dups_in_batch")
+
+
+def cluster_representatives(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Pick ONE representative per duplicate cluster — the step after
+    connected-component resolution that corpus dedup actually ships:
+    instead of blindly keeping the min-id member, keep the BEST one
+    (highest ``score_col``, ties to the lowest id) and drop the rest.
+
+    ``labels``: (id_col, cluster_col) from ``resolve_duplicate_clusters``;
+    ``scores``: (id_col, score_col), e.g. ``text.quality_score``.
+    Returns ``(cluster_col, rep_id, n_members)``.
+
+    Scale shape: one id-keyed join plus one groupBy on the cluster key
+    with an order-free ``min(struct(-score, id))`` argmax — map-side
+    partials, deterministic under ties, no window (a per-cluster
+    row_number would sort every cluster through the shuffle for a
+    one-row answer)."""
+    j = labels.join(scores, id_col)
+    agg = j.groupBy(cluster_col).agg(
+        F.min(
+            F.struct(
+                (-F.col(score_col)).alias("_neg_score"),
+                F.col(id_col).alias("_id"),
+            )
+        ).alias("_best"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    return agg.select(
+        F.col(cluster_col),
+        F.col("_best._id").alias("rep_id"),
+        F.col("n_members"),
+    )

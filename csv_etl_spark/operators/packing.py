@@ -208,3 +208,32 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
     )
+
+
+def shuffled_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic GLOBAL corpus shuffle — assigns every row a unique
+    0-based ``position`` in a pseudo-random but fully reproducible order
+    (md5 of the id + salt; change ``salt`` for a fresh epoch
+    permutation).  This is the training-order shuffle that must NOT be
+    ``ORDER BY rand()`` (non-reproducible, breaks retries) and must NOT
+    be a global ``row_number`` window (single-partition sort of the whole
+    corpus).
+
+    Scale shape: position = exclusive prefix sum of 1s over the md5
+    order, i.e. ``with_global_cumsum`` — one range shuffle on the md5
+    key, local cumsum in Arrow batches, driver sees one row per
+    partition.  md5 is engine-portable (same parity trick as
+    ``operators/sampling``), so an external system can reproduce the
+    exact permutation."""
+    key = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
+    d = df.select(
+        F.col(id_col),
+        key.alias("_shuffle_key"),
+        F.lit(1).cast("long").alias("_one"),
+    )
+    out = with_global_cumsum(d, "_one", "_shuffle_key", out_col="position")
+    return out.select(F.col(id_col), F.col("position"))

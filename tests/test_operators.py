@@ -1035,3 +1035,34 @@ def test_unigram_logprob_ranks_typicality(spark):
     )
     assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
     assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logprob"] == 0.0
+
+
+def test_shuffled_positions_is_a_permutation(spark):
+    from csv_etl_spark.operators.packing import shuffled_positions
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    rows = shuffled_positions(df).collect()
+    positions = sorted(r["position"] for r in rows)
+    assert positions == list(range(100))
+    # deterministic across invocations, and salt changes the permutation
+    again = {r["doc_id"]: r["position"] for r in shuffled_positions(df).collect()}
+    assert again == {r["doc_id"]: r["position"] for r in rows}
+    salted = {r["doc_id"]: r["position"] for r in shuffled_positions(df, salt="epoch1").collect()}
+    assert sorted(salted.values()) == list(range(100))
+    assert salted != again
+    # not the identity order (md5 scrambles)
+    assert [again[i] for i in range(100)] != list(range(100))
+
+
+def test_cluster_representatives_best_quality_wins(spark):
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], ["id", "cluster_id"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.9), (7, 0.5), (8, 0.5)], ["id", "quality"]
+    )
+    out = {r["cluster_id"]: r for r in
+           dedup.cluster_representatives(labels, scores).collect()}
+    # cluster 1: 2 and 3 tie at 0.9 → lowest id wins
+    assert out[1]["rep_id"] == 2 and out[1]["n_members"] == 3
+    assert out[7]["rep_id"] == 7 and out[7]["n_members"] == 2
