@@ -58,6 +58,10 @@ HEADLINE = [
     "dedup_paragraphs",
     "events_rolling",
     "chunk_documents",
+    "pack_sequences",
+    "tokens_to_ids",
+    "unigram_logprob",
+    "corpus_shuffle",
 ]
 
 

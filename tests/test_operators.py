@@ -1066,3 +1066,28 @@ def test_cluster_representatives_best_quality_wins(spark):
     # cluster 1: 2 and 3 tie at 0.9 → lowest id wins
     assert out[1]["rep_id"] == 2 and out[1]["n_members"] == 3
     assert out[7]["rep_id"] == 7 and out[7]["n_members"] == 2
+
+
+def test_dedup_paragraphs_output_is_globally_unique(spark):
+    """Corpus-level invariant on real testdata: after paragraph dedup no
+    normalized paragraph appears twice anywhere, and the survivor of each
+    key is its first occurrence."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit("shared banner line."), F.col("text"),
+            F.lit("shared footer line."),
+        ).alias("text"),
+    )
+    out = dedup.dedup_paragraphs(seeded)
+    paras = (
+        out.select("doc_id", F.explode(F.split("text", "\n")).alias("p"))
+        .filter(F.trim("p") != "")
+        .select("doc_id", dedup.normalize_text(F.col("p")).alias("k"))
+    )
+    dup_keys = paras.groupBy("k").count().filter(F.col("count") > 1).count()
+    assert dup_keys == 0
+    # the shared banner survives exactly once, in the lowest doc_id
+    banner_docs = paras.filter(F.col("k") == "shared banner line").collect()
+    assert len(banner_docs) == 1 and banner_docs[0]["doc_id"] == 0
