@@ -2008,6 +2008,62 @@ def _oracle_pii_scrub() -> str:
     """
 
 
+def q_text_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction with markup PLANTED around every doc
+    (script block with content to kill, heading, entity-bearing
+    paragraph, nbsp) — proves block removal, tag→newline structure,
+    entity decode and whitespace collapse on every row."""
+    from csv_etl_spark.operators.cleaning import strip_html
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title></head><body><script>var k="),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; more</p><div>tail&nbsp;item</div></body></html>"),
+        ).alias("text"),
+    )
+    return strip_html(seeded)
+
+
+def _strip_html_sql(col: str) -> str:
+    """Nested regexp_replace chain built from the SAME pattern list the
+    Spark operator uses (cleaning.HTML_STRIP_PATTERNS) — identical
+    patterns, identical order.  Literal-newline replacements become
+    chr(10) (DuckDB string literals do not interpret backslash
+    escapes)."""
+    from csv_etl_spark.operators.cleaning import HTML_STRIP_PATTERNS
+
+    out = col
+    for pattern, rep in HTML_STRIP_PATTERNS:
+        p = pattern.replace("'", "''")
+        r = "chr(10)" if rep == "\n" else "'" + rep.replace("'", "''") + "'"
+        out = f"regexp_replace({out}, '{p}', {r}, 'g')"
+    return out
+
+
+def _oracle_strip_html() -> str:
+    cleaned = _strip_html_sql("text")
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             '<html><head><title>t</title></head><body><script>var k='
+             || CAST(doc_id AS VARCHAR) || ';</script><h1>Doc '
+             || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+             || ' &amp; more</p><div>tail&nbsp;item</div></body></html>' AS text
+      FROM documents
+    )
+    SELECT doc_id, {cleaned} AS text,
+           CAST(length(text) - length({cleaned}) AS BIGINT) AS n_chars_removed
+    FROM seeded
+    """
+
+
 def q_text_filter_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level boilerplate removal (Raffel et al. 2020 §2.2).
     The synthetic docs are single-line with no terminal punctuation, so
@@ -2728,7 +2784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is already represented inside the window (f2/f3/f6/f7 filter probes are
     # covered by f4/f5 + test_filter_ops_parity; cube/grouping_sets by rollup;
     # dedup_jaccard_capped by dedup_jaccard_pairs; ann_ivf_exact by
-    # ann_ivf_approx).  All 72 remain oracle-checked locally via
+    # ann_ivf_approx).  All 73 remain oracle-checked locally via
     # scripts/check_oracle.py regardless of position.
     return {
         # ETL core (SURVEY §2.2/§2.3)
@@ -2825,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_representatives": q_dedup_representatives,
+        "text_strip_html": q_text_strip_html,
         # rows-only by design (HLL estimate is engine-specific): its driver row
         # carries no hash signal, so it yields its window slot to an
         # oracle-checkable query
@@ -2913,6 +2970,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _ORACLE_UNIGRAM_LOGPROB,
         "corpus_shuffle": _ORACLE_CORPUS_SHUFFLE,
         "dedup_representatives": _ORACLE_DEDUP_REPRESENTATIVES.format(sw=_SW),
+        "text_strip_html": _oracle_strip_html(),
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,

@@ -247,3 +247,65 @@ def decontaminate(
     if keep:
         return corpus.join(overlaps, id_col, "left_anti")
     return corpus.join(overlaps, id_col, "left_semi")
+
+
+# Ordered (pattern, replacement) chain for HTML → text extraction, in the
+# portable Java-regex ∩ RE2 subset (inline (?is) flags, non-greedy
+# repetition — no lookarounds).  Order is part of the contract: container
+# blocks whose CONTENT must die (script/style/head/comments) go before the
+# generic tag strip, entities decode after tags are gone, whitespace
+# collapses last.
+HTML_STRIP_PATTERNS: list[tuple[str, str]] = [
+    (r"(?is)<script\b.*?</script>", " "),
+    (r"(?is)<style\b.*?</style>", " "),
+    (r"(?is)<head\b.*?</head>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)</?(p|br|div|li|tr|h[1-6])\b[^>]*>", "\n"),  # block-ish → newline
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+    # edge-trim INSIDE the chain (not F.trim, which strips spaces only —
+    # a leading newline would survive it); ^/$ anchor the whole string in
+    # both Java and RE2 when MULTILINE is off
+    (r"^\s+", ""),
+    (r"\s+$", ""),
+]
+
+
+def strip_html_column(col: Column) -> Column:
+    out = col
+    for pat, rep in HTML_STRIP_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """HTML → text extraction (the step before every web-corpus quality
+    gate): drops script/style/head blocks WITH their content, turns
+    block-level tags into newlines (so ``filter_lines`` sees real line
+    structure), strips remaining tags, decodes the common entities, and
+    collapses whitespace.  Returns ``(id_col, text, n_chars_removed)``.
+
+    Map-only: a fixed JVM-side regexp_replace chain — linear in input
+    splits, no shuffle, no UDF.  Patterns live in the Java∩RE2 subset so
+    the SQL oracle applies the IDENTICAL chain in the IDENTICAL order
+    (same discipline as ``scrub_pii``).  This is a cleaner for
+    tag-soup-in-text corpora, not a browser: malformed nesting degrades
+    to extra whitespace, never to retained script content."""
+    cleaned = strip_html_column(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text"),
+        (F.length(text_col) - F.length(cleaned)).cast("bigint").alias(
+            "n_chars_removed"
+        ),
+    )

@@ -1091,3 +1091,26 @@ def test_dedup_paragraphs_output_is_globally_unique(spark):
     # the shared banner survives exactly once, in the lowest doc_id
     banner_docs = paras.filter(F.col("k") == "shared banner line").collect()
     assert len(banner_docs) == 1 and banner_docs[0]["doc_id"] == 0
+
+
+def test_strip_html_extraction(spark):
+    from csv_etl_spark.operators.cleaning import strip_html
+
+    html = (
+        "<html><head><title>skip me</title></head><body>"
+        "<script>var x = 'evil';</script>"
+        "<STYLE>.a{color:red}</STYLE>"
+        "<!-- a comment -->"
+        "<h1>Title</h1><p>First &amp; second &lt;para&gt;.</p>"
+        "<div>Item&nbsp;one</div>plain tail</body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, "no markup at all")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in strip_html(df).collect()}
+    t = rows[1]["text"]
+    assert "evil" not in t and "skip me" not in t and "color" not in t
+    assert "a comment" not in t
+    assert "Title" in t and "First & second <para>." in t and "Item one" in t
+    assert "<" not in t.replace("<para>", "") and rows[1]["n_chars_removed"] > 0
+    # block tags became line structure
+    assert t.splitlines()[0] == "Title"
+    assert rows[2]["text"] == "no markup at all" and rows[2]["n_chars_removed"] == 0
