@@ -2064,6 +2064,92 @@ def _oracle_strip_html() -> str:
     """
 
 
+def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WEB-corpus curation as ONE Catalyst plan: HTML→text
+    extraction → C4 line filter → ≥10-token gate → exact normalized
+    dedup (keep lowest id).  Markup, boilerplate lines ("too short.", a
+    banned-substring banner) and duplicates (every 15th doc shares one
+    body) are all PLANTED so every stage provably fires.  Map-only until
+    the single dedup groupBy — one shuffle end to end."""
+    from csv_etl_spark.operators.cleaning import filter_lines, strip_html
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    body = F.when(
+        F.col("doc_id") % 15 == 0,
+        F.lit("duplicate body sentence repeated for the pipeline test."),
+    ).otherwise(F.concat(F.col("text"), F.lit(" end of body.")))
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p>too short.</p><p>"),
+            body,
+            F.lit("</p><p>visit our javascript page now.</p></body></html>"),
+        ).alias("text"),
+    )
+    cleaned = filter_lines(strip_html(seeded).select("doc_id", "text"))
+    gated = cleaned.select(
+        "doc_id", "text", text.token_count(F.col("text")).alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 10)
+    keyed = gated.select(
+        "doc_id", "n_tokens", F.xxhash64(dedup.normalize_text(F.col("text"))).alias("_k")
+    )
+    return (
+        keyed.groupBy("_k")
+        .agg(
+            F.min(F.struct("doc_id", "n_tokens")).alias("_first"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+        .select(
+            F.col("_first.doc_id").alias("doc_id"),
+            F.col("_first.n_tokens").alias("n_tokens"),
+            "n_dups",
+        )
+    )
+
+
+def _oracle_web_curation() -> str:
+    cleaned = _strip_html_sql("text")
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             '<html><body><p>too short.</p><p>'
+             || CASE WHEN doc_id % 15 = 0
+                     THEN 'duplicate body sentence repeated for the pipeline test.'
+                     ELSE text || ' end of body.' END
+             || '</p><p>visit our javascript page now.</p></body></html>' AS text
+      FROM documents
+    ),
+    x AS (SELECT doc_id, {cleaned} AS text FROM seeded),
+    s AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM x),
+    j AS (
+      SELECT doc_id,
+             array_to_string(list_filter(lines, l ->
+               trim(l) != ''
+               AND len(string_split_regex(trim(l), '\\s+')) >= 3
+               AND regexp_matches(trim(l), '[.!?"'']$')
+               AND NOT contains(lower(trim(l)), 'javascript')
+               AND NOT contains(lower(trim(l)), 'lorem ipsum')
+               AND NOT contains(lower(trim(l)), '{{')
+             ), chr(10)) AS text
+      FROM s
+    ),
+    g AS (
+      SELECT doc_id, text,
+             CAST(CASE WHEN regexp_matches(text, '^\\s*$') THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS nt
+      FROM j
+    ),
+    f AS (SELECT * FROM g WHERE n_tokens >= 10)
+    SELECT min_by(doc_id, doc_id) AS doc_id,
+           min_by(n_tokens, doc_id) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM f GROUP BY nt
+    """
+
+
 def q_text_filter_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line-level boilerplate removal (Raffel et al. 2020 §2.2).
     The synthetic docs are single-line with no terminal punctuation, so
@@ -2784,7 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is already represented inside the window (f2/f3/f6/f7 filter probes are
     # covered by f4/f5 + test_filter_ops_parity; cube/grouping_sets by rollup;
     # dedup_jaccard_capped by dedup_jaccard_pairs; ann_ivf_exact by
-    # ann_ivf_approx).  All 73 remain oracle-checked locally via
+    # ann_ivf_approx).  All 74 remain oracle-checked locally via
     # scripts/check_oracle.py regardless of position.
     return {
         # ETL core (SURVEY §2.2/§2.3)
@@ -2882,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_representatives": q_dedup_representatives,
         "text_strip_html": q_text_strip_html,
+        "web_curation": q_web_curation,
         # rows-only by design (HLL estimate is engine-specific): its driver row
         # carries no hash signal, so it yields its window slot to an
         # oracle-checkable query
@@ -2971,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_shuffle": _ORACLE_CORPUS_SHUFFLE,
         "dedup_representatives": _ORACLE_DEDUP_REPRESENTATIVES.format(sw=_SW),
         "text_strip_html": _oracle_strip_html(),
+        "web_curation": _oracle_web_curation(),
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,
