@@ -62,6 +62,8 @@ HEADLINE = [
     "tokens_to_ids",
     "unigram_logprob",
     "corpus_shuffle",
+    "text_strip_html",
+    "web_curation",
 ]
 
 
