@@ -2744,6 +2744,67 @@ _ORACLE_SALTED_AGG = """
 """
 
 
+def q_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust corpus length-outlier gate (median/MAD, exact percentiles
+    — the same percentile==quantile_cont parity value_percentiles
+    proves)."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    return text.length_outliers(d, k=3.0)
+
+
+_ORACLE_LENGTH_OUTLIERS = """
+    WITH n AS (
+      SELECT doc_id,
+             CAST(CASE WHEN regexp_matches(text, '^\\s*$') THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    med AS (SELECT quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS m FROM n),
+    mad AS (
+      SELECT quantile_cont(abs(CAST(n.n_tokens AS DOUBLE) - med.m), 0.5) AS d
+      FROM n CROSS JOIN med
+    )
+    SELECT n.doc_id, n.n_tokens,
+           round(CASE WHEN mad.d > 0
+                      THEN abs(CAST(n.n_tokens AS DOUBLE) - med.m) / mad.d
+                      ELSE 0.0 END, 6) AS deviation,
+           (CASE WHEN mad.d > 0
+                 THEN abs(CAST(n.n_tokens AS DOUBLE) - med.m) / mad.d
+                 ELSE 0.0 END) > 3.0 AS is_outlier
+    FROM n CROSS JOIN med CROSS JOIN mad
+"""
+
+
+def q_events_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame analytics: per-user activity over the trailing
+    10 minutes (sum/count) + inter-event gap — the irregular-spacing
+    window ROWS frames can't express.  Epoch-second numeric RANGE frame,
+    portable across engines."""
+    from csv_etl_spark.operators.rolling import rolling_time_metrics
+
+    ev = _t(spark, sf_dir, "events", parallelize=True)
+    return rolling_time_metrics(ev, window_seconds=600)
+
+
+_ORACLE_EVENTS_ROLLING_TIME = """
+    WITH e AS (
+      -- floor, not CAST: epoch() keeps fractional seconds and BIGINT
+      -- casts round-half-up, while Spark's unix_timestamp truncates
+      SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    )
+    SELECT user_id, event_id, value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ep
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS window_sum,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ep
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_n,
+           CAST(ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id)
+                AS BIGINT) AS secs_since_prev
+    FROM e
+"""
+
+
 def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length distribution of the corpus in 16-token bins — the
     pass that picks sequence budgets and length gates.  Map-side partials
@@ -2870,7 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is already represented inside the window (f2/f3/f6/f7 filter probes are
     # covered by f4/f5 + test_filter_ops_parity; cube/grouping_sets by rollup;
     # dedup_jaccard_capped by dedup_jaccard_pairs; ann_ivf_exact by
-    # ann_ivf_approx).  All 74 remain oracle-checked locally via
+    # ann_ivf_approx).  All 76 remain oracle-checked locally via
     # scripts/check_oracle.py regardless of position.
     return {
         # ETL core (SURVEY §2.2/§2.3)
@@ -2969,6 +3030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "text_strip_html": q_text_strip_html,
         "web_curation": q_web_curation,
+        "events_rolling_time": q_events_rolling_time,
+        "length_outliers": q_length_outliers,
         # rows-only by design (HLL estimate is engine-specific): its driver row
         # carries no hash signal, so it yields its window slot to an
         # oracle-checkable query
@@ -3059,6 +3122,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_representatives": _ORACLE_DEDUP_REPRESENTATIVES.format(sw=_SW),
         "text_strip_html": _oracle_strip_html(),
         "web_curation": _oracle_web_curation(),
+        "events_rolling_time": _ORACLE_EVENTS_ROLLING_TIME,
+        "length_outliers": _ORACLE_LENGTH_OUTLIERS,
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,

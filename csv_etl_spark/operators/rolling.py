@@ -55,3 +55,50 @@ def rolling_metrics(
         F.round(F.avg(value_col).over(wf), 6).alias("rolling_avg"),
         F.row_number().over(w).cast("bigint").alias("seq"),
     )
+
+
+def rolling_time_metrics(
+    df: DataFrame,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    value_col: str = "value",
+    window_seconds: int = 600,
+) -> DataFrame:
+    """Time-RANGE frame analytics: per ``partition_col``, the sum/count of
+    ``value_col`` over the trailing ``window_seconds`` (inclusive of the
+    current row) plus the seconds elapsed since the previous event — the
+    "activity in the last N minutes" shape that ROWS frames can't express
+    when events are irregularly spaced.
+
+    The frame is ``RANGE BETWEEN window_seconds PRECEDING AND CURRENT
+    ROW`` over integer epoch seconds (engine-portable ordering; Spark's
+    rangeBetween and ANSI RANGE ... PRECEDING agree on numeric order
+    columns).  Events sharing one epoch second are RANGE-peers — both
+    engines include all peers in the frame, so the result is
+    deterministic without a tiebreak in the frame ordering (the lag/seq
+    ordering still uses ``tiebreak_col``).  Same scale shape as
+    ``rolling_metrics``: one shuffle on the per-entity key; per-row frame
+    state bounded by events inside the time window."""
+    epoch = F.unix_timestamp(F.col(ts_col)).alias("_epoch")
+    d = df.select(
+        F.col(partition_col), F.col(tiebreak_col), F.col(value_col), epoch
+    )
+    wr = (
+        Window.partitionBy(partition_col)
+        .orderBy(F.col("_epoch").asc())
+        .rangeBetween(-window_seconds, 0)
+    )
+    wo = Window.partitionBy(partition_col).orderBy(
+        F.col("_epoch").asc(), F.col(tiebreak_col).asc()
+    )
+    return d.select(
+        F.col(partition_col),
+        F.col(tiebreak_col),
+        F.col(value_col),
+        F.round(F.sum(value_col).over(wr), 6).alias("window_sum"),
+        F.count(F.lit(1)).over(wr).cast("bigint").alias("window_n"),
+        (F.col("_epoch") - F.lag("_epoch", 1).over(wo))
+        .cast("bigint")
+        .alias("secs_since_prev"),
+    )

@@ -322,3 +322,43 @@ def unigram_logprob(
             F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
         )
     )
+
+
+def length_outliers(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: float = 3.0
+) -> DataFrame:
+    """Robust length-outlier gate: flag documents whose token count sits
+    more than ``k`` MADs (median absolute deviations) from the corpus
+    median — the statistical cousin of a fixed length gate that
+    self-calibrates to the corpus instead of hard-coding thresholds.
+    Returns ``(id_col, n_tokens, deviation, is_outlier)`` with
+    ``deviation = |n - median| / MAD`` (0.0 when MAD is 0).
+
+    Scale shape: two scalar aggregations (exact distributed percentile —
+    the same `percentile` == `quantile_cont` parity the percentile query
+    proves) whose one-row results broadcast back via nested-loop joins;
+    the flagging pass is map-only.  Three passes over a one-column
+    projection — at 100 TB each is a column-pruned scan, the price of an
+    EXACT median (approx_percentile would be one pass but
+    engine-divergent)."""
+    n = token_count(F.col(text_col))
+    d = df.select(F.col(id_col), n.alias("n_tokens"))
+    med = d.agg(
+        F.expr("percentile(n_tokens, 0.5)").alias("_med")
+    )
+    with_med = d.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(n_tokens - _med), 0.5)").alias("_mad")
+    )
+    dev = F.when(
+        F.col("_mad") > 0, F.abs(F.col("n_tokens") - F.col("_med")) / F.col("_mad")
+    ).otherwise(F.lit(0.0))
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(dev, 6).alias("deviation"),
+            (dev > k).alias("is_outlier"),
+        )
+    )

@@ -1114,3 +1114,41 @@ def test_strip_html_extraction(spark):
     # block tags became line structure
     assert t.splitlines()[0] == "Title"
     assert rows[2]["text"] == "no markup at all" and rows[2]["n_chars_removed"] == 0
+
+
+def test_rolling_time_metrics_range_frame(spark):
+    from datetime import datetime
+
+    from csv_etl_spark.operators.rolling import rolling_time_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0), 7, 1.0),
+            (2, datetime(2024, 1, 1, 0, 5, 0), 7, 2.0),
+            (3, datetime(2024, 1, 1, 0, 9, 0), 7, 4.0),
+            (4, datetime(2024, 1, 1, 0, 30, 0), 7, 8.0),  # outside 10-min window
+        ],
+        ["event_id", "ts", "user_id", "value"],
+    )
+    rows = {r["event_id"]: r for r in rolling_time_metrics(df, window_seconds=600).collect()}
+    assert rows[1]["window_sum"] == 1.0 and rows[1]["window_n"] == 1
+    assert rows[3]["window_sum"] == 7.0 and rows[3]["window_n"] == 3  # 0:00..0:09 all in
+    assert rows[4]["window_sum"] == 8.0 and rows[4]["window_n"] == 1  # alone
+    assert rows[1]["secs_since_prev"] is None
+    assert rows[4]["secs_since_prev"] == 21 * 60
+
+
+def test_length_outliers_mad_gate(spark):
+    # 9 docs of 10 tokens, one of 100 → median 10, MAD 0-free? deviations:
+    # |10-10|=0 ×9, |100-10|=90 → MAD = median of (0×9, 90) = 0 → guard.
+    # Use a spread instead: lengths 8,9,10,11,12 ×2 and one 100.
+    docs = []
+    i = 0
+    for n in [8, 9, 10, 11, 12] * 2 + [100]:
+        docs.append((i, " ".join(["w"] * n)))
+        i += 1
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in text.length_outliers(df, k=3.0).collect()}
+    assert rows[10]["is_outlier"] and rows[10]["n_tokens"] == 100
+    assert sum(1 for r in rows.values() if r["is_outlier"]) == 1
+    assert rows[0]["deviation"] < 3.0
