@@ -64,6 +64,8 @@ HEADLINE = [
     "corpus_shuffle",
     "text_strip_html",
     "web_curation",
+    "events_rolling_time",
+    "length_outliers",
 ]
 
 
