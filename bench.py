@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
-"queries": {name: median sec}, "runs": {name: [sec...]},
-"spread": {name: max-min}, "sf": <sf>}.
+compact JSON line on stdout (printed LAST, so a tail capture always gets
+it): {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: median sec}, "n_runs": N, "sf": <sf>}.
+Raw per-run timings and max-min spread go to STDERR as a separate JSON
+line — in round 5 they lived on the stdout line, which grew past the
+driver's tail capture and made the official record unparseable.
 
 Protocol (round 3): each query is materialized with a noop write (full
 execution, no driver collect, no disk) $SPARK_GRAFT_BENCH_RUNS times
@@ -107,14 +110,19 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     def clear_operator_caches() -> None:
-        # persisted shingle/LSH projections survive across calls by design
-        # (session cache); between bench passes they must go, or pass 2+
-        # would time a cache hit instead of the operator
+        # persisted shingle/LSH/assignment projections survive across calls
+        # by design (session cache); between bench passes they must go, or
+        # pass 2+ would time a cache hit instead of the operator.
+        # blocking=True: the default async unpersist would otherwise run
+        # concurrently with the next pass's timed queries and contend for
+        # the block manager (the suspected cause of r5's driver-run passes
+        # getting SLOWER on exactly the cached operators).
         from csv_etl_spark.operators import dedup as _dedup
         from csv_etl_spark.operators import similarity as _sim
 
-        _dedup._SHINGLE_CACHE.invalidate()
-        _sim._BUCKET_CACHE.invalidate()
+        _dedup._SHINGLE_CACHE.invalidate(blocking=True)
+        _sim._BUCKET_CACHE.invalidate(blocking=True)
+        _sim._ASSIGNED_CACHE.invalidate(blocking=True)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {n: [] for n in HEADLINE if n in queries}
@@ -134,6 +142,14 @@ def main() -> None:
     timings = {n: round(median(r), 3) for n, r in runs.items()}
     spread = {n: round(max(r) - min(r), 3) for n, r in runs.items()}
     total = round(sum(timings.values()), 3)
+    # Raw runs + spread go to STDERR: round 5's single stdout line carrying
+    # them for 29 queries overflowed the driver's stdout-tail capture and
+    # left BENCH_r05.json unparseable ("parsed": null).  The driver contract
+    # is ONE compact JSON line on stdout, printed LAST.
+    print(
+        json.dumps({"runs": runs, "spread": spread}, separators=(",", ":")),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -141,11 +157,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
-                "spread": spread,
                 "n_runs": n_runs,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

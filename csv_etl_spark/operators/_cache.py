@@ -51,13 +51,19 @@ class BoundedPersistCache:
             self._drop(oldest)
         self._entries[key] = df
 
-    def invalidate(self, key: tuple | None = None) -> None:
-        """Drop one entry (or all, when key is None), unpersisting."""
+    def invalidate(self, key: tuple | None = None, blocking: bool = False) -> None:
+        """Drop one entry (or all, when key is None), unpersisting.
+
+        ``blocking=True`` forces the unpersist to complete before
+        returning — benchmark harnesses need this, because the default
+        async unpersist otherwise runs concurrently with (and contends
+        against) whatever is timed next.
+        """
         if key is not None:
-            self._drop(key)
+            self._drop(key, blocking=blocking)
             return
         for k in list(self._entries):
-            self._drop(k)
+            self._drop(k, blocking=blocking)
 
     def _evict_other_sessions(self, app_id: str) -> None:
         for k in [k for k in self._entries if k[0] != app_id]:
@@ -65,10 +71,10 @@ class BoundedPersistCache:
             # best-effort, always drop the reference
             self._drop(k)
 
-    def _drop(self, key: tuple) -> None:
+    def _drop(self, key: tuple, blocking: bool = False) -> None:
         df = self._entries.pop(key, None)
         if df is not None:
             try:
-                df.unpersist()
+                df.unpersist(blocking=blocking)
             except Exception:
                 pass
