@@ -2467,7 +2467,8 @@ _ORACLE_DEDUP_PARAGRAPHS = """
       FROM s
     )
     SELECT t.doc_id, coalesce(ka.text, '') AS text,
-           CAST(t.n_paragraphs AS BIGINT) AS n_paragraphs,
+           -- NULL text → 0 paragraphs (Spark side wraps size() in greatest(..,0))
+           CAST(coalesce(t.n_paragraphs, 0) AS BIGINT) AS n_paragraphs,
            CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_paragraphs_kept
     FROM tot t LEFT JOIN ka ON t.doc_id = ka.doc_id
 """

@@ -262,12 +262,14 @@ HTML_STRIP_PATTERNS: list[tuple[str, str]] = [
     (r"(?s)<!--.*?-->", " "),
     (r"(?is)</?(p|br|div|li|tr|h[1-6])\b[^>]*>", "\n"),  # block-ish → newline
     (r"(?s)<[^>]+>", " "),
+    # &amp; decodes LAST among entities (standard practice): otherwise
+    # literal text "&amp;lt;" double-decodes to "<" instead of "&lt;"
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", "\""),
     (r"&#39;", "'"),
+    (r"&amp;", "&"),
     (r"[ \t]+", " "),
     (r" ?\n ?", "\n"),
     (r"\n{2,}", "\n"),

@@ -612,8 +612,15 @@ def dedup_paragraphs(
     )
     totals = df.select(
         F.col(id_col),
-        F.size(
-            F.filter(F.split(F.col(text_col), sep), lambda p: normalize_text(p) != "")
+        # greatest(.., 0): legacy size(NULL) = -1 — NULL text must report
+        # 0 paragraphs, consistent with n_paragraphs_kept's coalesce to 0
+        F.greatest(
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), sep), lambda p: normalize_text(p) != ""
+                )
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_paragraphs"),

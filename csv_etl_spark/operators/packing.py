@@ -228,7 +228,14 @@ def shuffled_positions(
     key, local cumsum in Arrow batches, driver sees one row per
     partition.  md5 is engine-portable (same parity trick as
     ``operators/sampling``), so an external system can reproduce the
-    exact permutation."""
+    exact permutation.
+
+    PRECONDITION: ``id_col`` values must be unique.  Duplicate ids hash
+    to identical md5 keys, and ``with_global_cumsum`` makes tied-order
+    results partitioning-dependent — the permutation is then valid but
+    NOT reproducible across layouts.  (If duplicates must be tolerated,
+    disambiguate first, e.g. ``row_number`` within the duplicate key or
+    a composite id.)"""
     key = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
     d = df.select(
         F.col(id_col),

@@ -282,11 +282,15 @@ def semantic_dedup(
     cached = _ASSIGNED_CACHE.get(key)
     if cached is not None:
         assigned = cached
-    else:
+    elif key is not None:
         from pyspark import StorageLevel
 
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
         _ASSIGNED_CACHE.put(key, assigned)
+    # key is None → no cache slot will track this frame: per the
+    # key_for contract, skip persisting too (an untracked persist
+    # would leak for the session's lifetime); the ~3x recompute is
+    # the documented fallback price
 
     a = assigned.select(
         F.col("cluster"),

@@ -1116,6 +1116,41 @@ def test_strip_html_extraction(spark):
     assert rows[2]["text"] == "no markup at all" and rows[2]["n_chars_removed"] == 0
 
 
+def test_strip_html_amp_decodes_last(spark):
+    # literal "&amp;lt;" must decode to "&lt;", never double-decode to "<"
+    # (entity order: &amp; is decoded LAST, standard extractor practice)
+    from csv_etl_spark.operators.cleaning import strip_html
+
+    df = spark.createDataFrame(
+        [(1, "a &amp;lt; b"), (2, "x &amp;nbsp; y"), (3, "&amp;amp;")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
+    assert rows[1] == "a &lt; b"
+    assert rows[2] == "x &nbsp; y"
+    assert rows[3] == "&amp;"
+
+
+def test_dedup_paragraphs_null_text_reports_zero(spark):
+    # NULL text: size(split(NULL)) is -1 in legacy Spark; the operator must
+    # report n_paragraphs = 0, consistent with n_paragraphs_kept = 0
+    import pyspark.sql.types as T
+
+    from csv_etl_spark.operators.dedup import dedup_paragraphs
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, None), (2, "keep me")], schema)
+    rows = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+    assert rows[1]["n_paragraphs"] == 0 and rows[1]["n_paragraphs_kept"] == 0
+    assert rows[1]["text"] == ""
+    assert rows[2]["n_paragraphs"] == 1 and rows[2]["n_paragraphs_kept"] == 1
+
+
 def test_rolling_time_metrics_range_frame(spark):
     from datetime import datetime
 
