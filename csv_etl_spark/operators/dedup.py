@@ -550,6 +550,7 @@ def dedup_paragraphs(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n",
+    max_paragraphs: int | None = 1 << 16,
 ) -> DataFrame:
     """GLOBAL paragraph-level exact dedup — the C4 (Raffel et al. 2020
     §2.2) / RefinedWeb recipe: a paragraph occurring more than once
@@ -579,12 +580,24 @@ def dedup_paragraphs(
     ``exact_dedup_normalized``.  Paragraph-key cardinality ~ corpus size,
     so no reducer hot-spots; a frequent-paragraph skew (the same banner
     10^9 times) lands on ONE reducer only for the agg's final merge of
-    already map-combined partials — bounded."""
+    already map-combined partials — bounded.
+
+    ``max_paragraphs`` (default 2^16 = 65536) bounds the per-doc
+    reassembly buffer: the doc-keyed ``collect_list`` builds one
+    (pos, para) array per doc inside a single aggregation buffer, so a
+    pathological giant document (a multi-GB line-per-record dump) would
+    otherwise become one executor's OOM.  Paragraphs past the cap are
+    truncated — the doc is treated as ending there, matching C4-style
+    practice of discarding giant-document tails.  Inert for any normal
+    corpus; pass ``None`` to disable."""
     norm = normalize_text(F.col("_para"))
+    paras = F.split(F.col(text_col), sep)
+    if max_paragraphs is not None:
+        paras = F.slice(paras, 1, max_paragraphs)
     exploded = (
         df.select(
             F.col(id_col).alias("_doc"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+            F.posexplode(paras).alias("_pos", "_para"),
         )
         .withColumn("_norm", norm)
         .filter(F.col("_norm") != "")
@@ -613,13 +626,11 @@ def dedup_paragraphs(
     totals = df.select(
         F.col(id_col),
         # greatest(.., 0): legacy size(NULL) = -1 — NULL text must report
-        # 0 paragraphs, consistent with n_paragraphs_kept's coalesce to 0
+        # 0 paragraphs, consistent with n_paragraphs_kept's coalesce to 0.
+        # Counts over the SAME capped array as the dedup path, so
+        # n_paragraphs stays consistent with what was actually considered.
         F.greatest(
-            F.size(
-                F.filter(
-                    F.split(F.col(text_col), sep), lambda p: normalize_text(p) != ""
-                )
-            ),
+            F.size(F.filter(paras, lambda p: normalize_text(p) != "")),
             F.lit(0),
         )
         .cast("bigint")

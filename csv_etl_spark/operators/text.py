@@ -216,6 +216,7 @@ def tokens_to_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    max_tokens: int | None = 1 << 20,
 ) -> DataFrame:
     """Encode each document as integer token ids from a frequency-ranked
     vocabulary built over the SAME corpus — the id-mapping step between
@@ -232,9 +233,19 @@ def tokens_to_ids(
     re-assembly is one groupBy on the doc id (map-side partials,
     high-cardinality key).  The explode temporarily multiplies rows by
     tokens-per-doc, the same cost every shingle/top-token pass already
-    pays."""
+    pays.
+
+    ``max_tokens`` (default 2^20 ≈ 1M) bounds the per-doc reassembly
+    buffer: the final ``collect_list`` builds ONE array per doc inside a
+    single aggregation buffer, so a pathological multi-GB document would
+    otherwise become one executor's OOM.  Tokens past the cap are
+    truncated — the C4-style recipe (giant docs are boilerplate/garbage
+    dumps; dropping their tail loses nothing a training pipeline wants).
+    Inert for any normal corpus; pass ``None`` to disable."""
     vocab = top_tokens(df, k=vocab_size, text_col=text_col, lowercase=lowercase)
     toks = ws_tokens(F.col(text_col))
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
     exploded = df.select(
         F.col(id_col),
         F.posexplode(toks).alias("_pos", "_tok"),

@@ -1151,6 +1151,38 @@ def test_dedup_paragraphs_null_text_reports_zero(spark):
     assert rows[2]["n_paragraphs"] == 1 and rows[2]["n_paragraphs_kept"] == 1
 
 
+def test_mega_doc_caps_bound_reassembly(spark):
+    # A pathological giant doc must not build an unbounded per-doc
+    # aggregation buffer: paragraphs/tokens past the cap are truncated
+    # (C4-style giant-doc tail discard), normal docs are untouched.
+    from csv_etl_spark.operators.dedup import dedup_paragraphs
+    from csv_etl_spark.operators.text import tokens_to_ids
+
+    mega = "\n".join(f"unique paragraph number {i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, mega), (2, "solo alpha\nsolo beta")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in dedup_paragraphs(df, max_paragraphs=4).collect()}
+    assert rows[1]["n_paragraphs"] == 4 and rows[1]["n_paragraphs_kept"] == 4
+    assert rows[1]["text"].count("\n") == 3  # exactly 4 paragraphs survive
+    assert rows[2]["n_paragraphs"] == 2 and rows[2]["text"] == "solo alpha\nsolo beta"
+
+    mega_tokens = " ".join(f"tok{i}" for i in range(100))
+    tdf = spark.createDataFrame(
+        [(1, mega_tokens), (2, "small doc")], ["doc_id", "text"]
+    )
+    trows = {r["doc_id"]: r for r in tokens_to_ids(tdf, max_tokens=8).collect()}
+    assert trows[1]["n_tokens"] == 8 and len(trows[1]["token_ids"]) == 8
+    assert trows[2]["n_tokens"] == 2 and len(trows[2]["token_ids"]) == 2
+
+    # default caps are inert for normal corpora: same results as uncapped
+    capped = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+    uncapped = {
+        r["doc_id"]: r["text"] for r in dedup_paragraphs(df, max_paragraphs=None).collect()
+    }
+    assert capped == uncapped
+
+
 def test_rolling_time_metrics_range_frame(spark):
     from datetime import datetime
 
