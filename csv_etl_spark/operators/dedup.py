@@ -659,6 +659,9 @@ def incremental_dedup(
     corpus: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bloom: bool = False,
+    bloom_fpp: float = 0.01,
+    bloom_expected_items: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch of documents against an already-curated corpus
     AND within itself — the shape every continuously-ingesting training
@@ -677,9 +680,20 @@ def incremental_dedup(
     side projects to the key column only, so its shuffle payload is 8
     bytes/doc.  For corpora whose key set is still too large to shuffle
     per increment, pre-compute the corpus key table once and reuse it
-    across batches (it only grows by the batch survivors), or front a
-    Bloom filter exactly like ``cleaning.decontaminate(bloom=True)`` to
-    cut the anti-join input."""
+    across batches (it only grows by the batch survivors), or pass
+    ``bloom=True``.
+
+    ``bloom=True`` fronts the anti-join with the SAME distributed Bloom
+    bitmap as ``cleaning.decontaminate(bloom=True)`` (shared
+    ``_bloom_bitmap`` machinery) and stays EXACT: batch keys the filter
+    rules out ("definitely not in corpus") skip the shuffle entirely and
+    pass straight through; only the "maybe seen" remainder — true hits
+    plus the ~``bloom_fpp`` false-positive sliver — pays the exact
+    anti-join against the corpus key table.  A typical increment is
+    mostly-new, so the anti-join input shrinks from |batch| to
+    ~|true dups| + fpp·|batch|; the corpus side still streams once to
+    build the bitmap (map-side OR partials, driver holds only the
+    m-bit array)."""
     norm = normalize_text(F.col(text_col))
     b = (
         batch.select(F.col(id_col), norm.alias("_n"))
@@ -696,6 +710,22 @@ def incremental_dedup(
         .select(F.xxhash64("_n").alias("_k"))
         .distinct()
     )
+    if bloom:
+        from csv_etl_spark.operators.cleaning import (
+            _bloom_bitmap,
+            _bloom_might_contain,
+            _bloom_parameters,
+        )
+
+        expected = (
+            bloom_expected_items if bloom_expected_items is not None else seen.count()
+        )
+        m, k = _bloom_parameters(expected, bloom_fpp)
+        words = _bloom_bitmap(seen.select(F.col("_k").alias("_sh")), m, k)
+        maybe = _bloom_might_contain(F.col("_k"), words, m, k)
+        clean = winners.filter(~maybe)
+        checked = winners.filter(maybe).join(seen, "_k", "left_anti")
+        return clean.unionByName(checked).select(id_col, "n_dups_in_batch")
     return winners.join(seen, "_k", "left_anti").select(id_col, "n_dups_in_batch")
 
 

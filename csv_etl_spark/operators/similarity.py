@@ -142,8 +142,24 @@ def kmeans_centroids(
     groupBy over sample_rows × dim rows — bounded by the SAMPLE, not the
     corpus (pass ``sample_fraction`` ≪ 1 at scale).  Each iteration moves
     only n_centroids × dim rounded doubles to the driver — model
-    parameters, the same shape MLlib's KMeans keeps on the driver."""
+    parameters, the same shape MLlib's KMeans keeps on the driver.
+
+    Driver-round-trip bound: the loop is ``iters`` sequential jobs, each
+    collecting the n_centroids × dim model and re-broadcasting it as a
+    literal expression tree.  That tree has O(n_centroids × dim) nodes,
+    so very large codebooks would blow up Catalyst analysis long before
+    the driver's memory — ``n_centroids`` is capped at 4096 (a 100 TB
+    IVF index wants ~√N partitions ≲ thousands; for genuinely larger
+    codebooks use hierarchical/two-level IVF, i.e. run this per
+    top-level cell)."""
     from csv_etl_spark.operators.sampling import hash_sample
+
+    if n_centroids > 4096:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds 4096: the broadcast-literal "
+            "centroid array is an O(n_centroids x dim) expression tree; use "
+            "a two-level IVF for larger codebooks"
+        )
 
     sample = vectors.select(F.col(id_col), F.col(vec_col))
     if sample_fraction is not None:
@@ -243,6 +259,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     recipe): k-means-cluster the embedding space, then compare pairs ONLY
@@ -261,7 +278,17 @@ def semantic_dedup(
     N².  At 100 TB pick n_centroids ∝ corpus size (SemDeDup uses ~100k
     clusters for billions of docs) so clusters stay ~constant-sized; the
     assignment step is the same map-only broadcast argmax as ``ivf_topk``
-    and the k-means fit touches only the hash sample."""
+    and the k-means fit touches only the hash sample.
+
+    ``max_cluster_size`` guards the degenerate case where k-means
+    collapses (near-identical embeddings, bad init) and one cluster holds
+    ~everything — Σ|cluster|² silently becomes N².  Clusters larger than
+    the cap SKIP the pairwise check: their members all come back
+    ``kept = true`` (a no-op gate, never a wrong drop), the same
+    fail-open trade as ``jaccard_pairs``'s frequent-shingle cap.  The
+    cluster-size census rides the already-persisted assignment (one tiny
+    ≤ n_centroids-row agg, broadcast back).  Default 100k ≈ SemDeDup's
+    own cluster granularity; pass None to disable."""
     if centroids is None:
         centroids = kmeans_centroids(
             vectors,
@@ -292,12 +319,22 @@ def semantic_dedup(
     # would leak for the session's lifetime); the ~3x recompute is
     # the documented fallback price
 
-    a = assigned.select(
+    pairable = assigned
+    if max_cluster_size is not None:
+        small = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_csize"))
+            .filter(F.col("_csize") <= max_cluster_size)
+            .select("cluster")
+        )
+        # ≤ n_centroids rows — broadcast, no extra shuffle on the big side
+        pairable = assigned.join(F.broadcast(small), "cluster")
+    a = pairable.select(
         F.col("cluster"),
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_vec_a"),
     )
-    b = assigned.select(
+    b = pairable.select(
         F.col("cluster"),
         F.col(id_col).alias("_id_b"),
         F.col(vec_col).alias("_vec_b"),

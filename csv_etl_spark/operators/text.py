@@ -336,7 +336,11 @@ def unigram_logprob(
 
 
 def length_outliers(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: float = 3.0
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 3.0,
+    exact: bool = True,
 ) -> DataFrame:
     """Robust length-outlier gate: flag documents whose token count sits
     more than ``k`` MADs (median absolute deviations) from the corpus
@@ -350,16 +354,23 @@ def length_outliers(
     proves) whose one-row results broadcast back via nested-loop joins;
     the flagging pass is map-only.  Three passes over a one-column
     projection — at 100 TB each is a column-pruned scan, the price of an
-    EXACT median (approx_percentile would be one pass but
-    engine-divergent)."""
+    EXACT median.
+
+    ``exact=False`` swaps in ``approx_percentile`` (t-digest sketch,
+    accuracy 1/10000): the median/MAD estimates then come from one-pass
+    mergeable sketches — the right trade at 100 TB where a ±0.01%
+    quantile error moves no gate decision.  The default stays exact
+    because the DuckDB oracle's ``quantile_cont`` matches only the exact
+    spelling (a sketch is engine-specific by nature)."""
     n = token_count(F.col(text_col))
     d = df.select(F.col(id_col), n.alias("n_tokens"))
+    pct = "percentile({}, 0.5)" if exact else "approx_percentile({}, 0.5, 10000)"
     med = d.agg(
-        F.expr("percentile(n_tokens, 0.5)").alias("_med")
+        F.expr(pct.format("n_tokens")).cast("double").alias("_med")
     )
     with_med = d.crossJoin(F.broadcast(med))
     mad = with_med.agg(
-        F.expr("percentile(abs(n_tokens - _med), 0.5)").alias("_mad")
+        F.expr(pct.format("abs(n_tokens - _med)")).cast("double").alias("_mad")
     )
     dev = F.when(
         F.col("_mad") > 0, F.abs(F.col("n_tokens") - F.col("_med")) / F.col("_mad")

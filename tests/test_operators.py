@@ -893,6 +893,48 @@ def test_incremental_dedup_batch_vs_corpus(spark):
         for r in dedup.incremental_dedup(batch, corpus).collect()
     }
     assert rows == {11: 2, 13: 1}
+    # the Bloom-fronted path is EXACT (filter only routes around the
+    # anti-join; "maybe seen" keys still verify against the key table)
+    bloom_rows = {
+        r["doc_id"]: r["n_dups_in_batch"]
+        for r in dedup.incremental_dedup(batch, corpus, bloom=True).collect()
+    }
+    assert bloom_rows == rows
+
+
+def test_semantic_dedup_oversized_cluster_fails_open(spark):
+    """Degenerate k-means collapse: clusters over max_cluster_size skip the
+    pairwise stage — members all come back kept (no wrong drops, no N^2)."""
+    from csv_etl_spark.operators.similarity import semantic_dedup
+
+    # colinear vectors: all land in one cluster, all pairwise cosine 1
+    df = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0]) for i in range(6)], ["vec_id", "embedding"]
+    )
+    capped = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        df, n_centroids=1, kmeans_iters=1, sample_fraction=None,
+        threshold=0.99, max_cluster_size=3,
+    ).collect()}
+    assert all(capped.values()) and len(capped) == 6
+    uncapped = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        df, n_centroids=1, kmeans_iters=1, sample_fraction=None,
+        threshold=0.99, max_cluster_size=None,
+    ).collect()}
+    assert uncapped == {0: True, 1: False, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_length_outliers_approx_path_close_to_exact(spark):
+    from csv_etl_spark.operators.text import length_outliers
+
+    docs = [(i, "tok " * (10 + i % 5)) for i in range(40)] + [(99, "w " * 500)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    exact = {r["doc_id"]: r for r in length_outliers(df).collect()}
+    approx = {r["doc_id"]: r for r in length_outliers(df, exact=False).collect()}
+    # at accuracy 10000 on 41 rows the sketch quantile is exact: same gate
+    assert {k: v["is_outlier"] for k, v in exact.items()} == {
+        k: v["is_outlier"] for k, v in approx.items()
+    }
+    assert exact[99]["is_outlier"]
 
 
 def test_rolling_metrics_values(spark):
