@@ -2921,6 +2921,246 @@ _ORACLE_MULTIMODAL = """
 
 
 # ---------------------------------------------------------------------------
+# Round 6: Gopher quality gate, data-mixture resampling, int8-quantized ANN,
+# image dHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) — word-count,
+    mean-word-length, symbol/bullet/ellipsis, alpha-word and stopword
+    gates in one map-only pass (operators/text.py).  min_words=50 and
+    min_stopword_hits=1 are the thresholds that discriminate on this
+    corpus (277/500 and 382/500 pass respectively at sf0.01)."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    return text.gopher_quality(d, min_words=50, min_stopword_hits=1)
+
+
+_GSW = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+
+_ORACLE_GOPHER = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_words,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mean_len,
+             len(regexp_extract_all(text, '#'))
+               + len(regexp_extract_all(text, '(\\.\\.\\.|…)')) AS n_symbols,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+             len(list_intersect(list_transform(toks, x -> lower(x)), [{_GSW}])) AS sw_hits
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, n_words, mean_len, sw_hits,
+             CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(lines) > 0
+                  THEN CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE) / len(lines)
+                  ELSE 0.0 END AS bullet_frac,
+             CASE WHEN len(lines) > 0
+                  THEN CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$'))) AS DOUBLE) / len(lines)
+                  ELSE 0.0 END AS ellipsis_frac,
+             CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac
+      FROM m
+    )
+    SELECT doc_id, n_words,
+           round(mean_len, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(bullet_frac, 6) AS bullet_frac,
+           round(ellipsis_frac, 6) AS ellipsis_frac,
+           round(alpha_frac, 6) AS alpha_frac,
+           sw_hits AS n_stopword_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_len >= 3.0 AND mean_len <= 10.0
+            AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+            AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+            AND sw_hits >= 1) AS keep
+    FROM r
+"""
+
+
+# weights: src0 up-sampled 2.5x, src1 down to 25%, src2 dropped, rest 1x —
+# every arm of the copy-count logic (floor, bernoulli-extra, zero, default)
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture resampling to target source weights
+    (operators/sampling.py): floor(w) copies per doc plus an md5-keyed
+    bernoulli(frac(w)) extra — map-only, engine-portable."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return _sampling.mixture_resample(
+        d, weights=_MIX_WEIGHTS, group_col="source", key_col="doc_id"
+    )
+
+
+def _mix_copies_sql() -> str:
+    arms = []
+    for src, w in _MIX_WEIGHTS.items():
+        base, frac = int(w), w - int(w)
+        thr = _sampling.fraction_threshold_hex(frac)
+        extra = (
+            f"CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{thr}'"
+            " THEN 1 ELSE 0 END"
+        )
+        arms.append(f"WHEN '{src}' THEN {base} + {extra}")
+    return "CASE source " + " ".join(arms) + " ELSE 1 END"
+
+
+_ORACLE_MIXTURE = f"""
+    SELECT doc_id, source, gs.k AS copy
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) gs
+    WHERE gs.k <= ({_mix_copies_sql()})
+"""
+
+
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors — 4x less scan
+    bandwidth at 100 TB; cosine is scale-invariant so the quantized codes
+    search directly (operators/similarity.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = similarity.make_probes(e, n=10)
+    return similarity.quantized_topk(e, probes, k=5)
+
+
+# rank by the ROUNDED cosine exactly as the Spark side does (scored rows
+# carry round(cos, 6) before top-k), so round-boundary ties break on id
+# identically in both engines
+_ORACLE_ANN_QUANTIZED = f"""
+    WITH q AS (
+      SELECT vec_id,
+             CASE WHEN amax > 0
+                  THEN list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) / (amax / 127.0)) AS INT))
+                  ELSE list_transform(embedding, x -> 0) END AS qvec
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+      )
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, qvec AS probe_vec FROM q ORDER BY vec_id LIMIT 10
+    )
+    SELECT probe_id, neighbor_id, cosine, rank
+    FROM (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             round({_cos_sql('e.qvec', 'p.probe_vec')}, 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.probe_id
+               ORDER BY round({_cos_sql('e.qvec', 'p.probe_vec')}, 6) DESC, e.vec_id ASC
+             ) AS rank
+      FROM q e CROSS JOIN probes p
+      WHERE e.vec_id <> p.probe_id
+    )
+    WHERE rank <= 5
+"""
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit perceptual difference hash over the media adapter
+    frames (operators/multimodal.py): Arrow-batched kernel, hex16 output.
+    The oracle re-derives the same hash from the byte stream with pure
+    integer math."""
+    from csv_etl_spark.operators.multimodal import image_dhash
+
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    return image_dhash(documents_as_media(d))
+
+
+def _dhash_row_sql(r: int) -> str:
+    terms = [
+        f"(CASE WHEN p[{r * 9 + c + 1}] > p[{r * 9 + c + 2}] THEN {1 << c} ELSE 0 END)"
+        for c in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dhash_px_cte(from_clause: str = "documents") -> str:
+    return f"""
+    px AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN octet_length(encode(text)) = 0
+                  THEN list_transform(range(0, 72), i -> 0)
+                  ELSE list_transform(range(0, 72),
+                         i -> ascii(text[CAST((i * octet_length(encode(text))) // 72 AS INT) + 1]))
+             END AS p
+      FROM {from_clause}
+    )
+"""
+
+
+_DHASH_PX_CTE = _dhash_px_cte()
+
+_DHASH_HEX_SQL = (
+    "printf('" + "%02x" * 8 + "', "
+    + ", ".join(_dhash_row_sql(r) for r in range(8))
+    + ")"
+)
+
+_ORACLE_IMAGE_DHASH = f"""
+    WITH {_DHASH_PX_CTE}
+    SELECT media_id, {_DHASH_HEX_SQL} AS dhash FROM px
+"""
+
+
+def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: dHash → 16-bit band equijoin → exact Hamming
+    verify (conv/xor/bit_count, JVM-side).  The corpus is augmented with a
+    deterministic near-dup per 50th doc (first byte replaced, length
+    preserved — the byte-sampling analogue of a brightness tweak, moving
+    the hash ≤ 1 bit) so the query demonstrably FINDS pairs; exact text
+    dups in the data land at Hamming 0 through the same path."""
+    from csv_etl_spark.operators.multimodal import dhash_near_dup_pairs, image_dhash
+
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    tweaked = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substring(text, 2)")).alias("text"),
+        F.col("source"),
+    )
+    media = documents_as_media(d.select("doc_id", "text", "source")).unionByName(
+        documents_as_media(tweaked)
+    )
+    return dhash_near_dup_pairs(image_dhash(media), max_hamming=4)
+
+
+def _dhash_pairs_oracle() -> str:
+    rows = ", ".join(_dhash_row_sql(r) for r in range(8))
+    ham = " + ".join(f"bit_count(xor(a.b[{r}], c.b[{r}]))" for r in range(1, 9))
+    band_eq = " OR ".join(
+        f"(a.b[{2 * i + 1}] = c.b[{2 * i + 1}] AND a.b[{2 * i + 2}] = c.b[{2 * i + 2}])"
+        for i in range(4)
+    )
+    aug = (
+        "aug AS (SELECT doc_id, text FROM documents"
+        " UNION ALL"
+        " SELECT doc_id + 1000000 AS doc_id, 'Z' || substr(text, 2) AS text"
+        " FROM documents WHERE doc_id % 50 = 0)"
+    )
+    return f"""
+    WITH {aug},
+    {_dhash_px_cte("aug")},
+    h AS (SELECT media_id, [{rows}] AS b FROM px)
+    SELECT a.media_id AS id_a, c.media_id AS id_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM h a JOIN h c ON a.media_id < c.media_id
+    WHERE ({band_eq}) AND ({ham}) <= 4
+"""
+
+
+_ORACLE_IMAGE_DHASH_PAIRS = _dhash_pairs_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3037,6 +3277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carries no hash signal, so it yields its window slot to an
         # oracle-checkable query
         "distinct_users_approx": q_distinct_users_approx,
+        # ---- new in round 6 (rotate into the window next round) ----
+        "gopher_quality": q_gopher_quality,
+        "mixture_resample": q_mixture_resample,
+        "ann_quantized": q_ann_quantized,
+        "image_dhash": q_image_dhash,
+        "image_dhash_pairs": q_image_dhash_pairs,
     }
 
 
@@ -3128,4 +3374,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_hourly_counts": _ORACLE_STREAM_HOURLY,
         "stream_sessionize": _ORACLE_SESSIONIZE,
         "multimodal_features": _ORACLE_MULTIMODAL,
+        "gopher_quality": _ORACLE_GOPHER,
+        "mixture_resample": _ORACLE_MIXTURE,
+        "ann_quantized": _ORACLE_ANN_QUANTIZED,
+        "image_dhash": _ORACLE_IMAGE_DHASH,
+        "image_dhash_pairs": _ORACLE_IMAGE_DHASH_PAIRS,
     }

@@ -199,6 +199,127 @@ def sample_frames(
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash", T.StringType(), True),
+    ]
+)
+
+_DHASH_ROWS, _DHASH_COLS = 8, 9  # 8x8 difference bits from a 9-wide grid
+
+
+def dhash_gray_kernel(kind: str, content: bytes) -> list[int]:
+    """9×8 grayscale grid for dHash, all-integer math so any engine (and
+    the SQL oracle) derives identical pixels:
+
+    * BMP/PPM payloads decode for real (``media_codecs``), grayscale by
+      integer mean ``(r+g+b)//3``, downsample by nearest-neighbor
+      ``p(r,c) = gray[(r·H)//8][(c·W)//9]``;
+    * anything else (incl. the text-bytes adapter frames) samples the raw
+      byte stream the same way: ``p(i) = content[(i·n)//72]`` — a
+      deterministic stand-in with the exact plumbing shape of the real
+      path.  Empty payload → all-zero grid."""
+    n = len(content)
+    if kind == "image" and n >= 2 and content[:2] in (b"BM", b"P6"):
+        from csv_etl_spark.operators.media_codecs import decode_bmp, decode_ppm
+
+        rgb = decode_bmp(content) if content[:2] == b"BM" else decode_ppm(content)
+        gray = (
+            rgb[:, :, 0].astype("int64") + rgb[:, :, 1] + rgb[:, :, 2]
+        ) // 3
+        h, w = gray.shape
+        return [
+            int(gray[(r * h) // _DHASH_ROWS][(c * w) // _DHASH_COLS])
+            for r in range(_DHASH_ROWS)
+            for c in range(_DHASH_COLS)
+        ]
+    if n == 0:
+        return [0] * (_DHASH_ROWS * _DHASH_COLS)
+    return [
+        content[(i * n) // (_DHASH_ROWS * _DHASH_COLS)]
+        for i in range(_DHASH_ROWS * _DHASH_COLS)
+    ]
+
+
+def _dhash_hex(p: list[int]) -> str:
+    """64-bit dHash as 16 lowercase hex chars: row byte r has bit c set
+    iff p(r,c) > p(r,c+1).  Hex-string (not BIGINT) keeps bit 63 unsigned
+    on every engine."""
+    out = []
+    for r in range(_DHASH_ROWS):
+        b = 0
+        for c in range(_DHASH_COLS - 1):
+            if p[r * _DHASH_COLS + c] > p[r * _DHASH_COLS + c + 1]:
+                b |= 1 << c
+        out.append(f"{b:02x}")
+    return "".join(out)
+
+
+def image_dhash(df: DataFrame, kernel=dhash_gray_kernel) -> DataFrame:
+    """Per-image 64-bit difference hash (dHash — the standard perceptual
+    fingerprint for image near-dup at corpus scale: gradient signs survive
+    re-encode/resize/brightness shifts that break byte-exact hashes).
+    Arrow-batched mapInPandas like every media kernel; bytes never reach
+    the driver.  Returns ``(media_id, dhash hex16)``."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [
+                        None
+                        if c is None
+                        else _dhash_hex(kernel(k, bytes(c)))
+                        for k, c in zip(pdf["kind"], pdf["content"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 4, id_col: str = "media_id"
+) -> DataFrame:
+    """Image near-dup candidate pairs from dHash: band-equijoin (four
+    16-bit bands — same LSH banding argument as MinHash: a pair within
+    ``max_hamming`` ≤ 3 bits MUST agree on ≥ 1 band by pigeonhole; at 4–6
+    bits recall is still high unless errors spread one-per-band), then an
+    exact Hamming verify JVM-side (conv/xor/bit_count — no UDF).
+
+    Scale shape: the join is keyed on (band_idx, band_value) — never
+    O(n²); candidate volume is governed by 16-bit band collisions.
+    Returns ``(id_a, id_b, hamming)``, one row per pair."""
+    bands = F.array(*[F.substring("dhash", i * 4 + 1, 4) for i in range(4)])
+    exploded = hashes.filter(F.col("dhash").isNotNull()).select(
+        F.col(id_col), F.col("dhash"), F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    left = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("ha"), "band_idx", "band_val"
+    )
+    right = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("hb"), "band_idx", "band_val"
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.lit(0)
+    for i in range(4):
+        xa = F.conv(F.substring("ha", i * 4 + 1, 4), 16, 10).cast("long")
+        xb = F.conv(F.substring("hb", i * 4 + 1, 4), 16, 10).cast("long")
+        ham = ham + F.bit_count(xa.bitwiseXOR(xb))
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter used by tests/bench: treat document text bytes as opaque
     media payloads so the multimodal plumbing runs on driver-provided

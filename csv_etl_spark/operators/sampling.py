@@ -69,6 +69,62 @@ def stratified_hash_sample(
     return df.filter(bucket < thr)
 
 
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic data-mixture resampling — the mixing step that turns
+    a raw corpus into a training distribution (e.g. "wiki ×2.5, books ×1,
+    crawl ×0.3").  Each row is emitted ``floor(w)`` times, plus one more
+    with probability ``frac(w)`` decided by the row key's md5 hash — so a
+    weight of 2.5 yields exactly 2 or 3 copies per doc, deterministically,
+    and the realized group sizes concentrate at weight × group size.
+
+    Output adds a ``copy`` ordinal (1-based) so downstream passes (e.g.
+    ``shuffled_positions`` keyed on (key, copy)) treat each epoch-copy as
+    a distinct example.  Rows in groups with weight 0 vanish (classic
+    down-sampling is the w < 1 special case and reproduces ``hash_sample``
+    semantics per group).
+
+    Scale shape: MAP-ONLY — the weight table compiles to a when-chain
+    literal (mixture specs are small by nature: one entry per source, not
+    per row), the copy count is a pure function of (group, key-hash), and
+    the fan-out is an explode of a ``sequence`` array built per row.  No
+    shuffle, no join, linear in input splits at 100 TB; expansion factor
+    is bounded by max(weights).  Deterministic on every engine — the
+    DuckDB oracle re-derives the exact copy set from the same md5 rule."""
+    for w in list(weights.values()) + [default_weight]:
+        if w < 0:
+            raise ValueError("mixture weights must be >= 0")
+    bucket = hash_bucket_hex(F.col(key_col))
+
+    def n_copies_for(w: float) -> Column:
+        base = int(w)
+        frac = w - base
+        extra = (bucket < F.lit(fraction_threshold_hex(frac))).cast("int")
+        return F.lit(base) + extra
+
+    expr = None
+    for value, w in weights.items():
+        cond = F.col(group_col) == F.lit(value)
+        n = n_copies_for(w)
+        expr = F.when(cond, n) if expr is None else expr.when(cond, n)
+    n_copies = (
+        n_copies_for(default_weight) if expr is None else expr.otherwise(n_copies_for(default_weight))
+    )
+    # sequence(1, 0) is DESCENDING [1, 0], not empty — zero-copy rows must
+    # short-circuit (same trap as string_shingles)
+    copies = F.when(n_copies < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), n_copies)
+    )
+    return df.select(
+        "*", F.explode(copies).alias("copy")
+    )
+
+
 def split_train_holdout(
     df: DataFrame, key_col: str, holdout_fraction: float = 0.1
 ) -> tuple[DataFrame, DataFrame]:

@@ -335,6 +335,98 @@ def unigram_logprob(
     )
 
 
+# Gopher rule 8's required-stopword set (Rae et al. 2021, table A1: "must
+# contain at least 2 of ..."), shared verbatim with the DuckDB oracle.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher document-quality gate (Rae et al. 2021 §A1.1, the public
+    heuristic rule set most LLM corpora start from): a document is kept iff
+
+    * word count in [``min_words``, ``max_words``];
+    * mean word length in [``min_mean_word_len``, ``max_mean_word_len``];
+    * symbol-to-word ratio (``#`` and ``...``/``…`` marks per word)
+      ≤ ``max_symbol_ratio``;
+    * ≤ ``max_bullet_frac`` of non-empty lines start with a bullet;
+    * ≤ ``max_ellipsis_frac`` of non-empty lines end with an ellipsis;
+    * ≥ ``min_alpha_frac`` of words contain an alphabetic character;
+    * ≥ ``min_stopword_hits`` DISTINCT required stopwords present.
+
+    Returns one row per doc: every measured metric (so a downstream pass
+    can re-gate with different thresholds without recomputing) plus the
+    composite ``keep``.  Map-only — split/filter/aggregate over arrays,
+    all JVM-side, no shuffle, linear in input splits at 100 TB.  Every
+    expression lives in the engine-portable subset (ratios compare on the
+    RAW double in both engines; rounding is display-only)."""
+    c = F.col(text_col)
+    toks = ws_tokens(c)
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    n_words = F.size(toks)
+    nw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(None))
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t)) / n_words,
+    ).otherwise(F.lit(0.0))
+    # non-overlapping scans in both Java regex and RE2: "...." counts one
+    n_symbols = F.regexp_count(c, F.lit("#")) + F.regexp_count(
+        c, F.lit(r"(\.\.\.|…)")
+    )
+    symbol_ratio = F.coalesce(n_symbols / nw, F.lit(0.0))
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    nl = F.when(n_lines > 0, n_lines.cast("double")).otherwise(F.lit(None))
+    bullet_frac = F.coalesce(
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))) / nl,
+        F.lit(0.0),
+    )
+    ellipsis_frac = F.coalesce(
+        F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))) / nl,
+        F.lit(0.0),
+    )
+    alpha_frac = F.coalesce(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nw, F.lit(0.0)
+    )
+    sw_hits = F.size(
+        F.array_intersect(lowered, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_len >= min_mean_word_len)
+        & (mean_len <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (sw_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        sw_hits.cast("bigint").alias("n_stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
 def length_outliers(
     df: DataFrame,
     text_col: str = "text",

@@ -1261,3 +1261,147 @@ def test_length_outliers_mad_gate(spark):
     assert rows[10]["is_outlier"] and rows[10]["n_tokens"] == 100
     assert sum(1 for r in rows.values() if r["is_outlier"]) == 1
     assert rows[0]["deviation"] < 3.0
+
+
+# ---------------------------------------------------------------------------
+# round 6: gopher quality, mixture resample, int8 quantization, image dHash
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_quality_rules(spark):
+    sw = "the be to of and that have with"  # all 8 required stopwords, mean len 3
+    docs = [
+        (1, (sw + " ") * 8),                       # 64 words, all gates pass
+        (2, sw),                                   # 8 words: fails min_words
+        (3, ("xx " * 60).strip()),                 # no stopwords, mean len 2
+        (4, (sw + " ") * 8 + "# # # # # # # #"),   # 72 words, 8 '#' -> ratio .111
+        (5, "\n".join(["- " + sw] * 10)),          # every line bullet-led
+        (6, "\n".join([sw + " ..."] * 10)),        # every line ellipsis-ended
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in text.gopher_quality(df).collect()}
+    assert rows[1]["keep"] and rows[1]["n_stopword_hits"] == 8
+    assert not rows[2]["keep"] and rows[2]["n_words"] == 8
+    assert not rows[3]["keep"] and rows[3]["n_stopword_hits"] == 0
+    assert not rows[4]["keep"] and rows[4]["symbol_ratio"] > 0.1
+    assert not rows[5]["keep"] and rows[5]["bullet_frac"] == 1.0
+    assert not rows[6]["keep"] and rows[6]["ellipsis_frac"] == 1.0
+    # doc 4 fails ONLY the symbol rule (alpha_frac 64/72 still >= 0.8)
+    assert rows[4]["alpha_frac"] >= 0.8 and rows[4]["n_words"] == 72
+
+
+def test_mixture_resample_arms(spark):
+    from csv_etl_spark.operators.sampling import mixture_resample
+
+    docs = [(i, ["A", "B", "C", "D"][i % 4]) for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "source"])
+    out = mixture_resample(
+        df, weights={"A": 2.5, "B": 0.25, "C": 0.0}, group_col="source",
+        key_col="doc_id",
+    )
+    per_doc = (
+        out.groupBy("doc_id", "source").count().collect()
+    )
+    by_src: dict = {}
+    for r in per_doc:
+        by_src.setdefault(r["source"], []).append(r["count"])
+    assert set(by_src["A"]) <= {2, 3} and len(by_src["A"]) == 50
+    assert set(by_src["B"]) <= {1}          # 0-copy docs vanish entirely
+    assert len(by_src["B"]) < 50            # ~25% survive
+    assert "C" not in by_src
+    assert set(by_src["D"]) == {1} and len(by_src["D"]) == 50
+    # deterministic under repartition: identical (doc_id, copy) multiset
+    again = mixture_resample(
+        df.repartition(7), weights={"A": 2.5, "B": 0.25, "C": 0.0},
+        group_col="source", key_col="doc_id",
+    )
+    a = sorted((r["doc_id"], r["copy"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["copy"]) for r in again.collect())
+    assert a == b
+
+
+def test_quantize_embeddings_codes(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    rows = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    assert rows[1]["qvec"] == [127, -64, 32]  # round(0.5*127)=64 away from zero
+    assert abs(rows[1]["scale"] - 1.0 / 127.0) < 1e-12
+    assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+
+
+def test_quantized_topk_matches_exact_ranking(spark):
+    # well-separated directions: quantization noise (<1/127) cannot reorder
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    probes = similarity.make_probes(df, n=1)
+    exact = [r["neighbor_id"] for r in similarity.brute_force_topk(df, probes, k=3)
+             .orderBy("rank").collect()]
+    quant = [r["neighbor_id"] for r in similarity.quantized_topk(df, probes, k=3)
+             .orderBy("rank").collect()]
+    assert exact == quant == [2, 3, 4]
+
+
+def _bmp_bytes(arr):
+    import numpy as np
+
+    from csv_etl_spark.operators.media_codecs import encode_bmp
+
+    return bytearray(encode_bmp(np.asarray(arr, dtype="uint8")))
+
+
+def test_image_dhash_bmp_near_dup(spark):
+    import numpy as np
+
+    from csv_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA, dhash_near_dup_pairs, image_dhash,
+    )
+
+    h, w = 24, 36
+    ramp = np.tile(np.arange(w, dtype="uint8") * 7, (h, 1))
+    base = np.stack([ramp] * 3, axis=2)          # left-to-right gradient
+    near = base.copy()
+    near[6, 12] = near[6, 12] + 120              # one sampled pixel bumped
+    # (6, 12) is on the dHash sampling grid: y = (2*24)//8, x = (3*36)//9
+    far = 255 - base                             # reversed gradient
+    rows = [
+        (1, "image", _bmp_bytes(base), {}),
+        (2, "image", _bmp_bytes(near), {}),
+        (3, "image", _bmp_bytes(far), {}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert 1 <= ham(hashes[1], hashes[2]) <= 4   # near-dup: a couple of bits
+    assert ham(hashes[1], hashes[3]) > 16        # reversed gradient: far
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dhash_near_dup_pairs(image_dhash(df), max_hamming=4).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_image_dhash_fallback_matches_python_reference(spark):
+    from csv_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA, _dhash_hex, dhash_gray_kernel, image_dhash,
+    )
+
+    payload = b"the quick brown fox jumps over the lazy dog" * 3
+    df = spark.createDataFrame([(7, "image", bytearray(payload), {})], MEDIA_SCHEMA)
+    got = image_dhash(df).collect()[0]["dhash"]
+    n = len(payload)
+    p = [payload[(i * n) // 72] for i in range(72)]
+    assert got == _dhash_hex(p) and len(got) == 16
+    # identical payloads hash identically through the whole Spark path
+    df2 = spark.createDataFrame(
+        [(8, "image", bytearray(payload), {}), (9, "image", bytearray(payload), {})],
+        MEDIA_SCHEMA,
+    )
+    hs = [r["dhash"] for r in image_dhash(df2).collect()]
+    assert hs[0] == hs[1] == got
