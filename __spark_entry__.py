@@ -3160,6 +3160,101 @@ def _dhash_pairs_oracle() -> str:
 _ORACLE_IMAGE_DHASH_PAIRS = _dhash_pairs_oracle()
 
 
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean/stddev of value and its covariance/correlation
+    with time — computed from EXACT fixed-point moments
+    (operators/stats.py) so the result is bit-reproducible on any engine
+    and any partitioning, unlike double-accumulating stddev/corr.  One
+    groupBy with map-side partials; y = truncated-second epoch (Spark
+    unix_timestamp == floor(epoch) in the oracle)."""
+    from csv_etl_spark.operators.stats import moment_stats
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.unix_timestamp("ts").cast("double").alias("ts_epoch"),
+    )
+    return moment_stats(e, "value", "ts_epoch", by=["event_type"])
+
+
+def _stats_oracle() -> str:
+    from csv_etl_spark.operators.stats import moment_stats_oracle_sql
+
+    derived = (
+        "(SELECT event_type, CAST(value AS DOUBLE) AS value,"
+        " CAST(floor(epoch(ts)) AS DOUBLE) AS ts_epoch FROM events) ev"
+    )
+    return moment_stats_oracle_sql(derived, "value", "ts_epoch", by=["event_type"])
+
+
+_ORACLE_STATS_MOMENTS = _stats_oracle()
+
+
+def q_window_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution window-function breadth per customer: ntile
+    quartile, percent_rank, cume_dist, lag/lead — one window, partitioned
+    on the HIGH-cardinality o_custkey (scales out; deterministic total
+    order via the o_orderkey tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+    )
+
+
+_ORACLE_WINDOW_FUNCS = """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           lag(o_orderkey, 1) OVER w AS prev_key,
+           lead(o_orderkey, 1) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-mix assembly: Gopher quality gate → per-source
+    mixture resampling — the composition a real corpus build runs (filter
+    junk, then hit the target data mixture).  One Catalyst plan: the gate
+    is map-only, the resample is map-only, the only shuffle is the
+    doc-keyed join carrying `source` back to the gated ids."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    gated = (
+        text.gopher_quality(d, min_words=50, min_stopword_hits=1)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = d.select("doc_id", "source").join(gated, "doc_id")
+    return _sampling.mixture_resample(
+        kept, weights=_MIX_WEIGHTS, group_col="source", key_col="doc_id"
+    )
+
+
+_ORACLE_TRAINING_MIX = f"""
+    WITH g AS ({_ORACLE_GOPHER})
+    SELECT d.doc_id, d.source, gs.k AS copy
+    FROM documents d
+    JOIN g ON d.doc_id = g.doc_id AND g.keep
+    CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) gs
+    WHERE gs.k <= (CASE d.source
+        {" ".join(
+            f"WHEN '{src}' THEN {int(w)} + CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < '{_sampling.fraction_threshold_hex(w - int(w))}' THEN 1 ELSE 0 END"
+            for src, w in _MIX_WEIGHTS.items()
+        )}
+        ELSE 1 END)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3283,6 +3378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "image_dhash": q_image_dhash,
         "image_dhash_pairs": q_image_dhash_pairs,
+        "stats_moments": q_stats_moments,
+        "window_funcs_orders": q_window_funcs_orders,
+        "training_mix": q_training_mix,
     }
 
 
@@ -3379,4 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized": _ORACLE_ANN_QUANTIZED,
         "image_dhash": _ORACLE_IMAGE_DHASH,
         "image_dhash_pairs": _ORACLE_IMAGE_DHASH_PAIRS,
+        "stats_moments": _ORACLE_STATS_MOMENTS,
+        "window_funcs_orders": _ORACLE_WINDOW_FUNCS,
+        "training_mix": _ORACLE_TRAINING_MIX,
     }

@@ -69,6 +69,11 @@ HEADLINE = [
     "web_curation",
     "events_rolling_time",
     "length_outliers",
+    # round 6 additions
+    "gopher_quality",
+    "mixture_resample",
+    "ann_quantized",
+    "image_dhash_pairs",
 ]
 
 

@@ -1405,3 +1405,31 @@ def test_image_dhash_fallback_matches_python_reference(spark):
     )
     hs = [r["dhash"] for r in image_dhash(df2).collect()]
     assert hs[0] == hs[1] == got
+
+
+def test_moment_stats_matches_builtins_and_is_layout_stable(spark):
+    import math
+
+    from csv_etl_spark.operators.stats import moment_stats
+
+    rows = [("a", float(i % 17) + 0.125, float(i)) for i in range(500)]
+    rows += [("b", 5.0, 1.0), ("b", 5.0, 2.0)]       # zero variance -> corr NULL
+    rows += [("c", 9.5, 3.0)]                        # n=1 -> stddev/covar/corr NULL
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    out = {r["k"]: r for r in moment_stats(df, "x", "y", by=["k"]).collect()}
+    ref = df.filter("k = 'a'").agg(
+        F.avg("x"), F.stddev_samp("x"), F.covar_samp("x", "y"), F.corr("x", "y")
+    ).collect()[0]
+    a = out["a"]
+    assert a["n"] == 500
+    assert math.isclose(a["mean_x"], ref[0], abs_tol=2e-6)
+    assert math.isclose(a["stddev_x"], ref[1], abs_tol=2e-6)
+    assert math.isclose(a["covar_xy"], ref[2], abs_tol=2e-4)
+    assert math.isclose(a["corr_xy"], ref[3], abs_tol=1e-5)
+    assert out["b"]["stddev_x"] == 0.0 and out["b"]["corr_xy"] is None
+    assert out["c"]["stddev_x"] is None and out["c"]["covar_xy"] is None
+    # bit-identical across partitionings (the whole point vs F.corr)
+    again = {r["k"]: r for r in
+             moment_stats(df.repartition(13), "x", "y", by=["k"]).collect()}
+    for k in out:
+        assert tuple(out[k]) == tuple(again[k])
