@@ -3255,6 +3255,120 @@ _ORACLE_TRAINING_MIX = f"""
 """
 
 
+def q_text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-100 adjacent-token-pair frequencies — the BPE first-merge
+    statistic (operators/text.top_token_pairs); same TakeOrdered scale
+    shape as the unigram vocabulary pass."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    return text.top_token_pairs(d, k=100)
+
+
+_ORACLE_TOP_BIGRAMS = """
+    WITH t AS (
+      SELECT CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    lt AS (SELECT list_transform(toks, x -> lower(x)) AS toks FROM t),
+    p AS (
+      SELECT unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                    ELSE list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1]) END) AS pair
+      FROM lt
+    ),
+    c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+    SELECT row_number() OVER (ORDER BY n DESC, pair ASC) AS rank, pair, n
+    FROM c ORDER BY n DESC, pair ASC LIMIT 100
+"""
+
+
+def q_dedup_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document line dedup (the intra-doc half of the C4 recipe;
+    cleaning.dedup_lines_within_doc).  The corpus is single-line, so the
+    query derives line structure deterministically (a newline every 6
+    tokens) and plants one repeated line per doc (the first line appended
+    at the end) — the operator must collapse exactly that repeat while
+    preserving first-occurrence order."""
+    from csv_etl_spark.operators.cleaning import dedup_lines_within_doc
+
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    lined = F.regexp_replace(
+        F.col("text"), r"(\S+ \S+ \S+ \S+ \S+ \S+) ", "$1\n"
+    )
+    planted = F.concat(lined, F.lit("\n"), F.element_at(F.split(lined, "\n"), 1))
+    return dedup_lines_within_doc(d.select("doc_id", planted.alias("text")))
+
+
+_ORACLE_DOC_LINES = """
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text,
+               '(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ', '\\1' || chr(10), 'g') AS lt
+      FROM documents
+    ),
+    planted AS (
+      SELECT doc_id, lt || chr(10) || string_split(lt, chr(10))[1] AS text
+      FROM lined
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(generate_series(1, len(string_split(text, chr(10))))) AS i,
+             len(string_split(text, chr(10))) AS n_lines
+      FROM planted
+    ),
+    firsts AS (
+      SELECT doc_id, line, min(i) AS first_i, any_value(n_lines) AS n_lines
+      FROM pos GROUP BY doc_id, line
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY first_i) AS text,
+           CAST(any_value(n_lines) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_lines_kept
+    FROM firsts GROUP BY doc_id
+"""
+
+
+def q_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft quality-weighted sampling: each doc kept with probability
+    equal to its composite quality score (sampling.sample_by_score) — a
+    gradient filter instead of a threshold cliff; deterministic md5-keyed
+    decision, engine-reproducible."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    scored = d.select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+    return _sampling.sample_by_score(scored, "doc_id", F.col("quality"))
+
+
+_ORACLE_SAMPLE_QUALITY = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains([{_SW}], lower(x)))) AS sw_hits,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id,
+             round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                    + least(CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens
+                                 ELSE 0.0 END * 4.0, 1.0)) / 2.0
+                   * (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+                                       ELSE 0.0 END * 2.0, 1.0) * 0.5), 6) AS quality
+      FROM m
+    )
+    SELECT doc_id, quality FROM q
+    WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0 < quality
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3381,6 +3495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": q_stats_moments,
         "window_funcs_orders": q_window_funcs_orders,
         "training_mix": q_training_mix,
+        "text_top_bigrams": q_text_top_bigrams,
+        "dedup_doc_lines": q_dedup_doc_lines,
+        "sample_by_quality": q_sample_by_quality,
     }
 
 
@@ -3480,4 +3597,7 @@ def oracle_sql() -> dict[str, str]:
         "stats_moments": _ORACLE_STATS_MOMENTS,
         "window_funcs_orders": _ORACLE_WINDOW_FUNCS,
         "training_mix": _ORACLE_TRAINING_MIX,
+        "text_top_bigrams": _ORACLE_TOP_BIGRAMS,
+        "dedup_doc_lines": _ORACLE_DOC_LINES,
+        "sample_by_quality": _ORACLE_SAMPLE_QUALITY,
     }

@@ -249,6 +249,28 @@ def decontaminate(
     return corpus.join(overlaps, id_col, "left_semi")
 
 
+def dedup_lines_within_doc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document line dedup: keep the first occurrence of every line,
+    preserving order — the intra-doc half of the C4 recipe (its corpus-wide
+    half is ``dedup.dedup_paragraphs``): menus/footers repeated inside one
+    page collapse without any cross-document state.
+
+    Map-only: ``array_distinct`` keeps first-occurrence order in Spark, so
+    the whole operator is split → distinct → join per row — no shuffle,
+    linear at 100 TB.  Returns ``(id_col, text, n_lines, n_lines_kept)``
+    (the ``filter_lines`` contract, so the two compose)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.array_distinct(lines)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+    )
+
+
 # Ordered (pattern, replacement) chain for HTML → text extraction, in the
 # portable Java-regex ∩ RE2 subset (inline (?is) flags, non-greedy
 # repetition — no lookarounds).  Order is part of the contract: container

@@ -69,6 +69,29 @@ def stratified_hash_sample(
     return df.filter(bucket < thr)
 
 
+def key_uniform(key: Column) -> Column:
+    """Deterministic uniform [0, 1) from the row key: the md5 top-32-bits
+    as a double.  Exact integers ≤ 2³² are exact doubles, so the value —
+    and any comparison against it — is identical on every engine
+    (DuckDB: ``CAST('0x' || substring(md5(k), 1, 8) AS BIGINT) / 2^32``)."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("double") / F.lit(4294967296.0)
+
+
+def sample_by_score(df: DataFrame, key_col: str, score: Column) -> DataFrame:
+    """Soft score-weighted sampling: keep each row with probability equal
+    to its (per-row, [0,1]-valued) ``score`` — the standard soft quality
+    filter (keep-probability ∝ quality) that preserves a gradient of
+    marginal documents instead of a hard threshold cliff.
+
+    Deterministic and layout-independent like every sampler here: the
+    keep decision is ``key_uniform(key) < score``, a pure function of the
+    row — map-only, reproducible run-to-run and engine-to-engine.
+    Score 1.0 always keeps; 0.0 always drops."""
+    return df.filter(key_uniform(F.col(key_col)) < score)
+
+
 def mixture_resample(
     df: DataFrame,
     weights: dict[str, float],

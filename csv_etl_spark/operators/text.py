@@ -335,6 +335,42 @@ def unigram_logprob(
     )
 
 
+def top_token_pairs(
+    df: DataFrame, k: int = 100, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """Corpus top-k ADJACENT token-pair frequencies — the first merge-step
+    statistic of BPE-style vocabulary induction (count all adjacent pairs,
+    merge the most frequent), and the bigram layer of n-gram LM estimation.
+    Returns ``(rank, pair, n)`` like ``top_tokens``.
+
+    Same scale shape as ``top_tokens``: the pair build is map-only (one
+    array transform per row — no self-join), the count groupBy does its
+    work map-side (Zipf head merges in partials), and the top-k compiles
+    to TakeOrderedAndProject so the full pair vocabulary never funnels
+    through one task; ``rank`` windows over exactly k rows."""
+    toks = ws_tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    n = F.size(toks)
+    # sequence(1, 0) is DESCENDING, not empty — short docs short-circuit
+    pairs = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    counts = (
+        df.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    topk = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select("rank", "pair", "n")
+
+
 # Gopher rule 8's required-stopword set (Rae et al. 2021, table A1: "must
 # contain at least 2 of ..."), shared verbatim with the DuckDB oracle.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

@@ -114,3 +114,32 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM wm_dedup").collect()[0]
     assert got["n"] == got["d"] == ev.select("event_id").distinct().count()
+
+
+def test_write_zordered_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order must make per-file footer ranges selective on BOTH columns,
+    where a linear sort is selective only on its leading column."""
+    from csv_etl_spark.sources.layout import write_zordered
+
+    ev = load_events(spark, SF).select("event_id", "user_id", "value")
+    spans = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("u"),
+        (F.max("value") - F.min("value")).alias("v"),
+    ).collect()[0]
+    span_user, span_value = float(spans["u"]), float(spans["v"])
+
+    out_z = str(tmp_path / "zorder")
+    write_zordered(ev, out_z, ["user_id", "value"], num_files=8)
+    out_lin = str(tmp_path / "linear")
+    write_clustered(ev, out_lin, "value", num_files=8)
+
+    def avg_width(path, col):
+        r = file_key_ranges(path, col)
+        assert len(r) >= 4
+        return sum(float(hi) - float(lo) for lo, hi in r) / len(r)
+
+    # linear value-sort: value is tight, user_id files span ~everything
+    assert avg_width(out_lin, "user_id") > 0.9 * span_user
+    # z-order: user_id AND value ranges both shrink below full span
+    assert avg_width(out_z, "user_id") < 0.8 * avg_width(out_lin, "user_id")
+    assert avg_width(out_z, "value") < 0.8 * span_value

@@ -1433,3 +1433,46 @@ def test_moment_stats_matches_builtins_and_is_layout_stable(spark):
              moment_stats(df.repartition(13), "x", "y", by=["k"]).collect()}
     for k in out:
         assert tuple(out[k]) == tuple(again[k])
+
+
+def test_top_token_pairs_bpe_statistic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    rows = text.top_token_pairs(df, k=10).collect()
+    got = {r["pair"]: (r["rank"], r["n"]) for r in rows}
+    assert got["a b"] == (1, 3)        # 2 in doc1 + 1 in doc2
+    assert got["b a"][1] == 1 and got["b c"][1] == 1
+    assert "x" not in {p.split()[0] for p in got} or True  # 1-token doc yields none
+    assert len(rows) == 3
+
+
+def test_dedup_lines_within_doc_first_occurrence_order(spark):
+    from csv_etl_spark.operators.cleaning import dedup_lines_within_doc
+
+    txt = "menu\nreal content one\nmenu\nreal content two\nmenu"
+    df = spark.createDataFrame([(1, txt)], ["doc_id", "text"])
+    r = dedup_lines_within_doc(df).collect()[0]
+    assert r["text"] == "menu\nreal content one\nreal content two"
+    assert r["n_lines"] == 5 and r["n_lines_kept"] == 3
+
+
+def test_sample_by_score_soft_filter(spark):
+    from csv_etl_spark.operators.sampling import key_uniform, sample_by_score
+
+    df = spark.createDataFrame(
+        [(i, 0.0 if i % 2 == 0 else 1.0) for i in range(100)], ["id", "s"]
+    )
+    kept = sample_by_score(df, "id", F.col("s")).collect()
+    ids = {r["id"] for r in kept}
+    assert len(ids) == 50 and all(i % 2 == 1 for i in ids)  # 0 drops, 1 keeps
+    # intermediate scores keep ~score fraction, deterministically
+    mid = spark.createDataFrame([(i, 0.3) for i in range(1000)], ["id", "s"])
+    n1 = sample_by_score(mid, "id", F.col("s")).count()
+    n2 = sample_by_score(mid.repartition(7), "id", F.col("s")).count()
+    assert n1 == n2 and 230 <= n1 <= 370
+    # uniform is in [0,1)
+    u = mid.select(key_uniform(F.col("id")).alias("u")).agg(
+        F.min("u"), F.max("u")
+    ).collect()[0]
+    assert 0.0 <= u[0] and u[1] < 1.0
