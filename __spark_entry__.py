@@ -3369,6 +3369,80 @@ _ORACLE_SAMPLE_QUALITY = f"""
 """
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (text.tfidf_top_terms): token-keyed
+    tf/df aggregations + idf join, doc-keyed top-k window."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    return text.tfidf_top_terms(d, k=5)
+
+
+_ORACLE_TFIDF = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    e AS (SELECT doc_id, lower(unnest(toks)) AS token FROM t),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+             round(tf.tf * ln(n.n / dfq.df), 6) AS score
+      FROM tf JOIN dfq USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, score, rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join completing the join family (inner/left/semi/anti/
+    as-of/range already covered): high-balance supplier counts vs
+    deep-negative customer counts per nation — both sides genuinely
+    one-sided on this data (7 vs 9 nations), so both NULL arms execute.
+    Two small aggregates; the full-outer is a tiny sort-merge."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = (
+        c.filter(F.col("c_acctbal") < -900)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_poor_customers"))
+    )
+    sn = (
+        s.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    return cn.join(sn, "nationkey", "full_outer").select(
+        "nationkey",
+        F.coalesce("n_poor_customers", F.lit(0)).alias("n_poor_customers"),
+        F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+    )
+
+
+_ORACLE_JOIN_FULL_OUTER = """
+    WITH cn AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_poor_customers
+      FROM customer WHERE c_acctbal < -900 GROUP BY c_nationkey
+    ),
+    sn AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_rich_suppliers
+      FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+    )
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           coalesce(n_poor_customers, 0) AS n_poor_customers,
+           coalesce(n_rich_suppliers, 0) AS n_rich_suppliers
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3498,6 +3572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": q_text_top_bigrams,
         "dedup_doc_lines": q_dedup_doc_lines,
         "sample_by_quality": q_sample_by_quality,
+        "tfidf_terms": q_tfidf_terms,
+        "join_full_outer": q_join_full_outer,
     }
 
 
@@ -3600,4 +3676,6 @@ def oracle_sql() -> dict[str, str]:
         "text_top_bigrams": _ORACLE_TOP_BIGRAMS,
         "dedup_doc_lines": _ORACLE_DOC_LINES,
         "sample_by_quality": _ORACLE_SAMPLE_QUALITY,
+        "tfidf_terms": _ORACLE_TFIDF,
+        "join_full_outer": _ORACLE_JOIN_FULL_OUTER,
     }

@@ -371,6 +371,53 @@ def top_token_pairs(
     return topk.withColumn("rank", F.row_number().over(w)).select("rank", "pair", "n")
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic sparse document
+    representation (keyword extraction, BM25-ish retrieval features,
+    topic drift monitoring over a training corpus).  ``score = tf ·
+    ln(N/df)`` with N = corpus doc count, df = docs containing the term.
+    Returns ``(id_col, token, tf, score, rank)``.
+
+    Scale shape: one token-keyed groupBy for (doc, token) tf counts
+    (map-side partials soak the Zipf head), one token groupBy for df, a
+    token-keyed join carrying idf back (AQE skew-splits the hot tokens —
+    same discipline as ``unigram_logprob``), and the top-k window
+    partitions on the HIGH-cardinality doc id.  N is a scalar agg
+    broadcast back.  Engine-portable: both engines evaluate ln on the
+    identical double, and ranking orders by the ROUNDED score with a
+    token tiebreak so round-boundary ties break identically."""
+    toks = ws_tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col),
+            F.col("token"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(
+                F.col("tf") * F.log(F.col("_n") / F.col("_df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # Gopher rule 8's required-stopword set (Rae et al. 2021, table A1: "must
 # contain at least 2 of ..."), shared verbatim with the DuckDB oracle.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

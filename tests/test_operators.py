@@ -1476,3 +1476,30 @@ def test_sample_by_score_soft_filter(spark):
         F.min("u"), F.max("u")
     ).collect()[0]
     assert 0.0 <= u[0] and u[1] < 1.0
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "common only words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = text.tfidf_top_terms(df, k=2).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 'apple' tf=2 df=1 -> 2*ln(3); beats banana (df=2) and common (df=3, score 0)
+    top1 = sorted(by_doc[1], key=lambda r: r["rank"])[0]
+    assert top1["token"] == "apple" and top1["tf"] == 2
+    assert math.isclose(top1["score"], round(2 * math.log(3), 6), abs_tol=1e-9)
+    # 'common' appears in every doc -> idf ln(1)=0 -> never a top term over
+    # a positive-scored competitor
+    for r in rows:
+        if r["token"] == "common":
+            assert r["score"] == 0.0
+    assert all(len(v) == 2 for v in by_doc.values())
