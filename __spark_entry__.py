@@ -3450,72 +3450,51 @@ _ORACLE_JOIN_FULL_OUTER = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # entries (insertion order).  Round-6 rotation: the 12 queries that had
-    # NEVER had a driver CORRECTNESS row (dedup_incremental,
-    # doc_length_histogram, chunk_documents, salted_agg_events, tokens_to_ids,
-    # unigram_logprob, corpus_shuffle, dedup_representatives, text_strip_html,
-    # web_curation, events_rolling_time, length_outliers) move INTO the window,
-    # displacing 12 entries that are green in CORRECTNESS_r05 and whose
-    # machinery stays represented in-window (f4/f5/t3/t4 probes by
-    # etl_dynamic_mapping + typed pipelines + pytest parity; join_left_outer/
-    # topk by join_revenue/window_top; pivot/unpivot/distinct_users by
-    # agg/rollup siblings; text_repetition/pii_scrub/filter_lines by
-    # corpus_curation, which composes them).  Round-robin discipline: every
-    # query gets a driver row within two rounds.  All 76 remain oracle-checked
-    # locally via scripts/check_oracle.py regardless of position.
+    # entries (insertion order).  Round-6 window (50 = 25 + 12 + 13):
+    #  * 25 carried-over core queries (every family keeps a representative);
+    #  * the 12 queries that got their FIRST driver row this round's rotation
+    #    (dedup_incremental ... length_outliers) stay in-window;
+    #  * the 13 operators NEW in round 6 (gopher_quality ... join_full_outer)
+    #    enter the window immediately so their first driver rows land in
+    #    CORRECTNESS_r06, displacing 13 entries green in CORRECTNESS_r05
+    #    whose machinery stays represented (merge_upsert/t7/typed_crypto by
+    #    the ETL+typed siblings; window_top/rollup by window_funcs_orders +
+    #    agg siblings; anti_join by join_full_outer/join_revenue;
+    #    sample_deterministic by sample_by_quality/mixture_resample;
+    #    json/percentiles by length_outliers' percentile path; dedup_exact/
+    #    simhash by the five other dedup queries; multimodal_features by
+    #    image_dhash/image_dhash_pairs; etl_chained by etl_dynamic+lookup+
+    #    aggregate).  Round-robin discipline: every query keeps a driver row
+    #    at most two rounds old.  All 89 remain oracle-checked locally via
+    #    scripts/check_oracle.py regardless of position.
     return {
-        # ETL core (SURVEY §2.2/§2.3)
+        # ---- window 1-25: carried-over core (green in CORRECTNESS_r05) ----
         "etl_dynamic_mapping": q_etl_dynamic_mapping,
-        # mapping-language extensions (ROADMAP.md:50-52)
         "etl_lookup_table": q_etl_lookup_table,
         "etl_aggregate_mapping": q_etl_aggregate_mapping,
-        "etl_chained_mappings": q_etl_chained_mappings,
         "spec_validation": q_spec_validation,
-        "merge_upsert_orders": q_merge_upsert_orders,
-        "t7_formula": q_t7_formula,
-        # typed path C1-C13
         "typed_stocks_pipeline": q_typed_stocks_pipeline,
-        "typed_crypto_pipeline": q_typed_crypto_pipeline,
-        # relational extensions
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
-        "window_top_orders": q_window_top_orders,
-        "rollup_orders": q_rollup_orders,
-        "anti_join_customers": q_anti_join_customers,
         "dedup_paragraphs": q_dedup_paragraphs,
         "events_rolling": q_events_rolling,
         "asof_join_purchase_click": q_asof_join,
         "range_join_buckets": q_range_join,
-        # deterministic sampling
-        "sample_deterministic": q_sample_deterministic,
-        # sequence packing (distributed prefix sum, window-free)
         "pack_sequences": q_pack_sequences,
-        # semi-structured
-        "json_extract_props": q_json_extract_props,
-        # sketches / statistics
-        "value_percentiles": q_value_percentiles,
-        # dedup
-        "dedup_exact": q_dedup_exact,
         "semantic_dedup": q_semantic_dedup,
         "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        # similarity search
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_approx": q_ann_ivf_approx,
-        # text analysis
         "text_metrics": q_text_metrics,
         "text_top_tokens": q_text_top_tokens,
         "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_curation": q_corpus_curation,
-        # streaming semantics
         "stream_hourly_counts": q_stream_hourly_counts,
         "stream_sessionize": q_stream_sessionize,
-        # multimodal
-        "multimodal_features": q_multimodal_features,
-        # ---- r6 rotation: first-ever driver rows for these 12 ----
+        # ---- window 26-37: r5 rotation, first driver rows this round ----
         "dedup_incremental": q_dedup_incremental,
         "doc_length_histogram": q_doc_length_histogram,
         "chunk_documents": q_chunk_documents,
@@ -3528,9 +3507,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_curation": q_web_curation,
         "events_rolling_time": q_events_rolling_time,
         "length_outliers": q_length_outliers,
-        # ---- entries below are past the driver's 50-query window (all green
-        # in CORRECTNESS_r05 or earlier, or locally oracle-verified;
-        # machinery represented by in-window siblings) ----
+        # ---- window 38-50: NEW in round 6, driver rows in CORRECTNESS_r06 ----
+        "gopher_quality": q_gopher_quality,
+        "mixture_resample": q_mixture_resample,
+        "ann_quantized": q_ann_quantized,
+        "image_dhash": q_image_dhash,
+        "image_dhash_pairs": q_image_dhash_pairs,
+        "stats_moments": q_stats_moments,
+        "window_funcs_orders": q_window_funcs_orders,
+        "training_mix": q_training_mix,
+        "text_top_bigrams": q_text_top_bigrams,
+        "dedup_doc_lines": q_dedup_doc_lines,
+        "sample_by_quality": q_sample_by_quality,
+        "tfidf_terms": q_tfidf_terms,
+        "join_full_outer": q_join_full_outer,
+        # ---- entries below are past the driver's 50-query window (all with
+        # green driver rows in CORRECTNESS_r05 or earlier, or locally
+        # oracle-verified; machinery represented by in-window siblings) ----
+        "etl_chained_mappings": q_etl_chained_mappings,
+        "merge_upsert_orders": q_merge_upsert_orders,
+        "t7_formula": q_t7_formula,
+        "typed_crypto_pipeline": q_typed_crypto_pipeline,
+        "window_top_orders": q_window_top_orders,
+        "rollup_orders": q_rollup_orders,
+        "anti_join_customers": q_anti_join_customers,
+        "sample_deterministic": q_sample_deterministic,
+        "json_extract_props": q_json_extract_props,
+        "value_percentiles": q_value_percentiles,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "multimodal_features": q_multimodal_features,
         "f4_not_in": _filter_query([{"field": "event_type", "operator": "not_in", "values": ["click", "view"]}]),
         "f5_is_empty": q_f5_is_empty,
         "t3_date_format": q_t3_date_format_errors,
@@ -3560,20 +3566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carries no hash signal, so it yields its window slot to an
         # oracle-checkable query
         "distinct_users_approx": q_distinct_users_approx,
-        # ---- new in round 6 (rotate into the window next round) ----
-        "gopher_quality": q_gopher_quality,
-        "mixture_resample": q_mixture_resample,
-        "ann_quantized": q_ann_quantized,
-        "image_dhash": q_image_dhash,
-        "image_dhash_pairs": q_image_dhash_pairs,
-        "stats_moments": q_stats_moments,
-        "window_funcs_orders": q_window_funcs_orders,
-        "training_mix": q_training_mix,
-        "text_top_bigrams": q_text_top_bigrams,
-        "dedup_doc_lines": q_dedup_doc_lines,
-        "sample_by_quality": q_sample_by_quality,
-        "tfidf_terms": q_tfidf_terms,
-        "join_full_outer": q_join_full_outer,
     }
 
 

@@ -74,6 +74,14 @@ HEADLINE = [
     "mixture_resample",
     "ann_quantized",
     "image_dhash_pairs",
+    "stats_moments",
+    "window_funcs_orders",
+    "training_mix",
+    "text_top_bigrams",
+    "dedup_doc_lines",
+    "sample_by_quality",
+    "tfidf_terms",
+    "join_full_outer",
 ]
 
 
@@ -123,11 +131,15 @@ def main() -> None:
         # the block manager (the suspected cause of r5's driver-run passes
         # getting SLOWER on exactly the cached operators).
         from csv_etl_spark.operators import dedup as _dedup
+        from csv_etl_spark.operators import multimodal as _mm
         from csv_etl_spark.operators import similarity as _sim
+        from csv_etl_spark.operators import text as _text
 
         _dedup._SHINGLE_CACHE.invalidate(blocking=True)
         _sim._BUCKET_CACHE.invalidate(blocking=True)
         _sim._ASSIGNED_CACHE.invalidate(blocking=True)
+        _mm._DHASH_CACHE.invalidate(blocking=True)
+        _text._TF_CACHE.invalidate(blocking=True)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {n: [] for n in HEADLINE if n in queries}

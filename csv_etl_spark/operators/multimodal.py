@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from csv_etl_spark.operators._cache import BoundedPersistCache as _BPC
+
+# persisted dHash projection reused by both sides of the band self-join
+_DHASH_CACHE = _BPC(max_entries=4)
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -290,8 +295,21 @@ def dhash_near_dup_pairs(
     exact Hamming verify JVM-side (conv/xor/bit_count — no UDF).
 
     Scale shape: the join is keyed on (band_idx, band_value) — never
-    O(n²); candidate volume is governed by 16-bit band collisions.
+    O(n²); candidate volume is governed by 16-bit band collisions.  The
+    hash projection is persisted through the session cache before the
+    self-join: ``mapInPandas`` is opaque to Catalyst reuse, so without it
+    BOTH join sides re-decode and re-hash every image (2× the expensive
+    kernel — the same HOF-opacity trap as the shingle/LSH projections).
     Returns ``(id_a, id_b, hamming)``, one row per pair."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = _BPC.key_for(hashes, "dhash_pairs", max_hamming)
+    cached = _DHASH_CACHE.get(key)
+    if cached is not None:
+        hashes = cached
+    elif key is not None:
+        hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+        _DHASH_CACHE.put(key, hashes)
     bands = F.array(*[F.substring("dhash", i * 4 + 1, 4) for i in range(4)])
     exploded = hashes.filter(F.col("dhash").isNotNull()).select(
         F.col(id_col), F.col("dhash"), F.posexplode(bands).alias("band_idx", "band_val")

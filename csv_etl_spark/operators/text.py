@@ -12,6 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from csv_etl_spark.operators._cache import BoundedPersistCache as _TF_BPC
+
+# persisted (doc, token) tf table reused by tfidf_top_terms' df-agg + join
+_TF_CACHE = _TF_BPC(max_entries=4)
+
 # Small, order-stable English stopword list — shared with the DuckDB oracle.
 EN_STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -397,6 +402,22 @@ def tfidf_top_terms(
         toks = F.transform(toks, lambda t: F.lower(t))
     pairs = df.select(F.col(id_col), F.explode(toks).alias("token"))
     tf = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df aggregation and the idf join; Catalyst does not
+    # reuse the aggregate across those branches (no ReusedExchange in the
+    # measured plan), so without a persist the tokenize+explode+groupBy
+    # runs twice.  Same session-cache discipline as the shingle/LSH
+    # projections.
+    from pyspark.storagelevel import StorageLevel
+
+    from csv_etl_spark.operators._cache import BoundedPersistCache
+
+    key = BoundedPersistCache.key_for(tf, "tfidf_tf")
+    cached = _TF_CACHE.get(key)
+    if cached is not None:
+        tf = cached
+    elif key is not None:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        _TF_CACHE.put(key, tf)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     n = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = (
