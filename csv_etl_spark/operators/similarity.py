@@ -119,17 +119,32 @@ def quantize_embeddings(
     Map-only JVM fold per row, no UDF, no shuffle.  Engine-portable by
     construction: max/divide/round(half-away-from-zero) compute on IEEE
     doubles identically in Spark and DuckDB, so the oracle re-derives the
-    exact same int codes."""
+    exact same int codes.
+
+    Two-step projection ON PURPOSE: an expression referenced inside a
+    HOF lambda is inlined and re-evaluated PER ELEMENT, so spelling the
+    scale inline makes the O(dim) max-fold run dim times — O(dim²) per
+    row (measured 24.4s vs 1.6s for 20k × dim-512 vectors).  Projecting
+    ``_scale`` first and referencing the attribute TWICE in the outer
+    select blocks CollapseProject from re-inlining it (its
+    expensive-expression-used-more-than-once rule), keeping the fold
+    once-per-row."""
     v = F.col(vec_col)
     amax = F.aggregate(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
     )
-    scale = amax / F.lit(127.0)
+    staged = df.select(
+        F.col(id_col), v, (amax / F.lit(127.0)).alias("_scale")
+    )
     q = F.when(
-        scale > 0,
-        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("int")),
+        F.col("_scale") > 0,
+        F.transform(
+            v, lambda x: F.round(x.cast("double") / F.col("_scale")).cast("int")
+        ),
     ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return df.select(F.col(id_col), q.alias("qvec"), scale.alias("scale"))
+    return staged.select(
+        F.col(id_col), q.alias("qvec"), F.col("_scale").alias("scale")
+    )
 
 
 def quantized_topk(
