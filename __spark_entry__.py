@@ -3443,6 +3443,74 @@ _ORACLE_JOIN_FULL_OUTER = """
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from the event stream (sources/edits.scd2_history):
+    per-user event_type validity intervals with change-collapse; one
+    shuffle on the high-cardinality key, O(1) window state."""
+    from csv_etl_spark.sources.edits import scd2_history
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_history(
+        e, key_col="user_id", ts_col="ts", value_col="event_type",
+        order_tiebreak="event_id",
+    )
+
+
+_ORACLE_SCD2 = """
+    WITH changed AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev
+        FROM events
+      )
+      WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER w) AS valid_to_us,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM changed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention-cohort matrix: users bucketed by first-active day,
+    counted by days-since-cohort offset — the standard product-analytics
+    triangle.  Two aggregations + one broadcast-sized cohort join (one
+    row per user); distinct day-activity bounds the fact side to
+    users × days."""
+    e = _t(spark, sf_dir, "events")
+    user_days = e.select(
+        F.col("user_id"), F.to_date("ts").alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        user_days.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("offset_days"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+_ORACLE_RETENTION = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           datediff('day', c.cohort_day, ud.day) AS offset_days,
+           count(DISTINCT ud.user_id) AS n_users
+    FROM ud JOIN c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3521,6 +3589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_by_quality": q_sample_by_quality,
         "tfidf_terms": q_tfidf_terms,
         "join_full_outer": q_join_full_outer,
+        # ---- past-window additions (late round 6): first driver rows when
+        # they rotate in; locally oracle-checked now ----
+        "scd2_history": q_scd2_history,
+        "retention_cohorts": q_retention_cohorts,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -3670,4 +3742,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_by_quality": _ORACLE_SAMPLE_QUALITY,
         "tfidf_terms": _ORACLE_TFIDF,
         "join_full_outer": _ORACLE_JOIN_FULL_OUTER,
+        "scd2_history": _ORACLE_SCD2,
+        "retention_cohorts": _ORACLE_RETENTION,
     }

@@ -66,3 +66,48 @@ def merge_upsert(target: DataFrame, updates: DataFrame, keys: list[str]) -> Data
     kept = target.join(updates.select(*keys), keys, "left_anti")
     deduped = updates.dropDuplicates(keys)
     return kept.unionByName(deduped.select(*target.columns))
+
+
+def scd2_history(
+    updates: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 history materialization — the CDC
+    companion to ``merge_upsert``: an update stream ``(key, ts, value)``
+    becomes validity intervals ``(key, value, valid_from_us, valid_to_us,
+    is_current)``.  Consecutive updates with an UNCHANGED value collapse
+    into one interval (change detection via lag); the latest interval per
+    key is open (``valid_to_us`` NULL, ``is_current`` true).
+
+    Scale shape: two window passes over the SAME high-cardinality key
+    partitioning — Catalyst plans ONE shuffle and sorts once; per-row
+    state is O(1) (lag/lead).  Timestamps surface as epoch MICROSECONDS
+    (exact integers on every engine — epoch-seconds doubles lose the
+    microsecond digits)."""
+    from pyspark.sql import Window
+
+    tiebreak = [F.col(order_tiebreak)] if order_tiebreak else []
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), *tiebreak)
+    changed = (
+        updates.withColumn("_prev", F.lag(value_col).over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col(value_col) != F.col("_prev"))
+        )
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col), *tiebreak)
+    # parquet timestamps load as TIMESTAMP_NTZ; unix_micros wants TIMESTAMP.
+    # The cast interprets in the session zone, which session.py pins to UTC —
+    # so the micros match DuckDB's epoch_us on the same naive value.
+    ts_utc = F.col(ts_col).cast("timestamp")
+    lead_ts = F.lead(ts_col).over(w2)
+    return changed.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.unix_micros(ts_utc).alias("valid_from_us"),
+        F.unix_micros(lead_ts.cast("timestamp")).alias("valid_to_us"),
+        lead_ts.isNull().alias("is_current"),
+    )

@@ -100,3 +100,34 @@ def test_validation_feeds_error_gate(spark, tmp_path):
     validated = validate_against_spec(df, spec)
     n_err = validated.select(F.sum(F.size(ERRORS_COL))).collect()[0][0]
     assert n_err == 1
+
+
+def test_scd2_history_change_collapse(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from csv_etl_spark.sources.edits import scd2_history
+
+    rows = [
+        (1, datetime(2024, 1, 1), "gold", 10),
+        (1, datetime(2024, 1, 2), "gold", 11),    # unchanged -> collapses
+        (1, datetime(2024, 1, 5), "silver", 12),  # change
+        (1, datetime(2024, 1, 9), "gold", 13),    # change back
+        (2, datetime(2024, 1, 3), "bronze", 14),  # single-row key
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "tier", "event_id"])
+    out = scd2_history(df, "user_id", "ts", "tier", order_tiebreak="event_id")
+    ivals = sorted(
+        ((r["user_id"], r["tier"], r["valid_from_us"], r["valid_to_us"], r["is_current"])
+         for r in out.collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    jan = lambda day: us(datetime(2024, 1, day))
+    assert ivals == [
+        (1, "gold", jan(1), jan(5), False),
+        (1, "silver", jan(5), jan(9), False),
+        (1, "gold", jan(9), None, True),
+        (2, "bronze", jan(3), None, True),
+    ]
