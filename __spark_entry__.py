@@ -3511,6 +3511,47 @@ _ORACLE_RETENTION = """
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM (add-0.5 smoothing) document quality score — the order-
+    sensitive upgrade of the unigram gate (text.bigram_logprob)."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    return text.bigram_logprob(d, k_smooth=0.5)
+
+
+_ORACLE_BIGRAM_LP = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    lt AS (SELECT doc_id, list_transform(toks, x -> lower(x)) AS toks FROM t),
+    tr AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS prev,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS word
+      FROM lt WHERE len(toks) >= 2
+    ),
+    big AS (SELECT prev, word, count(*) AS nb FROM tr GROUP BY prev, word),
+    uni AS (SELECT prev, count(*) AS np FROM tr GROUP BY prev),
+    v AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v FROM big),
+    scored AS (
+      SELECT tr.doc_id,
+             ln((big.nb + 0.5) / (uni.np + 0.5 * v.v)) AS lp
+      FROM tr JOIN big USING (prev, word) JOIN uni USING (prev) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+             round(avg(lp), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_transitions, 0) AS n_transitions,
+           coalesce(a.avg_logprob, 0.0) AS avg_logprob
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3593,6 +3634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # they rotate in; locally oracle-checked now ----
         "scd2_history": q_scd2_history,
         "retention_cohorts": q_retention_cohorts,
+        "bigram_logprob": q_bigram_logprob,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -3744,4 +3786,5 @@ def oracle_sql() -> dict[str, str]:
         "join_full_outer": _ORACLE_JOIN_FULL_OUTER,
         "scd2_history": _ORACLE_SCD2,
         "retention_cohorts": _ORACLE_RETENTION,
+        "bigram_logprob": _ORACLE_BIGRAM_LP,
     }

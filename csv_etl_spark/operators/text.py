@@ -340,6 +340,80 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Bigram-LM quality score — the next rung above ``unigram_logprob``
+    on the CCNet/perplexity-filter ladder: each document is scored by the
+    mean natural-log probability of its token TRANSITIONS under the
+    corpus bigram model with add-k smoothing,
+
+        P(w | p) = (c(p,w) + k) / (c(p) + k·V),
+
+    where c(p,w)/c(p) are corpus transition/origin counts and V is the
+    transition-target vocabulary size.  Word-salad that passes a unigram
+    gate (common words, nonsense order) scores far below prose here.
+    Returns ``(id_col, n_transitions, avg_logprob)``; docs with < 2
+    tokens score 0.0 with 0 transitions.
+
+    Scale shape mirrors ``unigram_logprob``: pair-keyed and origin-keyed
+    count groupBys (map-side partials soak the Zipf head), a scalar V
+    broadcast, and keyed joins of the transition stream against both
+    count tables (AQE skew-splits the hot pairs).  The corpus is
+    deliberately re-scanned per consumer rather than persisting the
+    exploded transition stream (~10x source bytes) — the same documented
+    trade as the unigram scorer.  The pair build is the linear
+    zip_with-over-slices spelling (plan discipline #5)."""
+    toks = ws_tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    n = F.size(toks)
+    pairs = F.when(
+        n < 2, F.array().cast("array<struct<prev:string,word:string>>")
+    ).otherwise(
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.struct(a.alias("prev"), b.alias("word")),
+        )
+    )
+    trans = df.select(F.col(id_col), F.explode(pairs).alias("_pr")).select(
+        F.col(id_col), F.col("_pr.prev").alias("prev"), F.col("_pr.word").alias("word")
+    )
+    big = trans.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("_nb"))
+    uni = trans.groupBy("prev").agg(F.count(F.lit(1)).alias("_np"))
+    vocab = big.agg(F.count_distinct(F.col("word")).cast("double").alias("_v"))
+    k = F.lit(float(k_smooth))
+    scored = (
+        trans.join(big, ["prev", "word"])
+        .join(uni, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log((F.col("_nb") + k) / (F.col("_np") + k * F.col("_v"))).alias("_lp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_transitions"), F.lit(0).cast("bigint")).alias(
+                "n_transitions"
+            ),
+            F.coalesce(F.col("avg_logprob"), F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
 def top_token_pairs(
     df: DataFrame, k: int = 100, text_col: str = "text", lowercase: bool = True
 ) -> DataFrame:

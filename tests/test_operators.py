@@ -1503,3 +1503,21 @@ def test_tfidf_top_terms(spark):
         if r["token"] == "common":
             assert r["score"] == 0.0
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    # docs 1-3 share the same transitions; doc 4 has the same UNIGRAM
+    # distribution but reversed order -> rare transitions -> lower score.
+    docs = [
+        (1, "a b c d"),
+        (2, "a b c d"),
+        (3, "a b c d"),
+        (4, "d c b a"),
+        (5, "x"),      # < 2 tokens: no transitions
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in text.bigram_logprob(df).collect()}
+    assert rows[1]["n_transitions"] == 3
+    assert rows[1]["avg_logprob"] == rows[2]["avg_logprob"]
+    assert rows[4]["avg_logprob"] < rows[1]["avg_logprob"]
+    assert rows[5]["n_transitions"] == 0 and rows[5]["avg_logprob"] == 0.0
