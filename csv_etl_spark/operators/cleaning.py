@@ -263,11 +263,13 @@ def dedup_lines_within_doc(
     (the ``filter_lines`` contract, so the two compose)."""
     lines = F.split(F.col(text_col), "\n")
     kept = F.array_distinct(lines)
+    # greatest(size, 0): legacy size(NULL) = -1 must not surface as a
+    # line count for NULL-text rows (same fix as dedup_paragraphs, r5)
     return df.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("text"),
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        F.greatest(F.size(lines), F.lit(0)).cast("bigint").alias("n_lines"),
+        F.greatest(F.size(kept), F.lit(0)).cast("bigint").alias("n_lines_kept"),
     )
 
 

@@ -229,16 +229,24 @@ def dhash_gray_kernel(kind: str, content: bytes) -> list[int]:
     if kind == "image" and n >= 2 and content[:2] in (b"BM", b"P6"):
         from csv_etl_spark.operators.media_codecs import decode_bmp, decode_ppm
 
-        rgb = decode_bmp(content) if content[:2] == b"BM" else decode_ppm(content)
-        gray = (
-            rgb[:, :, 0].astype("int64") + rgb[:, :, 1] + rgb[:, :, 2]
-        ) // 3
-        h, w = gray.shape
-        return [
-            int(gray[(r * h) // _DHASH_ROWS][(c * w) // _DHASH_COLS])
-            for r in range(_DHASH_ROWS)
-            for c in range(_DHASH_COLS)
-        ]
+        try:
+            rgb = decode_bmp(content) if content[:2] == b"BM" else decode_ppm(content)
+        except Exception:
+            # a truncated/corrupt image must not kill the task (one bad
+            # file in a 100 TB corpus would fail the whole job): degrade
+            # to the raw-byte sampling path — still a deterministic hash
+            # of the payload, just not a perceptual one
+            pass
+        else:
+            gray = (
+                rgb[:, :, 0].astype("int64") + rgb[:, :, 1] + rgb[:, :, 2]
+            ) // 3
+            h, w = gray.shape
+            return [
+                int(gray[(r * h) // _DHASH_ROWS][(c * w) // _DHASH_COLS])
+                for r in range(_DHASH_ROWS)
+                for c in range(_DHASH_COLS)
+            ]
     if n == 0:
         return [0] * (_DHASH_ROWS * _DHASH_COLS)
     return [

@@ -557,7 +557,9 @@ def gopher_quality(
     c = F.col(text_col)
     toks = ws_tokens(c)
     lowered = F.transform(toks, lambda t: F.lower(t))
-    n_words = F.size(toks)
+    # greatest(size, 0): NULL text yields NULL toks and size() = -1 — the
+    # gate must report 0 words (and fail min_words), not a -1 artifact
+    n_words = F.greatest(F.size(toks), F.lit(0))
     nw = F.when(n_words > 0, n_words.cast("double")).otherwise(F.lit(None))
     mean_len = F.when(
         n_words > 0,
@@ -582,8 +584,11 @@ def gopher_quality(
     alpha_frac = F.coalesce(
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nw, F.lit(0.0)
     )
-    sw_hits = F.size(
-        F.array_intersect(lowered, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    sw_hits = F.greatest(
+        F.size(
+            F.array_intersect(lowered, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+        ),
+        F.lit(0),
     )
     keep = (
         (n_words >= min_words)

@@ -1521,3 +1521,29 @@ def test_bigram_logprob_order_sensitivity(spark):
     assert rows[1]["avg_logprob"] == rows[2]["avg_logprob"]
     assert rows[4]["avg_logprob"] < rows[1]["avg_logprob"]
     assert rows[5]["n_transitions"] == 0 and rows[5]["avg_logprob"] == 0.0
+
+
+def test_new_ops_null_and_corrupt_robustness(spark):
+    from csv_etl_spark.operators.cleaning import dedup_lines_within_doc
+    from csv_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA, dhash_gray_kernel, image_dhash,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType(), True),
+    ])
+    df = spark.createDataFrame([(1, None), (2, "a\nb\na")], schema)
+    g = {r["doc_id"]: r for r in text.gopher_quality(df).collect()}
+    assert g[1]["n_words"] == 0 and g[1]["n_stopword_hits"] == 0
+    assert not g[1]["keep"]
+    d = {r["doc_id"]: r for r in dedup_lines_within_doc(df).collect()}
+    assert d[1]["n_lines"] == 0 and d[1]["n_lines_kept"] == 0
+    assert d[2]["n_lines"] == 3 and d[2]["n_lines_kept"] == 2
+    # corrupt BMP header degrades to the byte-sampling hash, never raises
+    corrupt = b"BM" + b"\x01" * 20  # claims BMP, truncated header
+    assert len(dhash_gray_kernel("image", corrupt)) == 72
+    rows = [(9, "image", bytearray(corrupt), {})]
+    out = image_dhash(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    assert len(out[0]["dhash"]) == 16
