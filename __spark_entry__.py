@@ -3552,6 +3552,104 @@ _ORACLE_BIGRAM_LP = """
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions (sources/edits.
+    snapshot_diff): the new snapshot is derived from orders in-query
+    (0.97% keys removed, ~1% prices changed, 0.2% keys re-added under new
+    ids) so all four status arms execute; one keyed full-outer join +
+    map-only classification."""
+    from csv_etl_spark.sources.edits import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    modified = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + F.lit(1.5)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    added = o.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    return snapshot_diff(o, modified.unionByName(added), ["o_orderkey"])
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+    WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    n AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM o WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      FROM o WHERE o_orderkey % 500 = 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                 AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                THEN 'unchanged' ELSE 'changed' END AS status,
+           o.o_orderstatus AS old_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_orderstatus AS new_o_orderstatus,
+           n.o_totalprice AS new_o_totalprice
+    FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (signup → view → purchase): users whose
+    FIRST occurrence of each step respects the order.  One user-keyed
+    aggregation (min-ts per step, conditional — no join), one scalar agg,
+    and a 3-row stack; NULL propagation makes the < chain drop users
+    missing a step."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("_t0"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("_t1"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("_t2"),
+    )
+    agg = g.agg(
+        F.count(F.when(F.col("_t0").isNotNull(), 1)).alias("_n1"),
+        F.count(F.when(F.col("_t0") < F.col("_t1"), 1)).alias("_n2"),
+        F.count(
+            F.when((F.col("_t0") < F.col("_t1")) & (F.col("_t1") < F.col("_t2")), 1)
+        ).alias("_n3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 1, 'signup', _n1, 2, 'view_after_signup', _n2,"
+            " 3, 'purchase_after_view', _n3) AS (step_idx, step, n_users)"
+        )
+    )
+
+
+_ORACLE_FUNNEL = """
+    WITH g AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events GROUP BY user_id
+    )
+    SELECT 1 AS step_idx, 'signup' AS step,
+           count(CASE WHEN t0 IS NOT NULL THEN 1 END) AS n_users FROM g
+    UNION ALL
+    SELECT 2, 'view_after_signup', count(CASE WHEN t0 < t1 THEN 1 END) FROM g
+    UNION ALL
+    SELECT 3, 'purchase_after_view',
+           count(CASE WHEN t0 < t1 AND t1 < t2 THEN 1 END) FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3635,6 +3733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "retention_cohorts": q_retention_cohorts,
         "bigram_logprob": q_bigram_logprob,
+        "snapshot_diff": q_snapshot_diff,
+        "funnel_steps": q_funnel_steps,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -3787,4 +3887,6 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _ORACLE_SCD2,
         "retention_cohorts": _ORACLE_RETENTION,
         "bigram_logprob": _ORACLE_BIGRAM_LP,
+        "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+        "funnel_steps": _ORACLE_FUNNEL,
     }

@@ -111,3 +111,47 @@ def scd2_history(
         F.unix_micros(lead_ts.cast("timestamp")).alias("valid_to_us"),
         lead_ts.isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff — classify every key across two table versions as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``: the audit step
+    between corpus or dimension snapshots (what did this rebuild touch?),
+    and the input a CDC pipeline replays.
+
+    ``compare_cols`` defaults to every non-key column the two frames
+    share.  NULL-safe comparison (``eqNullSafe``), so NULL → value and
+    value → NULL both classify as changed.
+
+    Scale shape: ONE full outer join keyed on ``keys`` (shuffle both
+    sides on the key hash, AQE-coalesced) and a map-only classification —
+    no window, no collect.  Returns keys + ``status`` + each compared
+    column as ``(old_<c>, new_<c>)`` pairs."""
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    o = old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+                   F.lit(True).alias("_in_old"))
+    n = new.select(*keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+                   F.lit(True).alias("_in_new"))
+    joined = o.join(n, keys, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *keys,
+        status.alias("status"),
+        *[F.col(f"old_{c}") for c in compare_cols],
+        *[F.col(f"new_{c}") for c in compare_cols],
+    )

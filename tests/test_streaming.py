@@ -142,3 +142,34 @@ def test_compiled_mapping_on_stream(spark, events_dir):
     # batch equivalence on the same data: same mapping, same row count
     batch_df = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
     assert stream_mapping(batch_df, mapping).count() == len(rows)
+
+
+def test_gopher_gate_on_stream_matches_batch(spark, tmp_path):
+    """The Gopher quality gate is pure map expressions, so the SAME
+    operator call runs unchanged under readStream — quality gating at
+    ingest time, no batch/stream fork."""
+    from pyspark.sql import types as T
+
+    from csv_etl_spark.operators.text import gopher_quality
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType(), True),
+    ])
+    src = str(tmp_path / "docs_in")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = _run_stream(
+        spark, gopher_quality(stream, min_words=50, min_stopword_hits=1),
+        "gopher_stream", mode="append",
+    )
+    got = {r["doc_id"]: (r["n_words"], r["keep"]) for r in out.collect()}
+    exp = {r["doc_id"]: (r["n_words"], r["keep"])
+           for r in gopher_quality(
+               spark.read.schema(schema).parquet(src),
+               min_words=50, min_stopword_hits=1).collect()}
+    assert got == exp and len(got) > 0

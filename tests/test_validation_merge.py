@@ -131,3 +131,24 @@ def test_scd2_history_change_collapse(spark):
         (1, "gold", jan(9), None, True),
         (2, "bronze", jan(3), None, True),
     ]
+
+
+def test_snapshot_diff_all_arms(spark):
+    from pyspark.sql import types as T
+
+    from csv_etl_spark.sources.edits import snapshot_diff
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType(), True),
+    ])
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, None), (4, "d")], schema)
+    new = spark.createDataFrame([(1, "a"), (2, "B"), (3, "c"), (5, "e")], schema)
+    out = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",   # NULL -> value is a change (eqNullSafe)
+        4: "removed",
+        5: "added",
+    }
