@@ -3672,7 +3672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    simhash by the five other dedup queries; multimodal_features by
     #    image_dhash/image_dhash_pairs; etl_chained by etl_dynamic+lookup+
     #    aggregate).  Round-robin discipline: every query keeps a driver row
-    #    at most two rounds old.  All 89 remain oracle-checked locally via
+    #    at most two rounds old.  ALL registry entries (94 as of late round
+    #    6) remain oracle-checked locally via
     #    scripts/check_oracle.py regardless of position.
     return {
         # ---- window 1-25: carried-over core (green in CORRECTNESS_r05) ----

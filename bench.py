@@ -82,6 +82,11 @@ HEADLINE = [
     "sample_by_quality",
     "tfidf_terms",
     "join_full_outer",
+    "bigram_logprob",
+    "scd2_history",
+    "retention_cohorts",
+    "snapshot_diff",
+    "funnel_steps",
 ]
 
 
