@@ -1547,3 +1547,11 @@ def test_new_ops_null_and_corrupt_robustness(spark):
     rows = [(9, "image", bytearray(corrupt), {})]
     out = image_dhash(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
     assert len(out[0]["dhash"]) == 16
+
+
+def test_mixture_resample_rejects_negative_weight(spark):
+    from csv_etl_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        mixture_resample(df, weights={"a": -0.5})
