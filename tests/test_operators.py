@@ -1555,3 +1555,26 @@ def test_mixture_resample_rejects_negative_weight(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
     with pytest.raises(ValueError):
         mixture_resample(df, weights={"a": -0.5})
+
+
+def test_mixture_resample_copies_property(spark):
+    """Property: for any weight w, every surviving key has floor(w) or
+    floor(w)+1 copies, and group totals land near w x group size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from csv_etl_spark.operators.sampling import mixture_resample
+
+    df = spark.createDataFrame([(i, "g") for i in range(120)], ["doc_id", "source"])
+
+    @settings(max_examples=5, deadline=None)
+    @given(w=st.floats(min_value=0.0, max_value=3.0, allow_nan=False))
+    def check(w):
+        out = mixture_resample(df, weights={"g": w}).groupBy("doc_id").count()
+        counts = [r["count"] for r in out.collect()]
+        lo, hi = int(w), int(w) + 1
+        assert all(c in (lo, hi) and c >= 1 for c in counts)
+        total = sum(counts)
+        assert abs(total - w * 120) <= 120 * 0.35 + 1  # md5-uniform tolerance
+
+    check()
