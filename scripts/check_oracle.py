@@ -4,6 +4,12 @@ __spark_entry__.queries() entry and its oracle_sql() twin on the same
 parquet tables, compare row-count + column names + order-insensitive values.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+
+Note: a few oracles replicate deliberately-quadratic verification SQL
+(image_dhash_pairs' nested-loop Hamming join, the full MinHash/SemDeDup
+pipelines); at sf0.1 those grind for CPU-hours in DuckDB.  Run the full
+suite at sf0.001/sf0.01 (both verified green); at sf0.1 check targeted
+queries only.
 """
 
 from __future__ import annotations
