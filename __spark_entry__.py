@@ -3160,6 +3160,67 @@ def _dhash_pairs_oracle() -> str:
 _ORACLE_IMAGE_DHASH_PAIRS = _dhash_pairs_oracle()
 
 
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS: the dHash banded-Hamming pair graph fed to
+    the SAME connected-components resolver the text dedup family uses
+    (dedup.resolve_duplicate_clusters) — pair generators are modality-
+    specific, cluster resolution is shared.  Same planted near-dups as
+    image_dhash_pairs, so every planted (orig, tweak) pair collapses to
+    one component."""
+    from csv_etl_spark.operators.multimodal import dhash_near_dup_pairs, image_dhash
+
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    tweaked = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substring(text, 2)")).alias("text"),
+        F.col("source"),
+    )
+    media = documents_as_media(d.select("doc_id", "text", "source")).unionByName(
+        documents_as_media(tweaked)
+    )
+    pairs = dhash_near_dup_pairs(image_dhash(media), max_hamming=4)
+    return dedup.resolve_duplicate_clusters(pairs).select("id", "cluster_id")
+
+
+def _image_clusters_oracle() -> str:
+    rows = ", ".join(_dhash_row_sql(r) for r in range(8))
+    ham = " + ".join(f"bit_count(xor(a.b[{r}], c.b[{r}]))" for r in range(1, 9))
+    band_eq = " OR ".join(
+        f"(a.b[{2 * i + 1}] = c.b[{2 * i + 1}] AND a.b[{2 * i + 2}] = c.b[{2 * i + 2}])"
+        for i in range(4)
+    )
+    aug = (
+        "aug AS (SELECT doc_id, text FROM documents"
+        " UNION ALL"
+        " SELECT doc_id + 1000000 AS doc_id, 'Z' || substr(text, 2) AS text"
+        " FROM documents WHERE doc_id % 50 = 0)"
+    )
+    return f"""
+    WITH RECURSIVE {aug},
+    {_dhash_px_cte("aug")},
+    h AS (SELECT media_id, [{rows}] AS b FROM px),
+    pairs AS (
+      SELECT a.media_id AS id_a, c.media_id AS id_b
+      FROM h a JOIN h c ON a.media_id < c.media_id
+      WHERE ({band_eq}) AND ({ham}) <= 4
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS id, min(v) AS cluster_id
+    FROM reach GROUP BY u
+"""
+
+
+_ORACLE_IMAGE_DUP_CLUSTERS = _image_clusters_oracle()
+
+
 def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type mean/stddev of value and its covariance/correlation
     with time — computed from EXACT fixed-point moments
@@ -3736,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "snapshot_diff": q_snapshot_diff,
         "funnel_steps": q_funnel_steps,
+        "image_dup_clusters": q_image_dup_clusters,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -3890,4 +3952,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": _ORACLE_BIGRAM_LP,
         "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "funnel_steps": _ORACLE_FUNNEL,
+        "image_dup_clusters": _ORACLE_IMAGE_DUP_CLUSTERS,
     }
