@@ -87,6 +87,7 @@ HEADLINE = [
     "retention_cohorts",
     "snapshot_diff",
     "funnel_steps",
+    "image_dup_clusters",
 ]
 
 
