@@ -3711,6 +3711,34 @@ _ORACLE_FUNNEL = """
 """
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile of events (operators/profile.py): per-column
+    nulls, exact distincts, numeric/string ranges — the discovery step
+    before writing a mapping spec, as ONE aggregation job."""
+    from csv_etl_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "events"))
+
+
+def _profile_events_oracle() -> str:
+    from csv_etl_spark.operators.profile import profile_oracle_sql
+
+    return profile_oracle_sql(
+        "events",
+        [
+            ("event_id", "num", "bigint"),
+            ("ts", "other", "timestamp_ntz"),
+            ("user_id", "num", "bigint"),
+            ("event_type", "str", "string"),
+            ("value", "num", "double"),
+            ("props", "str", "string"),
+        ],
+    )
+
+
+_ORACLE_PROFILE_EVENTS = _profile_events_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3798,6 +3826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "funnel_steps": q_funnel_steps,
         "image_dup_clusters": q_image_dup_clusters,
+        "profile_events": q_profile_events,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -3953,4 +3982,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "funnel_steps": _ORACLE_FUNNEL,
         "image_dup_clusters": _ORACLE_IMAGE_DUP_CLUSTERS,
+        "profile_events": _ORACLE_PROFILE_EVENTS,
     }

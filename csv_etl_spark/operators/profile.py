@@ -1,0 +1,110 @@
+"""One-pass table profiling — the discovery step before anyone writes a
+mapping spec or a quality gate: per-column null counts, exact distinct
+counts, and numeric/string ranges, computed in a SINGLE aggregation job.
+
+Reference parity note: the reference dashboard's preview page eyeballs the
+first rows of a CSV (``app.py`` preview flow); at 100 TB the equivalent
+capability is a statistics pass, not a head().  This is also the input a
+mapping author needs to pick lookup tables, date formats, and filter
+thresholds.
+
+Scale shape: ONE ``agg`` over the table computes every statistic for every
+column (Catalyst evaluates all aggregates in one pass over the scan;
+map-side partials for count/min/max, partial sets for distinct), then the
+single result ROW is exploded into one output row per column — driver
+never sees data, just the statistics row.  Exact distincts are the
+default because profiling feeds schema decisions (a 37-value column is a
+lookup candidate; "approximately 37" is not actionable) — pass
+``approx=True`` to swap in HLL sketches when the column cardinality
+itself is huge.
+
+Engine-portable: counts are exact integers; numeric ranges are rounded
+doubles; string ranges compare lexicographically identically.  Other
+types (timestamps, arrays, binary) profile nulls/distincts only — their
+min/max surface as NULL rather than risking engine-specific renderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
+    """Per-column profile: ``(column, dtype, n_rows, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str)`` — one row per column, one pass
+    over the data."""
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for f in df.schema.fields:
+        c, q = f.name, F.col(f"`{f.name}`")
+        aggs.append(F.count(F.when(q.isNull(), 1)).alias(f"_nn_{c}"))
+        distinct = (
+            F.approx_count_distinct(q) if approx else F.count_distinct(q)
+        )
+        aggs.append(distinct.alias(f"_nd_{c}"))
+        if isinstance(f.dataType, _NUMERIC):
+            aggs.append(F.round(F.min(q).cast("double"), 6).alias(f"_mn_{c}"))
+            aggs.append(F.round(F.max(q).cast("double"), 6).alias(f"_mx_{c}"))
+        elif isinstance(f.dataType, T.StringType):
+            aggs.append(F.min(q).alias(f"_ms_{c}"))
+            aggs.append(F.max(q).alias(f"_xs_{c}"))
+    row = df.agg(*aggs)
+
+    cols = []
+    for f in df.schema.fields:
+        c = f.name
+        is_num = isinstance(f.dataType, _NUMERIC)
+        is_str = isinstance(f.dataType, T.StringType)
+        cols.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(f.dataType.simpleString()).alias("dtype"),
+                F.col("_rows").cast("bigint").alias("n_rows"),
+                F.col(f"_nn_{c}").cast("bigint").alias("n_nulls"),
+                F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+                (F.col(f"_mn_{c}") if is_num else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"_mx_{c}") if is_num else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"_ms_{c}") if is_str else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"_xs_{c}") if is_str else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*cols)).alias("_p")).select("_p.*")
+
+
+def profile_oracle_sql(table: str, schema: list[tuple[str, str, str]]) -> str:
+    """DuckDB twin: ``schema`` is [(column, kind, spark_dtype)] with kind
+    in {'num', 'str', 'other'} and spark_dtype the literal Spark
+    ``simpleString`` (emitted verbatim so the dtype column matches);
+    one UNION ALL branch per column over a shared single-aggregation
+    CTE."""
+    aggs = ["count(*) AS _rows"]
+    for c, kind, _dt in schema:
+        aggs.append(f'count(CASE WHEN "{c}" IS NULL THEN 1 END) AS "_nn_{c}"')
+        aggs.append(f'count(DISTINCT "{c}") AS "_nd_{c}"')
+        if kind == "num":
+            aggs.append(f'round(CAST(min("{c}") AS DOUBLE), 6) AS "_mn_{c}"')
+            aggs.append(f'round(CAST(max("{c}") AS DOUBLE), 6) AS "_mx_{c}"')
+        elif kind == "str":
+            aggs.append(f'min("{c}") AS "_ms_{c}"')
+            aggs.append(f'max("{c}") AS "_xs_{c}"')
+    branches = []
+    for c, kind, dt in schema:
+        mn = f'"_mn_{c}"' if kind == "num" else "CAST(NULL AS DOUBLE)"
+        mx = f'"_mx_{c}"' if kind == "num" else "CAST(NULL AS DOUBLE)"
+        ms = f'"_ms_{c}"' if kind == "str" else "CAST(NULL AS VARCHAR)"
+        xs = f'"_xs_{c}"' if kind == "str" else "CAST(NULL AS VARCHAR)"
+        branches.append(
+            f"SELECT '{c}' AS column, '{dt}' AS dtype, _rows AS n_rows,"
+            f' "_nn_{c}" AS n_nulls,'
+            f' "_nd_{c}" AS n_distinct, {mn} AS min_num, {mx} AS max_num,'
+            f" {ms} AS min_str, {xs} AS max_str FROM agg"
+        )
+    return f"WITH agg AS (SELECT {', '.join(aggs)} FROM {table})\n" + "\nUNION ALL\n".join(
+        branches
+    )

@@ -1578,3 +1578,28 @@ def test_mixture_resample_copies_property(spark):
         assert abs(total - w * 120) <= 120 * 0.35 + 1  # md5-uniform tolerance
 
     check()
+
+
+def test_profile_table_one_pass(spark):
+    from pyspark.sql import types as T
+
+    from csv_etl_spark.operators.profile import profile_table
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    df = spark.createDataFrame(
+        [(1, "b", 2.5), (2, None, 1.25), (3, "a", None), (4, "a", 9.75)], schema
+    )
+    p = {r["column"]: r for r in profile_table(df).collect()}
+    assert p["k"]["n_rows"] == 4 and p["k"]["n_nulls"] == 0
+    assert p["k"]["n_distinct"] == 4 and p["k"]["min_num"] == 1.0
+    assert p["s"]["n_nulls"] == 1 and p["s"]["n_distinct"] == 2
+    assert p["s"]["min_str"] == "a" and p["s"]["max_str"] == "b"
+    assert p["v"]["min_num"] == 1.25 and p["v"]["max_num"] == 9.75
+    assert p["s"]["min_num"] is None and p["k"]["min_str"] is None
+    # the whole profile is ONE aggregation job over one scan
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
