@@ -957,6 +957,43 @@ _ORACLE_ASOF = """
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction parity): for each
+    purchase, the user's EARLIEST click at or after it — the same
+    windowed-scan operator time-reversed (operators/joins.py)."""
+    from csv_etl_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="ts",
+        right_values=["click_id"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("asof_click_id").alias("click_id"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
+_ORACLE_ASOF_FORWARD = """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           c.click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
+
 _BUCKETS = [(0.0, 5.0, "low"), (5.0, 20.0, "mid"), (20.0, 1e9, "high")]
 
 
@@ -3827,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "image_dup_clusters": q_image_dup_clusters,
         "profile_events": q_profile_events,
+        "asof_join_forward": q_asof_join_forward,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -3983,4 +4021,5 @@ def oracle_sql() -> dict[str, str]:
         "funnel_steps": _ORACLE_FUNNEL,
         "image_dup_clusters": _ORACLE_IMAGE_DUP_CLUSTERS,
         "profile_events": _ORACLE_PROFILE_EVENTS,
+        "asof_join_forward": _ORACLE_ASOF_FORWARD,
     }

@@ -88,6 +88,8 @@ HEADLINE = [
     "snapshot_diff",
     "funnel_steps",
     "image_dup_clusters",
+    "profile_events",
+    "asof_join_forward",
 ]
 
 

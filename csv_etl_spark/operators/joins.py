@@ -29,13 +29,25 @@ def asof_join(
     right_time: str,
     right_values: list[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the latest right row with
-    ``right_time <= left_time`` sharing ``on``.  Output = left columns +
-    ``asof_<col>`` for each right value column (+ ``asof_ts``).
+    """For every left row, attach the nearest right row sharing ``on``:
+    ``direction="backward"`` (default) takes the latest right row with
+    ``right_time <= left_time``; ``"forward"`` takes the earliest right
+    row with ``right_time >= left_time`` — full pandas ``merge_asof``
+    direction parity.  Output = left columns + ``asof_<col>`` for each
+    right value column (+ ``asof_ts``).
 
-    ``tolerance``: optional max lookback (e.g. ``"1 hour"``) — matches
-    older than it are nulled, like pandas ``merge_asof(tolerance=...)``."""
+    ``tolerance``: optional max lookback/lookahead (e.g. ``"1 hour"``) —
+    matches farther than it are nulled, like pandas
+    ``merge_asof(tolerance=...)``.
+
+    Both directions are the same one-shuffle window scan, just time-
+    reversed: forward orders the per-key scan by time DESC so the carried
+    last-seen right payload is the SMALLEST right_time ≥ the left row
+    (ties still order right-before-left, so an equal timestamp matches)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     lcols = left.columns
     tagged_l = left.select(
         F.col(on).alias("_k"),
@@ -56,9 +68,11 @@ def asof_join(
     unioned = tagged_l.unionByName(tagged_r)
 
     # right rows sort before left rows at equal timestamps → "at or before"
+    # (backward) / "at or after" (forward, time-reversed scan)
+    t_order = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+        .orderBy(t_order, F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -72,7 +86,11 @@ def asof_join(
 
     within: Column = F.lit(True)
     if tolerance is not None:
-        within = F.col("_c_rt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+        within = (
+            F.col("_c_rt") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("_c_rt") <= F.col("_t") + F.expr(f"INTERVAL {tolerance}")
+        )
 
     out_cols = [F.col(f"_lrow.{c}").alias(c) for c in lcols]
     out_cols += [

@@ -1603,3 +1603,38 @@ def test_profile_table_one_pass(spark):
     # the whole profile is ONE aggregation job over one scan
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_asof_join_forward_direction(spark):
+    from datetime import datetime
+
+    from csv_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", datetime(2024, 1, 1, 12, 0))], ["lid", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", datetime(2024, 1, 1, 11, 0), 100),  # before: backward target
+            ("u", datetime(2024, 1, 1, 13, 0), 200),  # after: forward target
+            ("u", datetime(2024, 1, 1, 14, 0), 300),
+        ],
+        ["k", "ts", "val"],
+    )
+    back = asof_join(left, right, "k", "ts", "ts", ["val"]).collect()[0]
+    fwd = asof_join(left, right, "k", "ts", "ts", ["val"],
+                    direction="forward").collect()[0]
+    assert back["asof_val"] == 100 and fwd["asof_val"] == 200
+    # forward tolerance: 30 min window excludes the 13:00 click
+    tight = asof_join(left, right, "k", "ts", "ts", ["val"],
+                      direction="forward", tolerance="30 MINUTES").collect()[0]
+    assert tight["asof_val"] is None
+    # equal timestamp matches in both directions
+    eq = spark.createDataFrame([("u", datetime(2024, 1, 1, 12, 0), 999)],
+                               ["k", "ts", "val"])
+    for d in ("backward", "forward"):
+        r = asof_join(left, eq, "k", "ts", "ts", ["val"], direction=d).collect()[0]
+        assert r["asof_val"] == 999
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        asof_join(left, right, "k", "ts", "ts", ["val"], direction="nearest")
