@@ -3776,6 +3776,92 @@ def _profile_events_oracle() -> str:
 _ORACLE_PROFILE_EVENTS = _profile_events_oracle()
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram of event values (the numeric-column
+    sibling of doc_length_histogram): map-only bin id → one groupBy with
+    map-side partials, ~n_bins output rows; exact decimal sums."""
+    e = _t(spark, sf_dir, "events")
+    width = 10.0
+    bin_id = F.floor(F.col("value") / F.lit(width))
+    return (
+        e.groupBy(bin_id.alias("_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .select(
+            (F.col("_bin") * width).cast("double").alias("bin_lo"),
+            ((F.col("_bin") + 1) * width).cast("double").alias("bin_hi"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_ORACLE_VALUE_HISTOGRAM = """
+    SELECT CAST(bin * 10.0 AS DOUBLE) AS bin_lo,
+           CAST((bin + 1) * 10.0 AS DOUBLE) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value
+    FROM (SELECT value, floor(value / 10.0) AS bin FROM events)
+    GROUP BY bin
+"""
+
+
+def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly gate composing the exact-moment
+    statistics (operators/stats.py): events whose value sits > 3 sample
+    stddevs above/below their type's mean.  The 5-row stats table
+    broadcasts back; the flag pass is map-only.  z is computed from the
+    ROUNDED mean/stddev both engines already agree on bit-for-bit."""
+    from csv_etl_spark.operators.stats import moment_stats
+
+    e = _t(spark, sf_dir, "events")
+    prepared = e.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.unix_timestamp("ts").cast("double").alias("ts_epoch"),
+    )
+    stats = moment_stats(prepared, "value", "ts_epoch", by=["event_type"]).select(
+        "event_type", "mean_x", "stddev_x"
+    )
+    z = (F.col("value") - F.col("mean_x")) / F.col("stddev_x")
+    return (
+        prepared.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+def _anomalies_oracle() -> str:
+    from csv_etl_spark.operators.stats import moment_stats_oracle_sql
+
+    derived = (
+        "(SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,"
+        " CAST(floor(epoch(ts)) AS DOUBLE) AS ts_epoch FROM events) ev"
+    )
+    moments = moment_stats_oracle_sql(derived, "value", "ts_epoch", by=["event_type"])
+    return f"""
+    WITH stats AS ({moments})
+    SELECT e.event_id, e.event_type,
+           round(CAST(e.value AS DOUBLE), 6) AS value,
+           round((CAST(e.value AS DOUBLE) - s.mean_x) / s.stddev_x, 6) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((CAST(e.value AS DOUBLE) - s.mean_x) / s.stddev_x) > 3.0
+"""
+
+
+_ORACLE_EVENTS_ANOMALIES = _anomalies_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3865,6 +3951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dup_clusters": q_image_dup_clusters,
         "profile_events": q_profile_events,
         "asof_join_forward": q_asof_join_forward,
+        "value_histogram": q_value_histogram,
+        "events_anomalies": q_events_anomalies,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -4022,4 +4110,6 @@ def oracle_sql() -> dict[str, str]:
         "image_dup_clusters": _ORACLE_IMAGE_DUP_CLUSTERS,
         "profile_events": _ORACLE_PROFILE_EVENTS,
         "asof_join_forward": _ORACLE_ASOF_FORWARD,
+        "value_histogram": _ORACLE_VALUE_HISTOGRAM,
+        "events_anomalies": _ORACLE_EVENTS_ANOMALIES,
     }
