@@ -3862,6 +3862,30 @@ def _anomalies_oracle() -> str:
 _ORACLE_EVENTS_ANOMALIES = _anomalies_oracle()
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    sampling.weighted_sample_topk): 100 docs drawn with inclusion
+    probability proportional to length — deterministic, engine-portable,
+    TakeOrdered plan."""
+    d = _t(spark, sf_dir, "documents")
+    return _sampling.weighted_sample_topk(
+        d.select("doc_id", "source", "n_chars"), "doc_id", F.col("n_chars"), k=100
+    )
+
+
+_ORACLE_SAMPLE_WEIGHTED = """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             round(ln(greatest(
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                 / 4294967296.0, 1e-12)) / n_chars, 9) AS s
+      FROM documents
+    )
+    ORDER BY s DESC, doc_id ASC
+    LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3953,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_forward": q_asof_join_forward,
         "value_histogram": q_value_histogram,
         "events_anomalies": q_events_anomalies,
+        "sample_weighted": q_sample_weighted,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -4112,4 +4137,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_forward": _ORACLE_ASOF_FORWARD,
         "value_histogram": _ORACLE_VALUE_HISTOGRAM,
         "events_anomalies": _ORACLE_EVENTS_ANOMALIES,
+        "sample_weighted": _ORACLE_SAMPLE_WEIGHTED,
     }

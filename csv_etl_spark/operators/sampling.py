@@ -92,6 +92,35 @@ def sample_by_score(df: DataFrame, key_col: str, score: Column) -> DataFrame:
     return df.filter(key_uniform(F.col(key_col)) < score)
 
 
+def weighted_sample_topk(
+    df: DataFrame, key_col: str, weight: Column, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis
+    A-ES scheme (the standard distributed weighted reservoir): each row
+    draws ``u = key_uniform(key)`` and is ranked by ``ln(u) / w`` (the
+    monotone-equivalent of the classic ``u^(1/w)`` key, without ``pow``'s
+    cross-libm rounding wobble); the top ``k`` ranks win.  Inclusion
+    probability is proportional to weight; zero/negative weights rank
+    ``-inf`` explicitly (ANSI mode makes the raw division throw) and are
+    never chosen while k < n.
+
+    Deterministic (md5-keyed, layout-independent) like every sampler
+    here.  Scale shape: map-only scoring + ``orderBy().limit(k)``, which
+    Catalyst compiles to TakeOrderedAndProject — each partition keeps a
+    local top-k, the driver merges k rows per partition; no global
+    sort."""
+    u = F.greatest(key_uniform(F.col(key_col)), F.lit(1e-12))
+    score = F.when(weight > 0, F.log(u) / weight).otherwise(
+        F.lit(float("-inf"))
+    )
+    return (
+        df.withColumn("_es_score", F.round(score, 9))
+        .orderBy(F.col("_es_score").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_es_score")
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     weights: dict[str, float],

@@ -1638,3 +1638,24 @@ def test_asof_join_forward_direction(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         asof_join(left, right, "k", "ts", "ts", ["val"], direction="nearest")
+
+
+def test_weighted_sample_topk_properties(spark):
+    from csv_etl_spark.operators.sampling import weighted_sample_topk
+
+    # 200 light rows (w=1) + 50 heavy rows (w=50): heavy rows dominate a
+    # k=25 draw despite being outnumbered 4:1
+    rows = [(i, 1.0) for i in range(200)] + [(1000 + i, 50.0) for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = {r["id"] for r in weighted_sample_topk(df, "id", F.col("w"), 25).collect()}
+    assert len(got) == 25
+    assert sum(1 for i in got if i >= 1000) >= 18  # heavy rows dominate
+    # deterministic under repartition
+    again = {r["id"] for r in
+             weighted_sample_topk(df.repartition(7), "id", F.col("w"), 25).collect()}
+    assert got == again
+    # zero-weight rows are never chosen while k < n
+    zw = spark.createDataFrame([(1, 0.0)] + [(i, 1.0) for i in range(2, 30)],
+                               ["id", "w"])
+    chosen = {r["id"] for r in weighted_sample_topk(zw, "id", F.col("w"), 10).collect()}
+    assert 1 not in chosen
