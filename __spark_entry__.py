@@ -3122,15 +3122,25 @@ def _dhash_row_sql(r: int) -> str:
 
 
 def _dhash_px_cte(from_clause: str = "documents") -> str:
+    # Byte-TRUE sampling, mirroring the Spark kernel's
+    # ``content[(i*n)//72]`` over the UTF-8 octet stream: this DuckDB
+    # build has no BLOB substring, so the oracle goes through
+    # hex(encode(text)) — hex chars 2i+1..2i+2 ARE byte i — instead of
+    # character indexing, which would diverge from the kernel on any
+    # multi-byte codepoint (no ASCII-only corpus assumption needed).
     return f"""
     px AS (
-      SELECT doc_id AS media_id,
-             CASE WHEN octet_length(encode(text)) = 0
+      SELECT media_id,
+             CASE WHEN n = 0
                   THEN list_transform(range(0, 72), i -> 0)
                   ELSE list_transform(range(0, 72),
-                         i -> ascii(text[CAST((i * octet_length(encode(text))) // 72 AS INT) + 1]))
+                         i -> CAST('0x' || substring(
+                                hx, CAST(2 * ((i * n) // 72) AS INT) + 1, 2)
+                              AS INT))
              END AS p
-      FROM {from_clause}
+      FROM (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM {from_clause})
     )
 """
 
@@ -3264,7 +3274,11 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/stats.py) so the result is bit-reproducible on any engine
     and any partitioning, unlike double-accumulating stddev/corr.  One
     groupBy with map-side partials; y = truncated-second epoch (Spark
-    unix_timestamp == floor(epoch) in the oracle)."""
+    unix_timestamp == floor(epoch) in the oracle).  center_y re-centers
+    the epoch column before quantizing: raw epoch seconds would exhaust
+    the decimal(38,0) moment headroom after ~3e7 rows/group; centered,
+    the same group holds ~1e10 rows, and overflow past that raises
+    instead of silently NULLing (stats.py module docstring)."""
     from csv_etl_spark.operators.stats import moment_stats
 
     e = _t(spark, sf_dir, "events").select(
@@ -3272,7 +3286,14 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.unix_timestamp("ts").cast("double").alias("ts_epoch"),
     )
-    return moment_stats(e, "value", "ts_epoch", by=["event_type"])
+    return moment_stats(
+        e, "value", "ts_epoch", by=["event_type"], center_y=_EPOCH_CENTER
+    )
+
+
+# Any epoch near the data works (stats are shift-invariant; mean_x adds
+# it back); a multiple of 1e-6 keeps the quantized shift exact.
+_EPOCH_CENTER = 1_700_000_000.0
 
 
 def _stats_oracle() -> str:
@@ -3282,7 +3303,9 @@ def _stats_oracle() -> str:
         "(SELECT event_type, CAST(value AS DOUBLE) AS value,"
         " CAST(floor(epoch(ts)) AS DOUBLE) AS ts_epoch FROM events) ev"
     )
-    return moment_stats_oracle_sql(derived, "value", "ts_epoch", by=["event_type"])
+    return moment_stats_oracle_sql(
+        derived, "value", "ts_epoch", by=["event_type"], center_y=_EPOCH_CENTER
+    )
 
 
 _ORACLE_STATS_MOMENTS = _stats_oracle()
@@ -3825,9 +3848,9 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.unix_timestamp("ts").cast("double").alias("ts_epoch"),
     )
-    stats = moment_stats(prepared, "value", "ts_epoch", by=["event_type"]).select(
-        "event_type", "mean_x", "stddev_x"
-    )
+    stats = moment_stats(
+        prepared, "value", "ts_epoch", by=["event_type"], center_y=_EPOCH_CENTER
+    ).select("event_type", "mean_x", "stddev_x")
     z = (F.col("value") - F.col("mean_x")) / F.col("stddev_x")
     return (
         prepared.join(F.broadcast(stats), "event_type")
@@ -3848,7 +3871,9 @@ def _anomalies_oracle() -> str:
         "(SELECT event_id, event_type, CAST(value AS DOUBLE) AS value,"
         " CAST(floor(epoch(ts)) AS DOUBLE) AS ts_epoch FROM events) ev"
     )
-    moments = moment_stats_oracle_sql(derived, "value", "ts_epoch", by=["event_type"])
+    moments = moment_stats_oracle_sql(
+        derived, "value", "ts_epoch", by=["event_type"], center_y=_EPOCH_CENTER
+    )
     return f"""
     WITH stats AS ({moments})
     SELECT e.event_id, e.event_type,
@@ -3893,26 +3918,34 @@ _ORACLE_SAMPLE_WEIGHTED = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # entries (insertion order).  Round-6 window (50 = 25 + 12 + 13):
-    #  * 25 carried-over core queries (every family keeps a representative);
-    #  * the 12 queries that got their FIRST driver row this round's rotation
-    #    (dedup_incremental ... length_outliers) stay in-window;
-    #  * the 13 operators NEW in round 6 (gopher_quality ... join_full_outer)
-    #    enter the window immediately so their first driver rows land in
-    #    CORRECTNESS_r06, displacing 13 entries green in CORRECTNESS_r05
-    #    whose machinery stays represented (merge_upsert/t7/typed_crypto by
-    #    the ETL+typed siblings; window_top/rollup by window_funcs_orders +
-    #    agg siblings; anti_join by join_full_outer/join_revenue;
-    #    sample_deterministic by sample_by_quality/mixture_resample;
-    #    json/percentiles by length_outliers' percentile path; dedup_exact/
-    #    simhash by the five other dedup queries; multimodal_features by
-    #    image_dhash/image_dhash_pairs; etl_chained by etl_dynamic+lookup+
-    #    aggregate).  Round-robin discipline: every query keeps a driver row
-    #    at most two rounds old.  ALL registry entries (94 as of late round
-    #    6) remain oracle-checked locally via
-    #    scripts/check_oracle.py regardless of position.
+    # entries (insertion order).  Round-7 window (50 = 39 + 11):
+    #  * 39 carried-over queries (every operator family keeps at least one
+    #    representative in-window);
+    #  * the 11 late-round-6 queries that have NEVER had a driver row
+    #    (scd2_history ... sample_weighted, all local-oracle green since r6)
+    #    enter the window so their first driver rows land in
+    #    CORRECTNESS_r07, displacing 11 entries green in CORRECTNESS_r06
+    #    whose machinery stays represented in-window:
+    #      asof_join_purchase_click → asof_join_forward (same operator,
+    #        time-reversed); events_rolling → events_rolling_time;
+    #      doc_length_histogram → value_histogram + length_outliers;
+    #      text_strip_html → web_curation (composes it);
+    #      unigram_logprob → bigram_logprob (same model machinery, order+1);
+    #      image_dhash_pairs → image_dhash + image_dup_clusters (clusters
+    #        run the pair generator internally);
+    #      mixture_resample → sample_by_quality + sample_weighted;
+    #      window_funcs_orders → funnel_steps/retention_cohorts/scd2_history
+    #        (keyed windows); join_full_outer → snapshot_diff (keyed
+    #        full-outer); dedup_doc_lines → 7 in-window dedup siblings;
+    #      gopher_quality → training_mix (composes the gate).
+    #    Round-robin discipline: every query keeps a driver row at most two
+    #    rounds old — all 11 displaced entries are r6-green, due back by r8.
+    #    ALL 100 registry entries (99 with oracles; distinct_users_approx is
+    #    rows-only by design) remain oracle-checked locally via
+    #    scripts/check_oracle.py regardless of position.  Update these
+    #    counts whenever the registry changes.
     return {
-        # ---- window 1-25: carried-over core (green in CORRECTNESS_r05) ----
+        # ---- window 1-25: carried-over core ----
         "etl_dynamic_mapping": q_etl_dynamic_mapping,
         "etl_lookup_table": q_etl_lookup_table,
         "etl_aggregate_mapping": q_etl_aggregate_mapping,
@@ -3921,8 +3954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "dedup_paragraphs": q_dedup_paragraphs,
-        "events_rolling": q_events_rolling,
-        "asof_join_purchase_click": q_asof_join,
         "range_join_buckets": q_range_join,
         "pack_sequences": q_pack_sequences,
         "semantic_dedup": q_semantic_dedup,
@@ -3938,35 +3969,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "stream_hourly_counts": q_stream_hourly_counts,
         "stream_sessionize": q_stream_sessionize,
-        # ---- window 26-37: r5 rotation, first driver rows this round ----
         "dedup_incremental": q_dedup_incremental,
-        "doc_length_histogram": q_doc_length_histogram,
         "chunk_documents": q_chunk_documents,
+        # ---- window 26-39: carried-over, r6-green ----
         "salted_agg_events": q_salted_agg_events,
         "tokens_to_ids": q_tokens_to_ids,
-        "unigram_logprob": q_unigram_logprob,
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_representatives": q_dedup_representatives,
-        "text_strip_html": q_text_strip_html,
         "web_curation": q_web_curation,
         "events_rolling_time": q_events_rolling_time,
         "length_outliers": q_length_outliers,
-        # ---- window 38-50: NEW in round 6, driver rows in CORRECTNESS_r06 ----
-        "gopher_quality": q_gopher_quality,
-        "mixture_resample": q_mixture_resample,
         "ann_quantized": q_ann_quantized,
         "image_dhash": q_image_dhash,
-        "image_dhash_pairs": q_image_dhash_pairs,
         "stats_moments": q_stats_moments,
-        "window_funcs_orders": q_window_funcs_orders,
         "training_mix": q_training_mix,
         "text_top_bigrams": q_text_top_bigrams,
-        "dedup_doc_lines": q_dedup_doc_lines,
         "sample_by_quality": q_sample_by_quality,
         "tfidf_terms": q_tfidf_terms,
-        "join_full_outer": q_join_full_outer,
-        # ---- past-window additions (late round 6): first driver rows when
-        # they rotate in; locally oracle-checked now ----
+        # ---- window 40-50: first driver rows this round (never checked
+        # by the driver before; local-oracle green since late round 6) ----
         "scd2_history": q_scd2_history,
         "retention_cohorts": q_retention_cohorts,
         "bigram_logprob": q_bigram_logprob,
@@ -3978,6 +3999,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "events_anomalies": q_events_anomalies,
         "sample_weighted": q_sample_weighted,
+        # ---- rotated out in round 7 (green in CORRECTNESS_r06, due a
+        # driver row again by r8; machinery represented in-window — see
+        # the displacement map in the header comment) ----
+        "events_rolling": q_events_rolling,
+        "asof_join_purchase_click": q_asof_join,
+        "doc_length_histogram": q_doc_length_histogram,
+        "unigram_logprob": q_unigram_logprob,
+        "text_strip_html": q_text_strip_html,
+        "gopher_quality": q_gopher_quality,
+        "mixture_resample": q_mixture_resample,
+        "image_dhash_pairs": q_image_dhash_pairs,
+        "window_funcs_orders": q_window_funcs_orders,
+        "dedup_doc_lines": q_dedup_doc_lines,
+        "join_full_outer": q_join_full_outer,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----

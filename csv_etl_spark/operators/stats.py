@@ -22,6 +22,20 @@ far below any gate that consumes these stats; the moment formula's
 cancellation happens in doubles IDENTICALLY in every engine, so parity
 holds even where absolute accuracy degrades (catastrophic cancellation
 needs |mean| ≫ stddev, which the caller can re-center away).
+
+Capacity (why ``center_x`` / ``center_y`` exist): Σx² accumulates in
+decimal(38,0), so a group of n samples with |x−center| ≤ M needs
+n · (M·10⁶)² < 10³⁸.  Raw epoch seconds (M ≈ 1.7e9) exhaust that after
+~3e7 rows per group; centered on any nearby epoch (M ≈ 1e8) the same
+group holds ~1e10 rows.  Variance, covariance, correlation are
+shift-invariant, and ``mean_x`` adds the offset back, so centering is
+free — pass a ``center`` that is a multiple of 1e-6 (so ``c·10⁶`` is an
+integer) and the quantized moments shift EXACTLY, giving results
+identical to the uncentered computation.  Overflow is never silent:
+Spark (ANSI off) NULLs an overflowed decimal sum, so the plan carries an
+``assert_true`` that errors loudly — matching DuckDB, whose HUGEINT
+raises on overflow — instead of emitting NULL stats that a downstream
+gate would misread as "no data".
 """
 
 from __future__ import annotations
@@ -33,11 +47,24 @@ from pyspark.sql import functions as F
 # inputs in every engine (no round-half mode to disagree on)
 QUANT = 1_000_000
 
+_OVERFLOW_MSG = (
+    "moment_stats: fixed-point moment overflowed decimal(38,0) — a group "
+    "holds more than ~1e38/(max|x-center|*1e6)^2 rows. Re-center the "
+    "column (pass center_x/center_y near the data's magnitude, e.g. a "
+    "recent epoch for timestamps) or split the group."
+)
 
-def _q(col: Column) -> Column:
-    """Fixed-point sample: exact decimal integer, wide enough that the
-    per-group Σx² of ~1e18-sized squares stays exact in decimal(38,0)."""
-    return F.floor(col.cast("double") * F.lit(QUANT)).cast("decimal(19,0)")
+
+def _q(col: Column, center: float) -> Column:
+    """Fixed-point sample: exact decimal integer.  ``center`` shifts the
+    sample before quantizing; with center·QUANT integral the shift is
+    exact (floor((x−c)·Q) = floor(x·Q) − c·Q), so stats are unchanged
+    while the moment magnitudes — and the decimal(38,0) headroom — improve
+    by (max|x|/max|x−c|)²."""
+    x = col.cast("double")
+    if center:
+        x = x - F.lit(float(center))
+    return F.floor(x * F.lit(QUANT)).cast("decimal(19,0)")
 
 
 def moment_stats(
@@ -45,13 +72,19 @@ def moment_stats(
     x_col: str,
     y_col: str,
     by: list[str],
+    center_x: float = 0.0,
+    center_y: float = 0.0,
 ) -> DataFrame:
     """Per-group (n, mean/stddev of x, covariance and Pearson correlation
     of x,y) from exact fixed-point moments — reproducible bit-for-bit on
     any engine and any partitioning.  Sample (n−1) normalization;
     groups with n < 2 report NULL stddev/covar/corr, zero-variance
-    groups report NULL corr (undefined), like SQL's stddev_samp/corr."""
-    xq, yq = _q(F.col(x_col)), _q(F.col(y_col))
+    groups report 0.0 stddev and NULL corr (undefined), like SQL's
+    stddev_samp/corr.  ``center_x``/``center_y`` (multiples of 1e-6)
+    re-center before quantizing — required for large-magnitude columns
+    like epoch timestamps (see module docstring); overflow past the
+    centered headroom raises instead of silently NULLing."""
+    xq, yq = _q(F.col(x_col), center_x), _q(F.col(y_col), center_y)
     agg = df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xq).alias("_sx"),
@@ -59,6 +92,31 @@ def moment_stats(
         F.sum(xq * xq).alias("_sxx"),
         F.sum(yq * yq).alias("_syy"),
         F.sum(xq * yq).alias("_sxy"),
+        # non-null sample counts, used ONLY to detect decimal overflow:
+        # ANSI-off Spark NULLs an overflowed product (per-row) or sum
+        # (per-group); comparing counts + sum-nullness catches both.
+        F.count(xq).alias("_nx"),
+        F.count(yq).alias("_ny"),
+        F.count(xq * xq).alias("_nxx"),
+        F.count(yq * yq).alias("_nyy"),
+        F.count(xq * yq).alias("_nxy"),
+        F.count(
+            F.when(F.col(x_col).isNotNull() & F.col(y_col).isNotNull(), 1)
+        ).alias("_nb"),
+    )
+    no_overflow = (
+        (F.col("_nxx") == F.col("_nx"))
+        & (F.col("_nyy") == F.col("_ny"))
+        & (F.col("_nxy") == F.col("_nb"))
+        & ((F.col("_nx") == 0) | (F.col("_sx").isNotNull() & F.col("_sxx").isNotNull()))
+        & ((F.col("_ny") == 0) | (F.col("_sy").isNotNull() & F.col("_syy").isNotNull()))
+        & ((F.col("_nb") == 0) | F.col("_sxy").isNotNull())
+    )
+    # assert_true yields NULL on pass, raises on fail; coalescing it into
+    # `n` forces evaluation without adding an output column.
+    n_checked = F.coalesce(
+        F.assert_true(no_overflow, F.lit(_OVERFLOW_MSG)).cast("bigint"),
+        F.col("n"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
@@ -68,21 +126,29 @@ def moment_stats(
         F.col("_sxy").cast("double"),
     )
     q = F.lit(float(QUANT))
-    mean_x = sx / n / q
+    mean_x = sx / n / q + F.lit(float(center_x))
     # var_samp = (n·Σx² − (Σx)²) / (n(n−1)) in quantized units
     vxn = n * sxx - sx * sx
     vyn = n * syy - sy * sy
     cvn = n * sxy - sx * sy
     denom = n * (n - F.lit(1.0))
     two_plus = F.col("n") >= 2
-    std_x = F.when(two_plus, F.sqrt(vxn / denom) / q)
+    # vxn > 0 guard: moment sums exceed 2^53, so double cancellation can
+    # leave vxn a hair NEGATIVE for near-constant groups — sqrt would give
+    # NaN here and an error in engines whose sqrt raises on negatives.
+    # Clamp to exact 0.0 (the mathematically-right answer for a constant
+    # group) on BOTH engines.
+    std_x = F.when(
+        two_plus,
+        F.when(vxn > 0, F.sqrt(vxn / denom) / q).otherwise(F.lit(0.0)),
+    )
     covar = F.when(two_plus, cvn / denom / q / q)
     corr = F.when(
         two_plus & (vxn > 0) & (vyn > 0), cvn / F.sqrt(vxn) / F.sqrt(vyn)
     )
     return agg.select(
         *by,
-        F.col("n").cast("bigint").alias("n"),
+        n_checked.alias("n"),
         F.round(mean_x, 6).alias("mean_x"),
         F.round(std_x, 6).alias("stddev_x"),
         F.round(covar, 6).alias("covar_xy"),
@@ -91,13 +157,28 @@ def moment_stats(
 
 
 def moment_stats_oracle_sql(
-    table: str, x_col: str, y_col: str, by: list[str]
+    table: str,
+    x_col: str,
+    y_col: str,
+    by: list[str],
+    center_x: float = 0.0,
+    center_y: float = 0.0,
 ) -> str:
-    """The DuckDB twin: identical quantization, identical moment sums
-    (HUGEINT — exact), identical scalar combine, identical rounding."""
+    """The DuckDB twin: identical quantization (including the centering
+    shift), identical moment sums (HUGEINT — exact, and LOUD on overflow
+    like the Spark side's assert), identical scalar combine, identical
+    rounding, identical vxn>0 clamp-to-0.0 for near-constant groups."""
     keys = ", ".join(by)
-    xq = f"CAST(floor(CAST({x_col} AS DOUBLE) * {QUANT}) AS HUGEINT)"
-    yq = f"CAST(floor(CAST({y_col} AS DOUBLE) * {QUANT}) AS HUGEINT)"
+
+    def quant(col: str, center: float) -> str:
+        expr = f"CAST({col} AS DOUBLE)"
+        if center:
+            expr = f"({expr} - {float(center)!r})"
+        return f"CAST(floor({expr} * {QUANT}) AS HUGEINT)"
+
+    xq, yq = quant(x_col, center_x), quant(y_col, center_y)
+    vxn = "(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    vyn = "(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
     return f"""
     WITH m AS (
       SELECT {keys}, count(*) AS n,
@@ -107,20 +188,22 @@ def moment_stats_oracle_sql(
       FROM {table} GROUP BY {keys}
     )
     SELECT {keys}, CAST(n AS BIGINT) AS n,
-           round(CAST(sx AS DOUBLE) / n / {QUANT}.0, 6) AS mean_x,
-           CASE WHEN n >= 2 THEN round(
-             sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  / (n * (n - 1.0))) / {QUANT}.0, 6) END AS stddev_x,
+           round(CAST(sx AS DOUBLE) / n / {QUANT}.0 + {float(center_x)!r}, 6) AS mean_x,
+           CASE WHEN n >= 2 THEN
+             CASE WHEN {vxn} > 0 THEN round(
+               sqrt({vxn} / (n * (n - 1.0))) / {QUANT}.0, 6)
+             ELSE 0.0 END
+           END AS stddev_x,
            CASE WHEN n >= 2 THEN round(
              (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
              / (n * (n - 1.0)) / {QUANT}.0 / {QUANT}.0, 6) END AS covar_xy,
            CASE WHEN n >= 2
-                 AND (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-                 AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                 AND {vxn} > 0
+                 AND {vyn} > 0
             THEN round(
              (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6)
+             / sqrt({vxn})
+             / sqrt({vyn}), 6)
            END AS corr_xy
     FROM m
 """

@@ -1435,6 +1435,42 @@ def test_moment_stats_matches_builtins_and_is_layout_stable(spark):
         assert tuple(out[k]) == tuple(again[k])
 
 
+def test_moment_stats_centering_and_overflow_guard(spark):
+    """center_x/center_y leave the stats unchanged (shift-exact when
+    center·QUANT is integral) while shrinking the decimal moments; a
+    genuine decimal(38,0) overflow errors LOUDLY instead of silently
+    NULLing (the ANSI-off default this operator guards against)."""
+    import pytest
+
+    from csv_etl_spark.operators.stats import moment_stats
+
+    # epoch-scale y: the exact case ADVICE flagged — raw yq² ≈ 3e30
+    rows = [("a", float(i % 7), 1.7e9 + i * 3600.0) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    plain = moment_stats(df, "x", "y", by=["k"]).collect()[0]
+    centered = moment_stats(
+        df, "x", "y", by=["k"], center_y=1.7e9
+    ).collect()[0]
+    assert tuple(plain) == tuple(centered)
+    # centering x shifts mean_x back exactly, stddev/corr invariant
+    cx = moment_stats(df, "x", "y", by=["k"], center_x=3.0).collect()[0]
+    assert tuple(cx) == tuple(plain)
+    # near-constant large-magnitude group: vxn cancellation can go
+    # slightly negative in doubles — must clamp to 0.0, never NaN
+    nc = spark.createDataFrame(
+        [("z", 1.7e9 + 0.25, float(i)) for i in range(50)], ["k", "x", "y"]
+    )
+    row = moment_stats(nc, "x", "y", by=["k"]).collect()[0]
+    assert row["stddev_x"] == 0.0 and row["corr_xy"] is None
+    # forced overflow: |xq| ~ 3.2e18 → xq² ~ 1e37, 11 rows exceed 1e38.
+    # Spark would silently NULL the sum; the operator must raise instead.
+    big = spark.createDataFrame(
+        [("o", 3.2e12, 1.0)] * 11, ["k", "x", "y"]
+    )
+    with pytest.raises(Exception, match="re-center|overflow|ASSERT"):
+        moment_stats(big, "x", "y", by=["k"]).collect()
+
+
 def test_top_token_pairs_bpe_statistic(spark):
     df = spark.createDataFrame(
         [(1, "a b a b c"), (2, "a b"), (3, "x")], ["doc_id", "text"]
