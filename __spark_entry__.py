@@ -2511,13 +2511,12 @@ _ORACLE_DEDUP_PARAGRAPHS = """
 """
 
 
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental dedup: even doc_ids play the already-curated corpus,
-    odd doc_ids the new batch.  Cross-set duplicates are PLANTED by
-    giving every batch doc with doc_id % 10 == 5 the text of corpus doc
-    (doc_id - 1); within-batch duplicates via a constant filler on
-    doc_id % 11 == 0.  Survivors = lowest-id batch doc per normalized
-    text whose key the corpus has never seen."""
+def _incremental_inputs(spark: SparkSession, sf_dir: str):
+    """Shared planted scenario for the two incremental-dedup queries:
+    even doc_ids play the already-curated corpus, odd doc_ids the new
+    batch; cross-set duplicates planted by giving every batch doc with
+    doc_id % 10 == 5 the text of corpus doc (doc_id - 1), within-batch
+    duplicates via a constant filler on doc_id % 11 == 0."""
     d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     donors = corpus.select(
@@ -2539,7 +2538,28 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
     )
+    return batch, corpus
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup over the planted scenario (_incremental_inputs).
+    Survivors = lowest-id batch doc per normalized text whose key the
+    corpus has never seen."""
+    batch, corpus = _incremental_inputs(spark, sf_dir)
     return dedup.incremental_dedup(batch, corpus)
+
+
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same planted scenario through the ``bloom=True`` path: corpus keys
+    build the shared distributed Bloom bitmap (the decontaminate
+    machinery) that pre-filters batch keys BEFORE the exact left_anti —
+    the join's shuffle carries only probable-hits, and because the final
+    left_anti is still exact, the RESULT is identical to the plain
+    variant.  Oracle: dedup_incremental's, verbatim (a Bloom false
+    positive can only send an extra key INTO the exact join, never change
+    its output)."""
+    batch, corpus = _incremental_inputs(spark, sf_dir)
+    return dedup.incremental_dedup(batch, corpus, bloom=True)
 
 
 _ORACLE_DEDUP_INCREMENTAL = """
@@ -3937,10 +3957,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      window_funcs_orders → funnel_steps/retention_cohorts/scd2_history
     #        (keyed windows); join_full_outer → snapshot_diff (keyed
     #        full-outer); dedup_doc_lines → 7 in-window dedup siblings;
-    #      gopher_quality → training_mix (composes the gate).
+    #      gopher_quality → training_mix (composes the gate);
+    #      dedup_incremental → dedup_incremental_bloom (NEW in r7 — the
+    #        bloom=True path is the plain path plus the shared Bloom
+    #        pre-filter, exact-result-preserving, so its driver row is the
+    #        strictly stronger check).
     #    Round-robin discipline: every query keeps a driver row at most two
     #    rounds old — all 11 displaced entries are r6-green, due back by r8.
-    #    ALL 100 registry entries (99 with oracles; distinct_users_approx is
+    #    ALL 101 registry entries (100 with oracles; distinct_users_approx is
     #    rows-only by design) remain oracle-checked locally via
     #    scripts/check_oracle.py regardless of position.  Update these
     #    counts whenever the registry changes.
@@ -3969,7 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "stream_hourly_counts": q_stream_hourly_counts,
         "stream_sessionize": q_stream_sessionize,
-        "dedup_incremental": q_dedup_incremental,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
         "chunk_documents": q_chunk_documents,
         # ---- window 26-39: carried-over, r6-green ----
         "salted_agg_events": q_salted_agg_events,
@@ -4003,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row again by r8; machinery represented in-window — see
         # the displacement map in the header comment) ----
         "events_rolling": q_events_rolling,
+        "dedup_incremental": q_dedup_incremental,
         "asof_join_purchase_click": q_asof_join,
         "doc_length_histogram": q_doc_length_histogram,
         "unigram_logprob": q_unigram_logprob,
@@ -4134,6 +4159,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
+        # bloom pre-filter is exact-result-preserving: same oracle verbatim
+        "dedup_incremental_bloom": _ORACLE_DEDUP_INCREMENTAL,
         "events_rolling": _ORACLE_EVENTS_ROLLING,
         "doc_length_histogram": _ORACLE_DOC_LENGTH_HISTOGRAM,
         "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,

@@ -227,6 +227,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     freq_cap: int | None = DEFAULT_FREQ_SHINGLE_CAP,
+    max_exact_docs: int | None = 100_000,
 ) -> DataFrame:
     """N-gram Jaccard pairs (id_a < id_b, jaccard ≥ threshold) as a
     set-similarity join in overlap-count form.
@@ -255,7 +256,25 @@ def ngram_jaccard_pairs(
     1,130,536 → 18,410, a 61× reduction).  Pass ``freq_cap=None``
     explicitly for the exact/uncapped variant — shingles above any sane
     cap contribute near-zero discrimination, but exactness is then on
-    the caller."""
+    the caller.
+
+    ``max_exact_docs``: the uncapped variant is the ONLY measured
+    super-linear path in this package (1.38× cost per data decade,
+    BENCHNOTES_r6_sf1.json — vs 0.17–0.20 capped), so requesting it over
+    a corpus above this bound raises up front (one column-pruned count,
+    trivially cheaper than the quadratic join it prevents) rather than
+    launching a job that dies at the shuffle.  Pass ``max_exact_docs=None``
+    to waive the guard on a corpus you know is hot-shingle-free."""
+    if freq_cap is None and max_exact_docs is not None:
+        n_docs = df.select(id_col).count()
+        if n_docs > max_exact_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs(freq_cap=None) over {n_docs} docs "
+                f"(> max_exact_docs={max_exact_docs}): the uncapped posting "
+                "self-join is super-linear in corpus size. Use the default "
+                "freq_cap (frequency-capped Jaccard), or raise/disable "
+                "max_exact_docs if the corpus provably has no hot shingles."
+            )
     docs = _shingle_docs(df, text_col, id_col, n)
 
     if freq_cap is None:

@@ -12,11 +12,26 @@ Scale shape: ONE ``agg`` over the table computes every statistic for every
 column (Catalyst evaluates all aggregates in one pass over the scan;
 map-side partials for count/min/max, partial sets for distinct), then the
 single result ROW is exploded into one output row per column — driver
-never sees data, just the statistics row.  Exact distincts are the
-default because profiling feeds schema decisions (a 37-value column is a
-lookup candidate; "approximately 37" is not actionable) — pass
-``approx=True`` to swap in HLL sketches when the column cardinality
-itself is huge.
+never sees data, just the statistics row.
+
+Choosing ``approx`` — THE switch that matters at scale:
+
+* ``approx=False`` (contract default, oracle-checkable): exact
+  ``count_distinct`` on every column.  Catalyst plans multiple distinct
+  aggregates as an **Expand** — the input is replicated once per
+  distinct column (~n_cols× the scan) plus a distinct-value shuffle per
+  column.  Linear and fully distributed, but a ~n_cols constant factor:
+  fine to a few hundred GB, wasteful at 100 TB.  Exact is the default
+  only because profiling feeds schema decisions (a 37-value column is a
+  lookup candidate; "approximately 37" is not actionable) and because
+  exact integers are what a cross-engine oracle can hash.
+* ``approx=True`` (**the recommended setting at scale — use it for any
+  table you wouldn't happily scan n_cols times**): HLL sketches replace
+  the distinct sets, the Expand disappears, and the whole profile is ONE
+  partial-aggregate pass over the scan — the plan shape is asserted by
+  ``tests/test_operators.py::test_profile_approx_plan_has_no_expand``.
+  Distinct counts carry ~2 % relative error, which is immaterial for the
+  at-scale questions (is this column unique? high-cardinality? enum-ish?).
 
 Engine-portable: counts are exact integers; numeric ranges are rounded
 doubles; string ranges compare lexicographically identically.  Other
@@ -39,7 +54,9 @@ _NUMERIC = (
 def profile_table(df: DataFrame, approx: bool = False) -> DataFrame:
     """Per-column profile: ``(column, dtype, n_rows, n_nulls, n_distinct,
     min_num, max_num, min_str, max_str)`` — one row per column, one pass
-    over the data."""
+    over the data.  Pass ``approx=True`` on large or wide tables: exact
+    multi-column distincts cost an Expand (~n_cols× the scan; see module
+    docstring), the HLL path is a single partial-aggregate pass."""
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for f in df.schema.fields:
         c, q = f.name, F.col(f"`{f.name}`")

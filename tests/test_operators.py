@@ -319,6 +319,25 @@ def test_jaccard_freq_cap_drops_hot_shingles(spark):
     assert got[(1, 2)] == 1.0  # capped universe: their remaining shingles identical
 
 
+def test_jaccard_exact_guard_refuses_large_corpus(spark):
+    """freq_cap=None is the only measured super-linear path — above
+    max_exact_docs it must refuse up front instead of launching the
+    quadratic posting self-join; capped and waived paths still run."""
+    import pytest
+
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("words for doc "), F.col("id").cast("string")).alias("text"),
+    )
+    with pytest.raises(ValueError, match="max_exact_docs"):
+        dedup.ngram_jaccard_pairs(df, freq_cap=None, max_exact_docs=10)
+    # waived guard and capped default both still plan lazily and run
+    assert dedup.ngram_jaccard_pairs(
+        df, freq_cap=None, max_exact_docs=None
+    ).count() >= 0
+    assert dedup.ngram_jaccard_pairs(df, max_exact_docs=10).count() >= 0
+
+
 def test_approx_distinct_within_tolerance(spark):
     """HLL++ sketch vs exact: ≤2% relative error at rsd=0.01."""
     import __spark_entry__ as E
@@ -1639,6 +1658,39 @@ def test_profile_table_one_pass(spark):
     # the whole profile is ONE aggregation job over one scan
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_profile_approx_plan_has_no_expand(spark):
+    """approx=True is the documented scale path: HLL sketches must plan
+    as ONE partial-aggregate pass — no Expand (which replicates the input
+    ~n_cols× for exact multi-column distincts) and still one scan.  The
+    exact path keeps its Expand (that's the documented trade), and approx
+    counts stay sane."""
+    from pyspark.sql import types as T
+
+    from csv_etl_spark.operators.profile import profile_table
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("v", T.DoubleType(), True),
+    ])
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(100)], schema
+    )
+    approx_plan = (
+        profile_table(df, approx=True)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Expand" not in approx_plan
+    assert approx_plan.count("Scan ") <= 1
+    exact_plan = (
+        profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the ~n_cols× cost approx=True removes
+    p = {r["column"]: r for r in profile_table(df, approx=True).collect()}
+    assert p["s"]["n_distinct"] == 3  # HLL is exact at tiny cardinality
+    assert p["k"]["n_rows"] == 100 and p["k"]["n_nulls"] == 0
 
 
 def test_asof_join_forward_direction(spark):
