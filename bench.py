@@ -90,6 +90,11 @@ HEADLINE = [
     "image_dup_clusters",
     "profile_events",
     "asof_join_forward",
+    # round 7 additions (the 3 landed after the final r6 bench + new op)
+    "value_histogram",
+    "events_anomalies",
+    "sample_weighted",
+    "dedup_incremental_bloom",
 ]
 
 

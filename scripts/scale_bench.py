@@ -54,6 +54,13 @@ QUERIES = {
     "scd2_history": "sf10",
     "salted_agg_events": "sf10",
     "retention_cohorts": "sf10",
+    # round-7 additions: the remaining round-6 heavies (VERDICT r6 item 3).
+    # bigram_logprob's broadcast side is the distinct-bigram model — grows
+    # with vocab², not corpus size, so its 500k point verifies the model
+    # stays bounded while the scoring side scales.
+    "profile_events": "sf10",
+    "image_dup_clusters": "sf10",
+    "bigram_logprob": "sf10",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),
@@ -78,6 +85,18 @@ def clear_caches() -> None:
 
 
 def main() -> None:
+    # optional CLI subset: `scale_bench.py [--out FILE.json] [query ...]`
+    # (a subset run measures only the named queries — used to extend the
+    # scale evidence to new operators without re-timing the whole matrix)
+    args = sys.argv[1:]
+    out_name = "BENCHNOTES_r6_sf1.json"
+    if args and args[0] == "--out":
+        out_name, args = args[1], args[2:]
+    selected = {q: m for q, m in QUERIES.items() if not args or q in args}
+    unknown = [a for a in args if a not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
     spark = get_spark("csv-etl-spark-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
@@ -95,13 +114,13 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    results: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
-    rows_out: dict[str, dict[str, int]] = {q: {} for q in QUERIES}
+    results: dict[str, dict[str, float]] = {q: {} for q in selected}
+    rows_out: dict[str, dict[str, int]] = {q: {} for q in selected}
     for step_name, sf_dir, _n in STEPS:
         if not Path(sf_dir).exists():
             print(f"skip {step_name}: {sf_dir} missing", file=sys.stderr)
             continue
-        for q, max_step in QUERIES.items():
+        for q, max_step in selected.items():
             if STEP_ORDER.index(step_name) > STEP_ORDER.index(max_step):
                 continue
             runs = []
@@ -116,7 +135,7 @@ def main() -> None:
             print(f"{step_name} {q}: {results[q][step_name]}s", file=sys.stderr)
 
     exponents: dict[str, dict[str, float]] = {}
-    for q in QUERIES:
+    for q in selected:
         r = results[q]
         exps = {}
         if "sf0.1" in r and "sf1" in r:
@@ -143,7 +162,7 @@ def main() -> None:
             "dominates at this size"
         ),
     }
-    (REPO / "BENCHNOTES_r6_sf1.json").write_text(json.dumps(out, indent=1))
+    (REPO / out_name).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 
