@@ -3932,6 +3932,256 @@ _ORACLE_SAMPLE_WEIGHTED = """
 
 
 # ---------------------------------------------------------------------------
+# Round-7 operators: BM25, CCNet buckets, boilerplate lines, token budget,
+# duplicated spans
+# ---------------------------------------------------------------------------
+
+
+def q_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 Okapi BM25 term weights (text.bm25_top_terms,
+    k1=1.2, b=0.75) — tfidf_terms' plan plus a doc-keyed dl aggregate and
+    a broadcast (N, avgdl) scalar pair."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    return text.bm25_top_terms(d, k=5)
+
+
+_ORACLE_BM25 = """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    e AS (SELECT doc_id, lower(unnest(toks)) AS token FROM t),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY doc_id),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(coalesce(sum(CASE WHEN regexp_matches(text, '^\\s*$') THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END), 0)
+               AS DOUBLE) AS total
+      FROM documents
+    ),
+    s2 AS (SELECT n, total / n AS avgdl FROM s),
+    scored AS (
+      SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+             round(
+               ln(1.0 + (s2.n - dfq.df + 0.5) / (dfq.df + 0.5))
+               * ((tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s2.avgdl))),
+               6) AS score
+      FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN s2
+    )
+    SELECT doc_id, token, tf, score, rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail LM-quality bucketing per source
+    (text.lm_score_buckets): unigram-LM scores + per-group exact tercile
+    boundaries broadcast back for a map-only classify — no per-group
+    window over the data."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text", "source"
+    )
+    return text.lm_score_buckets(d, by="source")
+
+
+_P_LO, _P_HI = 1.0 / 3.0, 2.0 / 3.0
+
+_ORACLE_PERPLEXITY_BUCKETS = f"""
+    WITH ts AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    t AS (SELECT doc_id, lower(unnest(toks)) AS tok FROM ts),
+    counts AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts),
+    sc AS (
+      SELECT t.doc_id, ln(c.n / tot.total) AS lp
+      FROM t JOIN counts c ON t.tok = c.tok CROSS JOIN tot
+    ),
+    agg AS (SELECT doc_id, round(avg(lp), 6) AS avg_logprob FROM sc GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id, d.source, coalesce(a.avg_logprob, 0.0) AS avg_logprob
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    ),
+    b AS (
+      SELECT source,
+             round(quantile_cont(avg_logprob, {_P_LO!r}), 6) AS b_lo,
+             round(quantile_cont(avg_logprob, {_P_HI!r}), 6) AS b_hi
+      FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.avg_logprob,
+           CASE WHEN s.avg_logprob <= b.b_lo THEN 'tail'
+                WHEN s.avg_logprob <= b.b_hi THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scored s JOIN b USING (source)
+"""
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate-line removal
+    (cleaning.drop_boilerplate_lines): a shared banner line is PLANTED
+    onto every doc (plus a per-doc unique tail line, always kept) so the
+    corpus-frequency drop demonstrably fires; naturally duplicated doc
+    bodies (>2 copies) fall out through the same path."""
+    from csv_etl_spark.operators.cleaning import drop_boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("please accept cookies to continue."),
+            F.col("text"),
+            F.concat(F.lit("unique tail "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return drop_boilerplate_lines(seeded, max_docs=2)
+
+
+_ORACLE_BOILERPLATE_LINES = """
+    WITH seeded AS (
+      SELECT doc_id,
+             'please accept cookies to continue.' || chr(10) || text ||
+             chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM seeded
+    ),
+    hot AS (
+      SELECT k FROM (
+        SELECT DISTINCT doc_id, trim(line) AS k FROM l WHERE trim(line) <> ''
+      ) GROUP BY k HAVING count(*) > 2
+    ),
+    kept AS (SELECT * FROM l WHERE trim(line) NOT IN (SELECT k FROM hot)),
+    re AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM seeded
+    )
+    SELECT t.doc_id, coalesce(re.text, '') AS text,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_lines_kept
+    FROM tot t LEFT JOIN re ON t.doc_id = re.doc_id
+"""
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection (sampling.token_budget_select,
+    800 tokens/source): docs taken in md5 order until each source's
+    cumulative token count would cross the budget — the mix-assembly
+    step stated in tokens.  One global range-shuffled prefix sum (the
+    group rides the front of the order key), no per-group window."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text", "source"
+    )
+    return _sampling.token_budget_select(d, budget=800, by="source")
+
+
+_ORACLE_TOKEN_BUDGET_MIX = """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN regexp_matches(text, '^\\s*$') THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR) || '|') AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 800
+"""
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (dedup.duplicate_spans,
+    32-token windows, stride 16, ≥2 docs): a shared 40-token passage is
+    PLANTED as a PREFIX on every 25th doc (prefix, because strided
+    windows only align on shared prefixes/whole docs — the documented
+    granularity trade vs suffix-array substring dedup), so window 0 of
+    every planted doc is a corpus-duplicated span; naturally identical
+    docs surface through the same path at every window."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    passage = " ".join(f"shared{i:02d}" for i in range(40))
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.lit(passage + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.duplicate_spans(seeded, span_tokens=32, stride=16, min_docs=2)
+
+
+def _duplicate_spans_oracle() -> str:
+    passage = " ".join(f"shared{i:02d}" for i in range(40))
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 25 = 0 THEN '{passage} ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM seeded
+    ),
+    g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) = 0 THEN 0
+                  WHEN len(toks) <= 16 THEN 1
+                  ELSE CAST(ceil((len(toks) - 16) / 16.0) AS BIGINT) END AS n_chunks
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id, CAST(cid * 16 AS BIGINT) AS start_token,
+             array_to_string(
+               toks[CAST(cid*16+1 AS BIGINT):CAST(cid*16+32 AS BIGINT)], ' ')
+               AS win
+      FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS cid FROM g)
+      WHERE len(toks[CAST(cid*16+1 AS BIGINT):CAST(cid*16+32 AS BIGINT)]) = 32
+    ),
+    hot AS (
+      SELECT win, CAST(count(*) AS BIGINT) AS n_docs
+      FROM (SELECT DISTINCT doc_id, win FROM w)
+      GROUP BY win HAVING count(*) >= 2
+    )
+    SELECT w.doc_id, w.start_token, hot.n_docs
+    FROM w JOIN hot USING (win)
+"""
+
+
+_ORACLE_DUPLICATE_SPANS = _duplicate_spans_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3962,9 +4212,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        bloom=True path is the plain path plus the shared Bloom
     #        pre-filter, exact-result-preserving, so its driver row is the
     #        strictly stronger check).
+    #  * the 5 operators NEW in round 7 (bm25_terms, perplexity_buckets,
+    #    boilerplate_lines, token_budget_mix, duplicate_spans) also enter the
+    #    window immediately, displacing 5 more r6-green entries:
+    #      tokens_to_ids → tfidf/bigram token machinery + perplexity_buckets;
+    #      corpus_shuffle → pack_sequences + token_budget_mix (both ride
+    #        with_global_cumsum); dedup_representatives → 6 in-window dedup
+    #        siblings; text_top_bigrams → bigram_logprob (same pair build);
+    #      length_outliers → perplexity_buckets (same exact-percentile
+    #        machinery) + value_histogram.
     #    Round-robin discipline: every query keeps a driver row at most two
-    #    rounds old — all 11 displaced entries are r6-green, due back by r8.
-    #    ALL 101 registry entries (100 with oracles; distinct_users_approx is
+    #    rounds old — all 16 displaced entries are r6-green, due back by r8.
+    #    ALL 106 registry entries (105 with oracles; distinct_users_approx is
     #    rows-only by design) remain oracle-checked locally via
     #    scripts/check_oracle.py regardless of position.  Update these
     #    counts whenever the registry changes.
@@ -3997,17 +4256,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         # ---- window 26-39: carried-over, r6-green ----
         "salted_agg_events": q_salted_agg_events,
-        "tokens_to_ids": q_tokens_to_ids,
-        "corpus_shuffle": q_corpus_shuffle,
-        "dedup_representatives": q_dedup_representatives,
         "web_curation": q_web_curation,
         "events_rolling_time": q_events_rolling_time,
-        "length_outliers": q_length_outliers,
         "ann_quantized": q_ann_quantized,
         "image_dhash": q_image_dhash,
         "stats_moments": q_stats_moments,
         "training_mix": q_training_mix,
-        "text_top_bigrams": q_text_top_bigrams,
         "sample_by_quality": q_sample_by_quality,
         "tfidf_terms": q_tfidf_terms,
         # ---- window 40-50: first driver rows this round (never checked
@@ -4023,6 +4277,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "events_anomalies": q_events_anomalies,
         "sample_weighted": q_sample_weighted,
+        # ---- window: NEW operators in round 7, first driver rows now ----
+        "bm25_terms": q_bm25_terms,
+        "perplexity_buckets": q_perplexity_buckets,
+        "boilerplate_lines": q_boilerplate_lines,
+        "token_budget_mix": q_token_budget_mix,
+        "duplicate_spans": q_duplicate_spans,
         # ---- rotated out in round 7 (green in CORRECTNESS_r06, due a
         # driver row again by r8; machinery represented in-window — see
         # the displacement map in the header comment) ----
@@ -4038,6 +4298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs_orders": q_window_funcs_orders,
         "dedup_doc_lines": q_dedup_doc_lines,
         "join_full_outer": q_join_full_outer,
+        "tokens_to_ids": q_tokens_to_ids,
+        "corpus_shuffle": q_corpus_shuffle,
+        "dedup_representatives": q_dedup_representatives,
+        "text_top_bigrams": q_text_top_bigrams,
+        "length_outliers": q_length_outliers,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -4159,6 +4424,11 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK_SEQUENCES,
         "dedup_paragraphs": _ORACLE_DEDUP_PARAGRAPHS,
         "dedup_incremental": _ORACLE_DEDUP_INCREMENTAL,
+        "bm25_terms": _ORACLE_BM25,
+        "perplexity_buckets": _ORACLE_PERPLEXITY_BUCKETS,
+        "boilerplate_lines": _ORACLE_BOILERPLATE_LINES,
+        "token_budget_mix": _ORACLE_TOKEN_BUDGET_MIX,
+        "duplicate_spans": _ORACLE_DUPLICATE_SPANS,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim
         "dedup_incremental_bloom": _ORACLE_DEDUP_INCREMENTAL,
         "events_rolling": _ORACLE_EVENTS_ROLLING,

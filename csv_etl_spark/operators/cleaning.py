@@ -273,6 +273,79 @@ def dedup_lines_within_doc(
     )
 
 
+def drop_boilerplate_lines(
+    df: DataFrame,
+    max_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_lines: int | None = 1 << 16,
+) -> DataFrame:
+    """CROSS-corpus boilerplate-line removal — the global complement of
+    ``dedup_lines_within_doc`` and the line-level analogue of the C4
+    citation/boilerplate rules: a (whitespace-trimmed) line occurring in
+    MORE THAN ``max_docs`` distinct documents is corpus boilerplate
+    (cookie banners, nav menus, license footers) and is dropped from
+    EVERY document — unlike ``dedup.dedup_paragraphs``, which keeps the
+    first occurrence, boilerplate keeps none.  Whitespace-only lines are
+    never counted and never dropped (they are structure, not content).
+    Returns ``(id_col, text, n_lines, n_lines_kept)`` — the
+    ``filter_lines`` contract, so the line-level family composes.
+
+    Scale shape: split/posexplode is map-only; the doc-distinct line
+    count is a (doc, line-key) distinct + a key-keyed count, both with
+    map-side partials over 8-byte ``xxhash64`` keys (the line text never
+    rides the counting shuffle; 64-bit collisions are the documented
+    ~n²/2⁶⁵ trade shared with the paragraph/exact dedup family); the
+    drop is a key-keyed ``left_anti`` against the hot-key set; doc
+    reassembly is one doc-keyed groupBy.  No windows, no collect.
+    ``max_lines`` bounds the per-doc reassembly buffer exactly like
+    ``dedup_paragraphs``' ``max_paragraphs``."""
+    lines = F.split(F.col(text_col), "\n")
+    if max_lines is not None:
+        lines = F.slice(lines, 1, max_lines)
+    exploded = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(lines).alias("_pos", "_line"),
+    ).withColumn("_trim", F.trim(F.col("_line")))
+    hot = (
+        exploded.filter(F.col("_trim") != "")
+        .select("_doc", F.xxhash64("_trim").alias("_key"))
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("_key")
+    )
+    kept = exploded.withColumn("_key", F.xxhash64("_trim")).join(
+        hot, "_key", "left_anti"
+    )
+    reassembled = kept.groupBy("_doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s.getField("_line"),
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_doc"),
+        F.greatest(F.size(lines), F.lit(0)).cast("bigint").alias("n_lines"),
+    )
+    return (
+        totals.join(reassembled, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("n_lines"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("bigint")).alias(
+                "n_lines_kept"
+            ),
+        )
+    )
+
+
 # Ordered (pattern, replacement) chain for HTML → text extraction, in the
 # portable Java-regex ∩ RE2 subset (inline (?is) flags, non-greedy
 # repetition — no lookarounds).  Order is part of the contract: container

@@ -784,3 +784,64 @@ def cluster_representatives(
         F.col("_best._id").alias("rep_id"),
         F.col("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 32,
+    stride: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-SUBSTRING detection — the signal behind
+    substring-level training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": exact duplicated spans
+    inside otherwise-distinct documents), approximated at ``stride``-token
+    granularity: every full ``span_tokens``-token window (windows start
+    every ``stride`` tokens; partial tail windows are excluded so all keys
+    compare equal-length content) is keyed, and a window whose token
+    content occurs in ≥ ``min_docs`` DISTINCT documents marks a
+    duplicated span in every document containing it.  Returns
+    ``(id_col, start_token, n_docs)`` — one row per (document, window
+    start); overlapping flagged windows describe one longer shared span.
+
+    Built on ``packing.chunk_documents`` (window build is the same
+    map-only posexplode + slice — no self-join, no O(n²) lambda), so the
+    windowing cost is identical to the chunking operator's measured
+    profile.  The doc-count is a (doc, key)-distinct + key-keyed count
+    with map-side partials over 8-byte xxhash64 keys (the window text
+    never rides the counting shuffle; space-joined tokens make the key
+    whitespace-normalized by construction); the flag-back is a key-keyed
+    join.  Same shuffle discipline as ``ngram_jaccard_pairs``' posting
+    join, but with NO pair blowup: cost is windows + one count + one
+    join, linear in corpus tokens / stride."""
+    if stride <= 0 or stride > span_tokens:
+        raise ValueError("need 0 < stride <= span_tokens")
+    from csv_etl_spark.operators.packing import chunk_documents
+
+    windows = chunk_documents(
+        df,
+        chunk_tokens=span_tokens,
+        overlap=span_tokens - stride,
+        text_col=text_col,
+        id_col=id_col,
+    ).filter(F.col("n_chunk_tokens") == span_tokens)
+    keyed = windows.select(
+        F.col(id_col),
+        (F.col("chunk_id") * stride).cast("bigint").alias("start_token"),
+        F.xxhash64("chunk_text").alias("_key"),
+    )
+    hot = (
+        keyed.select(F.col(id_col), "_key")
+        .distinct()
+        .groupBy("_key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return keyed.join(hot, "_key").select(F.col(id_col), "start_token", "n_docs")

@@ -177,6 +177,59 @@ def mixture_resample(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-group TOKEN-BUDGET selection — the mix-assembly step stated in
+    tokens instead of fractions ("2B tokens of wiki, 1B of crawl, ..."):
+    within each ``by`` group, documents are taken in a deterministic
+    pseudo-random order (md5 of the id + salt, the same engine-portable
+    shuffle key as every sampler here) until the group's cumulative
+    whitespace-token count reaches ``budget``; the doc that would cross
+    the budget is NOT taken.  Returns ``(id_col, by, n_tokens,
+    cum_tokens)`` for the selected docs, ``cum_tokens`` inclusive.
+
+    Scale shape: this is a per-group running sum, but NOT a per-group
+    window (a window partitioned by a handful of sources single-reduces
+    each source).  Instead the group rides the FRONT of the global order
+    key (``group || '|' || md5(id)`` — group blocks stay contiguous, ties
+    impossible since md5(id) is unique per id), one global exact prefix
+    sum runs over it (``packing.with_global_cumsum``: range shuffle +
+    Arrow local cumsum + driver-side offsets, one row per partition), and
+    each group's running sum is recovered by subtracting the group's
+    minimum global cumsum — an n_groups-row aggregate broadcast back.
+    Total cost: one range shuffle + one tiny agg, independent of group
+    count or skew."""
+    from csv_etl_spark.operators.packing import with_global_cumsum
+    from csv_etl_spark.operators.text import token_count
+
+    okey = F.concat_ws(
+        "|",
+        F.col(by),
+        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))),
+    )
+    d = df.select(
+        F.col(id_col),
+        F.col(by),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        okey.alias("_okey"),
+    )
+    c = with_global_cumsum(d, "n_tokens", "_okey", out_col="_gcum")
+    group_off = c.groupBy(by).agg(F.min("_gcum").alias("_goff"))
+    cum = F.col("_gcum") - F.col("_goff") + F.col("n_tokens")
+    return (
+        c.join(F.broadcast(group_off), by)
+        .withColumn("cum_tokens", cum.cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(F.col(id_col), F.col(by), F.col("n_tokens"), F.col("cum_tokens"))
+    )
+
+
 def split_train_holdout(
     df: DataFrame, key_col: str, holdout_fraction: float = 0.1
 ) -> tuple[DataFrame, DataFrame]:

@@ -517,6 +517,150 @@ def tfidf_top_terms(
     )
 
 
+def bm25_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document top-k Okapi BM25 term weights — the retrieval-grade
+    upgrade of ``tfidf_top_terms`` (same sparse representation, but with
+    the saturating tf and document-length normalization that make BM25
+    the standard lexical ranking function):
+
+        idf(t)  = ln(1 + (N − df + 0.5) / (df + 0.5))
+        w(d,t)  = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with dl = doc token count and avgdl = total corpus tokens / N (all
+    docs, including empty ones — a pure-scalar convention an external
+    engine reproduces exactly).  Returns ``(id_col, token, tf, score,
+    rank)`` like the TF-IDF operator.
+
+    Scale shape is tfidf_top_terms' with ONE extra doc-keyed piece: dl
+    comes from summing the (doc, token) tf partials (no re-tokenize), the
+    (N, avgdl) pair is a single-row scalar agg broadcast back, and the
+    top-k window partitions on the high-cardinality doc id.  The tf
+    aggregate is shared through the same session persist cache (it feeds
+    df, dl, and the score join).  Engine-portable: identical doubles into
+    ln/division on both engines, scores rounded to 6, token tiebreak."""
+    from pyspark.storagelevel import StorageLevel
+
+    toks = ws_tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    key = _TF_BPC.key_for(tf, "bm25_tf")
+    cached = _TF_CACHE.get(key)
+    if cached is not None:
+        tf = cached
+    elif key is not None:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        _TF_CACHE.put(key, tf)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("_dl"))
+    scalars = df.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.coalesce(F.sum(token_count(F.col(text_col)).cast("double")), F.lit(0.0)).alias(
+            "_total"
+        ),
+    ).select("_n", (F.col("_total") / F.col("_n")).alias("_avgdl"))
+    lk1, lb = F.lit(float(k1)), F.lit(float(b))
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d * (lk1 + 1.0) / (
+        tf_d + lk1 * (F.lit(1.0) - lb + lb * F.col("_dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            F.col("token"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(idf * norm, 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def lm_score_buckets(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probs: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
+    labels: tuple[str, str, str] = ("tail", "middle", "head"),
+) -> DataFrame:
+    """CCNet-style LM-quality bucketing: score every document with the
+    corpus unigram LM (``unigram_logprob``), then split each ``by`` group
+    (CCNet buckets per language; per source here) into head / middle /
+    tail at the group's score terciles — the standard corpus partition
+    for quality-aware sampling ("train mostly on head, some middle, keep
+    a sliver of tail").  Returns ``(id_col, by, avg_logprob, bucket)``.
+
+    Scale shape: the scorer's own shape (token partials + keyed join)
+    plus ONE tiny boundary aggregate — n_groups rows, broadcast back for
+    a map-only classify; no per-group window over the data (which would
+    single-reduce each group).  ``exact=True`` (default, oracle-checkable)
+    uses exact interpolated percentiles; at 100 TB flip ``exact=False``
+    for the one-pass t-digest ``approx_percentile`` — same plan shape,
+    sketch-sized state (same switch discipline as ``length_outliers``).
+    Boundaries and scores are pre-rounded to 6 decimals so bucket
+    membership compares identical doubles on every engine."""
+    from pyspark.storagelevel import StorageLevel
+
+    p_lo, p_hi = float(probs[0]), float(probs[1])
+    scored = unigram_logprob(df, text_col=text_col, id_col=id_col).join(
+        df.select(F.col(id_col), F.col(by)), id_col
+    )
+    # scored feeds BOTH the boundary aggregate and the classify join, and
+    # each mention would re-run the whole unigram scorer (Catalyst does
+    # not reuse the aggregate across branches) — persist the doc-sized
+    # (id, group, score) frame, same session-cache discipline as the
+    # tf/shingle projections.
+    key = _TF_BPC.key_for(scored, "lm_buckets_scored")
+    cached = _TF_CACHE.get(key)
+    if cached is not None:
+        scored = cached
+    elif key is not None:
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        _TF_CACHE.put(key, scored)
+    pct = (
+        F.percentile(F.col("avg_logprob"), F.array(F.lit(p_lo), F.lit(p_hi)))
+        if exact
+        else F.approx_percentile(
+            F.col("avg_logprob"), F.array(F.lit(p_lo), F.lit(p_hi)), F.lit(10_000)
+        )
+    )
+    bounds = scored.groupBy(by).agg(
+        F.round(F.element_at(pct, 1), 6).alias("_b_lo"),
+        F.round(F.element_at(pct, 2), 6).alias("_b_hi"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") <= F.col("_b_lo"), F.lit(labels[0]))
+        .when(F.col("avg_logprob") <= F.col("_b_hi"), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+    )
+    return (
+        scored.join(F.broadcast(bounds), by)
+        .select(
+            F.col(id_col),
+            F.col(by),
+            F.col("avg_logprob"),
+            bucket.alias("bucket"),
+        )
+    )
+
+
 # Gopher rule 8's required-stopword set (Rae et al. 2021, table A1: "must
 # contain at least 2 of ..."), shared verbatim with the DuckDB oracle.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

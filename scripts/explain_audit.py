@@ -72,8 +72,11 @@ PER_ROW_UNIQUE_KEYS = {"vec_id", "event_id", "doc_id"}
 #    per doc), and an aggregate spelling (collect_list+sort+slice) would
 #    put an unbounded per-doc buffer in one aggregation state instead;
 #  * scd2_history: windows over the per-key update stream — user_id
-#    repeats per update (lag/lead change-collapse, O(1) frame state).
-JUSTIFIED_UNIQUE_KEY_WINDOWS = {"tfidf_terms", "scd2_history"}
+#    repeats per update (lag/lead change-collapse, O(1) frame state);
+#  * bm25_terms: same derived frame as tfidf_terms (the shared (doc_id,
+#    token) tf aggregate — BM25 is the same top-k-per-doc window with a
+#    different score expression).
+JUSTIFIED_UNIQUE_KEY_WINDOWS = {"tfidf_terms", "scd2_history", "bm25_terms"}
 
 # columns whose cardinality is far below cluster cores (≈10 probes): a
 # Window partitioned SOLELY by one of these funnels every input row into

@@ -1747,3 +1747,142 @@ def test_weighted_sample_topk_properties(spark):
                                ["id", "w"])
     chosen = {r["id"] for r in weighted_sample_topk(zw, "id", F.col("w"), 10).collect()}
     assert 1 not in chosen
+
+
+# ---------------------------------------------------------------------------
+# Round-7 operators: BM25, LM buckets, boilerplate lines, token budget, spans
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_top_terms_formula_and_ranking(spark):
+    """BM25 weights match the hand-computed Okapi formula (k1=1.2, b=0.75,
+    avgdl over ALL docs incl. empty); rank orders by rounded score with a
+    token tiebreak."""
+    import math
+
+    rows = [
+        (1, "apple apple apple banana"),
+        (2, "apple cherry"),
+        (3, "banana banana cherry cherry cherry date"),
+        (4, ""),  # counts toward N and avgdl denominator only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_id"], r["token"]): r for r in text.bm25_top_terms(df, k=10).collect()}
+
+    n, total = 4.0, 4 + 2 + 6  # docs, corpus tokens
+    avgdl = total / n
+
+    def bm25(tf, dfreq, dl):
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return round(idf * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+
+    assert out[(1, "apple")]["score"] == pytest.approx(bm25(3, 2, 4), abs=1e-6)
+    assert out[(3, "date")]["score"] == pytest.approx(bm25(1, 1, 6), abs=1e-6)
+    assert out[(2, "apple")]["score"] == pytest.approx(bm25(1, 2, 2), abs=1e-6)
+    # rank 1 is the highest score per doc; ties impossible in this corpus
+    for d in (1, 2, 3):
+        doc_rows = [r for (i, _t), r in out.items() if i == d]
+        best = max(doc_rows, key=lambda r: r["score"])
+        assert best["rank"] == 1
+    assert (4, "") not in out  # empty doc emits no terms
+
+
+def test_lm_score_buckets_are_group_monotone(spark):
+    """Within every group, all head scores > all middle scores > all tail
+    scores, tercile sizes are balanced +-1, and every doc is bucketed."""
+    rows = []
+    for g, base in (("a", "common common common"), ("b", "shared shared")):
+        for i in range(9):
+            # vary rarity: docs with more unique tokens score lower
+            uniq = " ".join(f"{g}rare{i}x{j}" for j in range(i))
+            rows.append((hash((g, i)) % 10_000 + i * 10_000, f"{base} {uniq}".strip(), g))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = text.lm_score_buckets(df, by="source").collect()
+    assert len(out) == len(rows)
+    for g in ("a", "b"):
+        by_bucket = {"head": [], "middle": [], "tail": []}
+        for r in out:
+            if r["source"] == g:
+                by_bucket[r["bucket"]].append(r["avg_logprob"])
+        assert all(by_bucket.values())
+        assert min(by_bucket["head"]) > max(by_bucket["middle"])
+        assert min(by_bucket["middle"]) > max(by_bucket["tail"])
+        sizes = sorted(len(v) for v in by_bucket.values())
+        assert sizes[-1] - sizes[0] <= 2  # terciles balanced (ties allowed)
+
+
+def test_drop_boilerplate_lines(spark):
+    from csv_etl_spark.operators.cleaning import drop_boilerplate_lines
+
+    banner = "accept cookies"
+    rows = [
+        (1, f"{banner}\nkeep one\n\nshared pair"),
+        (2, f"{banner}\nkeep two\nshared pair"),
+        (3, f" {banner} \nkeep three"),  # trimmed match still counts
+        (4, banner),                      # all lines dropped -> empty text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in drop_boilerplate_lines(df, max_docs=2).collect()}
+    # banner in 4 docs > max_docs=2 -> dropped everywhere (trim-keyed,
+    # so doc 3's padded copy both counts and drops)
+    assert out[1]["text"] == "keep one\n\nshared pair"
+    assert out[2]["text"] == "keep two\nshared pair"  # 2 docs == max, kept
+    assert out[3]["text"] == "keep three"
+    assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[1]["n_lines"] == 4 and out[1]["n_lines_kept"] == 3
+    # whitespace-only line in doc 1 survived (never counted, never dropped)
+    assert "\n\n" in out[1]["text"]
+
+
+def test_token_budget_select_matches_serial_model(spark):
+    """Selection equals the serial greedy model (md5 order, inclusive
+    cumsum <= budget) and is layout-independent."""
+    import hashlib
+
+    from csv_etl_spark.operators.sampling import token_budget_select
+
+    rows = [(i, " ".join(["w"] * (3 + i % 5)), f"s{i % 2}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    budget = 30
+
+    expected = {}
+    for grp in ("s0", "s1"):
+        docs = [(i, 3 + i % 5) for i, _t, g in rows if g == grp]
+        docs.sort(key=lambda d: hashlib.md5(f"{d[0]}|".encode()).hexdigest())
+        cum = 0
+        for i, nt in docs:
+            cum += nt
+            if cum > budget:
+                break
+            expected[i] = (nt, cum)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_select(df, budget=budget, by="source").collect()
+    }
+    assert got == expected
+    again = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in token_budget_select(
+            df.repartition(7), budget=budget, by="source"
+        ).collect()
+    }
+    assert again == expected
+
+
+def test_duplicate_spans_shared_prefix(spark):
+    tail_a = " ".join(f"a{j}" for j in range(20))
+    tail_b = " ".join(f"b{j}" for j in range(20))
+    prefix = " ".join(f"p{j}" for j in range(32))
+    rows = [
+        (1, f"{prefix} {tail_a}"),
+        (2, f"{prefix} {tail_b}"),
+        (3, " ".join(f"c{j}" for j in range(60))),  # no shared content
+        (4, "too short"),                            # < span_tokens: no windows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.duplicate_spans(df, span_tokens=32, stride=16, min_docs=2).collect()
+    got = {(r["doc_id"], r["start_token"]): r["n_docs"] for r in out}
+    # window 0 (tokens 0-32) is the shared prefix in docs 1 and 2; window
+    # at 16 mixes prefix+tail and differs, later windows are unique
+    assert got == {(1, 0): 2, (2, 0): 2}
