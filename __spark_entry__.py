@@ -1315,9 +1315,15 @@ _ORACLE_DEDUP_NORM = """
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # freq_cap=None: the EXACT variant (matches the exact-jaccard oracle);
+    # max_exact_docs=None: the guard's up-front count is pytest-covered
+    # (test_jaccard_exact_guard_refuses_large_corpus) and would dominate
+    # this micro-benchmark's timing at toy scale — the contract corpus is
+    # 500-5000 docs, far under the 100k refusal bound;
     # the operator's default is capped — the 100 TB-safe setting
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, threshold=0.35, n=3, freq_cap=None)
+    return dedup.ngram_jaccard_pairs(
+        d, threshold=0.35, n=3, freq_cap=None, max_exact_docs=None
+    )
 
 
 def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,7 +1392,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair generation that actual corpus dedup needs — keep min-id per
     component, drop the rest."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.35, n=3, freq_cap=None)
+    # max_exact_docs=None: guard pytest-covered; see dedup_jaccard_pairs
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.35, n=3, freq_cap=None, max_exact_docs=None
+    )
     return dedup.resolve_duplicate_clusters(pairs).select("id", "cluster_id")
 
 
@@ -1427,7 +1436,10 @@ def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals on BOTH sides so the selection ordering is engine-portable
     (rounded-quality parity is already proven by text_metrics)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.35, n=3, freq_cap=None)
+    # max_exact_docs=None: guard pytest-covered; see dedup_jaccard_pairs
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.35, n=3, freq_cap=None, max_exact_docs=None
+    )
     labels = dedup.resolve_duplicate_clusters(pairs)
     scores = d.select(
         F.col("doc_id").alias("id"),
@@ -4181,6 +4193,74 @@ def _duplicate_spans_oracle() -> str:
 _ORACLE_DUPLICATE_SPANS = _duplicate_spans_oracle()
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc contamination overlap report
+    (cleaning.contamination_overlap): same planted benchmark as
+    corpus_decontaminate (every 40th doc doubles as a benchmark doc), but
+    reporting each doc's shingle-overlap FRACTION instead of dropping —
+    the distribution a release audit logs.  Broadcast benchmark set,
+    map-only probe, one doc-keyed count aggregate."""
+    from csv_etl_spark.operators import cleaning
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 40 == 0)
+    return cleaning.contamination_overlap(d, bench, n=8)
+
+
+_ORACLE_CONTAMINATION_REPORT = """
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 7, 0) + 1),
+               i -> array_to_string(toks[i:i+7], ' ')))) AS sh
+      FROM tok
+    ),
+    bsh AS (
+      SELECT DISTINCT sh AS bs FROM csh WHERE doc_id % 40 = 0
+    ),
+    per AS (
+      SELECT c.doc_id,
+             count(*) AS n_shingles,
+             count(b.bs) AS n_hits
+      FROM csh c LEFT JOIN bsh b ON c.sh = b.bs
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+           CASE WHEN p.n_shingles > 0
+                THEN round(CAST(p.n_hits AS DOUBLE) / p.n_shingles, 6)
+                ELSE 0.0 END AS overlap_frac
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (sampling.cap_per_group, n=10): at most 10
+    docs per source survive, chosen by md5 order — two-stage salted
+    top-k, row-identical to the oracle's single serial window."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "source")
+    return _sampling.cap_per_group(d, n=10, by="source")
+
+
+_ORACLE_SOURCE_CAP = """
+    SELECT doc_id, source, rank
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rank
+      FROM documents
+    )
+    WHERE rank <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4220,10 +4300,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        with_global_cumsum); dedup_representatives → 6 in-window dedup
     #        siblings; text_top_bigrams → bigram_logprob (same pair build);
     #      length_outliers → perplexity_buckets (same exact-percentile
-    #        machinery) + value_histogram.
+    #        machinery) + value_histogram;
+    #      corpus_decontaminate → contamination_report (NEW in r7: the same
+    #        broadcast-shingle probe, reporting the overlap fraction instead
+    #        of dropping — thresholding it reproduces decontaminate);
+    #      sample_by_quality → sample_weighted + token_budget_mix +
+    #        source_cap (NEW in r7: per-group md5-order cap, two-stage
+    #        salted top-k).
     #    Round-robin discipline: every query keeps a driver row at most two
-    #    rounds old — all 16 displaced entries are r6-green, due back by r8.
-    #    ALL 106 registry entries (105 with oracles; distinct_users_approx is
+    #    rounds old — all 18 displaced entries are r6-green, due back by r8.
+    #    ALL 108 registry entries (107 with oracles; distinct_users_approx is
     #    rows-only by design) remain oracle-checked locally via
     #    scripts/check_oracle.py regardless of position.  Update these
     #    counts whenever the registry changes.
@@ -4248,7 +4334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_approx": q_ann_ivf_approx,
         "text_metrics": q_text_metrics,
         "text_top_tokens": q_text_top_tokens,
-        "corpus_decontaminate": q_corpus_decontaminate,
         "corpus_curation": q_corpus_curation,
         "stream_hourly_counts": q_stream_hourly_counts,
         "stream_sessionize": q_stream_sessionize,
@@ -4262,7 +4347,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "stats_moments": q_stats_moments,
         "training_mix": q_training_mix,
-        "sample_by_quality": q_sample_by_quality,
         "tfidf_terms": q_tfidf_terms,
         # ---- window 40-50: first driver rows this round (never checked
         # by the driver before; local-oracle green since late round 6) ----
@@ -4283,6 +4367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "token_budget_mix": q_token_budget_mix,
         "duplicate_spans": q_duplicate_spans,
+        "contamination_report": q_contamination_report,
+        "source_cap": q_source_cap,
         # ---- rotated out in round 7 (green in CORRECTNESS_r06, due a
         # driver row again by r8; machinery represented in-window — see
         # the displacement map in the header comment) ----
@@ -4303,6 +4389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "text_top_bigrams": q_text_top_bigrams,
         "length_outliers": q_length_outliers,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "sample_by_quality": q_sample_by_quality,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -4429,6 +4517,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": _ORACLE_BOILERPLATE_LINES,
         "token_budget_mix": _ORACLE_TOKEN_BUDGET_MIX,
         "duplicate_spans": _ORACLE_DUPLICATE_SPANS,
+        "contamination_report": _ORACLE_CONTAMINATION_REPORT,
+        "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim
         "dedup_incremental_bloom": _ORACLE_DEDUP_INCREMENTAL,
         "events_rolling": _ORACLE_EVENTS_ROLLING,

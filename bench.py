@@ -95,6 +95,13 @@ HEADLINE = [
     "events_anomalies",
     "sample_weighted",
     "dedup_incremental_bloom",
+    "bm25_terms",
+    "perplexity_buckets",
+    "boilerplate_lines",
+    "token_budget_mix",
+    "duplicate_spans",
+    "contamination_report",
+    "source_cap",
 ]
 
 
@@ -145,6 +152,7 @@ def main() -> None:
         # getting SLOWER on exactly the cached operators).
         from csv_etl_spark.operators import dedup as _dedup
         from csv_etl_spark.operators import multimodal as _mm
+        from csv_etl_spark.operators import packing as _pack
         from csv_etl_spark.operators import similarity as _sim
         from csv_etl_spark.operators import text as _text
 
@@ -153,6 +161,10 @@ def main() -> None:
         _sim._ASSIGNED_CACHE.invalidate(blocking=True)
         _mm._DHASH_CACHE.invalidate(blocking=True)
         _text._TF_CACHE.invalidate(blocking=True)
+        # r7 fix: the prefix-sum cache was NOT cleared in r5/r6 benches, so
+        # pack_sequences / corpus_shuffle passes 2+ timed a persisted range
+        # shuffle instead of the operator — their honest medians rise a bit
+        _pack._CUMSUM_CACHE.invalidate(blocking=True)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {n: [] for n in HEADLINE if n in queries}

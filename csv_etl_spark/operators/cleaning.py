@@ -249,6 +249,62 @@ def decontaminate(
     return corpus.join(overlaps, id_col, "left_semi")
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document contamination REPORT — the audit artifact logged
+    alongside ``decontaminate``'s hard drop: for every corpus doc, the
+    fraction of its DISTINCT n-gram shingles that appear anywhere in the
+    benchmark set.  A release report needs the distribution ("0.4 % of
+    docs overlap ≥ 10 %"), not just the excluded ids; thresholding this
+    frame reproduces ``decontaminate`` exactly.  Returns ``(id_col,
+    n_shingles, n_hits, overlap_frac)`` for EVERY corpus doc (0/0/0.0 for
+    docs too short to shingle).
+
+    Same plan shape as the exact ``decontaminate`` path: benchmark
+    shingles distinct-ed and BROADCAST, the corpus side map-only into one
+    doc-keyed count aggregate — the left join against the broadcast set
+    adds nothing to the shuffle (hits and misses aggregate together)."""
+    c_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(string_shingles(F.col(text_col), n))).alias("_sh"),
+    )
+    b_sh = (
+        benchmark.select(F.explode(string_shingles(F.col(text_col), n)).alias("_sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        c_sh.join(F.broadcast(b_sh), "_sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count("_hit").cast("bigint").alias("n_hits"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0).cast("bigint")).alias(
+                "n_shingles"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias("n_hits"),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(F.col("n_hits") / F.col("n_shingles"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap_frac"),
+        )
+    )
+
+
 def dedup_lines_within_doc(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -177,6 +177,46 @@ def mixture_resample(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    n: int,
+    by: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document CAP — "keep at most n docs per domain/source"
+    (the RedPajama-style anti-dominance rule: no single domain may swamp
+    the mix): within each ``by`` group the first ``n`` docs in md5 order
+    survive, deterministically and layout-independently.  Returns the
+    input columns plus ``rank`` (1-based md5-order position in the
+    group).
+
+    Scale shape: a single ``Window.partitionBy(by)`` would funnel every
+    row of a hot group through one reducer, so this is the same
+    two-stage salted top-k as ``similarity.topk_per_probe``: stage 1
+    ranks within (group, physical partition) — exchange cardinality
+    n_groups × n_partitions, at most ``n`` rows per cell survive — and
+    stage 2's per-group window then sees ≤ n × n_partitions rows per
+    group instead of the group's full size.  Both stages share one
+    deterministic order (md5(key) asc, key asc), so the result is
+    row-identical to the naive single-window spelling — which is exactly
+    what the serial SQL oracle runs."""
+    from pyspark.sql import Window
+
+    okey = F.md5(F.col(key_col).cast("string"))
+    order = [okey.asc(), F.col(key_col).asc()]
+    local_w = Window.partitionBy(by, "_pid").orderBy(*order)
+    pruned = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(local_w))
+        .filter(F.col("_lrk") <= n)
+        .drop("_pid", "_lrk")
+    )
+    w = Window.partitionBy(by).orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= n
+    )
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int,

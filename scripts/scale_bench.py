@@ -74,6 +74,7 @@ N_RUNS = 3
 def clear_caches() -> None:
     from csv_etl_spark.operators import dedup as _dedup
     from csv_etl_spark.operators import multimodal as _mm
+    from csv_etl_spark.operators import packing as _pack
     from csv_etl_spark.operators import similarity as _sim
     from csv_etl_spark.operators import text as _text
 
@@ -82,6 +83,8 @@ def clear_caches() -> None:
     _sim._ASSIGNED_CACHE.invalidate(blocking=True)
     _mm._DHASH_CACHE.invalidate(blocking=True)
     _text._TF_CACHE.invalidate(blocking=True)
+    # same r7 fix as bench.py: prefix-sum cache must not serve passes 2+
+    _pack._CUMSUM_CACHE.invalidate(blocking=True)
 
 
 def main() -> None:

@@ -1886,3 +1886,61 @@ def test_duplicate_spans_shared_prefix(spark):
     # window 0 (tokens 0-32) is the shared prefix in docs 1 and 2; window
     # at 16 mixes prefix+tail and differs, later windows are unique
     assert got == {(1, 0): 2, (2, 0): 2}
+
+
+def test_contamination_overlap_report(spark):
+    from csv_etl_spark.operators.cleaning import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),  # full copy
+            (2, "one two three four five six seven eight ELSE OTHER"),  # 1 shared shingle
+            (3, "totally different words in this document here now ok fine"),
+            (4, "short"),  # too short to shingle: 0/0/0.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           contamination_overlap(corpus, bench, n=8).collect()}
+    assert out[1]["n_shingles"] == 3 and out[1]["n_hits"] == 3
+    assert out[1]["overlap_frac"] == 1.0
+    assert out[2]["n_shingles"] == 3 and out[2]["n_hits"] == 1
+    assert out[2]["overlap_frac"] == pytest.approx(round(1 / 3, 6))
+    assert out[3]["n_hits"] == 0 and out[3]["overlap_frac"] == 0.0
+    assert out[4]["n_shingles"] == 0 and out[4]["overlap_frac"] == 0.0
+    # thresholding the report reproduces decontaminate's keep set
+    from csv_etl_spark.operators.cleaning import decontaminate
+
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {d for d, r in out.items() if r["n_hits"] == 0}
+
+
+def test_cap_per_group_matches_serial_window(spark):
+    import hashlib
+
+    from csv_etl_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = cap_per_group(df, n=5, by="source").collect()
+
+    expected = {}
+    for g in ("g0", "g1", "g2"):
+        ids = sorted(
+            (i for i, grp in rows if grp == g),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        for r, i in enumerate(ids[:5], start=1):
+            expected[i] = (g, r)
+    got = {r["doc_id"]: (r["source"], r["rank"]) for r in out}
+    assert got == expected
+    # layout independence: the salted two-stage result is row-identical
+    again = {
+        r["doc_id"]: (r["source"], r["rank"])
+        for r in cap_per_group(df.repartition(11), n=5, by="source").collect()
+    }
+    assert again == expected
