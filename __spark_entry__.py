@@ -4261,6 +4261,46 @@ _ORACLE_SOURCE_CAP = """
 """
 
 
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values (stats.winsorize, p05/p95):
+    exact percentile bounds broadcast back, map-only clamp — the
+    heavy-tail taming step before feature aggregation."""
+    from csv_etl_spark.operators.stats import winsorize
+
+    e = _t(spark, sf_dir, "events")
+    out = winsorize(e, "value", by=["event_type"])
+    return out.select(
+        "event_id", "event_type", "value", "value_lo", "value_hi", "value_wins"
+    )
+
+
+_ORACLE_EVENTS_WINSORIZED = """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.05), 6) AS value_lo,
+             round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS value_hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           b.value_lo, b.value_hi,
+           round(greatest(least(CAST(e.value AS DOUBLE), b.value_hi),
+                          b.value_lo), 6) AS value_wins
+    FROM events e JOIN b USING (event_type)
+"""
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE-style phrase-merge training (text.phrase_merges,
+    k=8): each round's winning pair depends on the previous round's
+    merges, so the loop is not single-pass-SQL-expressible — this entry
+    is ROWS-ONLY by design (the same weaker-check class the driver
+    records for HLL), and the operator's real verification is
+    tests/test_operators.py::test_phrase_merges_matches_serial_reference,
+    which asserts equality with a serial reference implementation."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    return text.phrase_merges(d, k=8)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4306,11 +4346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        of dropping — thresholding it reproduces decontaminate);
     #      sample_by_quality → sample_weighted + token_budget_mix +
     #        source_cap (NEW in r7: per-group md5-order cap, two-stage
-    #        salted top-k).
+    #        salted top-k);
+    #      ann_quantized → events_winsorized takes its slot (NEW in r7:
+    #        per-group percentile clamp); ANN machinery stays represented
+    #        by ann_bruteforce + ann_ivf_approx.
     #    Round-robin discipline: every query keeps a driver row at most two
-    #    rounds old — all 18 displaced entries are r6-green, due back by r8.
-    #    ALL 108 registry entries (107 with oracles; distinct_users_approx is
-    #    rows-only by design) remain oracle-checked locally via
+    #    rounds old — all 19 displaced entries are r6-green, due back by r8.
+    #    ALL 110 registry entries (108 with oracles; distinct_users_approx
+    #    and bpe_merges are rows-only by design) remain oracle-checked
+    #    locally via
     #    scripts/check_oracle.py regardless of position.  Update these
     #    counts whenever the registry changes.
     return {
@@ -4343,7 +4387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_events": q_salted_agg_events,
         "web_curation": q_web_curation,
         "events_rolling_time": q_events_rolling_time,
-        "ann_quantized": q_ann_quantized,
         "image_dhash": q_image_dhash,
         "stats_moments": q_stats_moments,
         "training_mix": q_training_mix,
@@ -4369,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "contamination_report": q_contamination_report,
         "source_cap": q_source_cap,
+        "events_winsorized": q_events_winsorized,
         # ---- rotated out in round 7 (green in CORRECTNESS_r06, due a
         # driver row again by r8; machinery represented in-window — see
         # the displacement map in the header comment) ----
@@ -4389,6 +4433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "text_top_bigrams": q_text_top_bigrams,
         "length_outliers": q_length_outliers,
+        "ann_quantized": q_ann_quantized,
         "corpus_decontaminate": q_corpus_decontaminate,
         "sample_by_quality": q_sample_by_quality,
         # ---- entries below are past the driver's 50-query window (all with
@@ -4432,10 +4477,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_exact": q_ann_ivf_exact,
         "semi_join_parts": q_semi_join_parts,
         "union_distinct_nations": q_union_distinct,
-        # rows-only by design (HLL estimate is engine-specific): its driver row
-        # carries no hash signal, so it yields its window slot to an
-        # oracle-checkable query
+        # rows-only by design (HLL estimate is engine-specific / iterative
+        # loop is not single-pass SQL): their driver rows carry no hash
+        # signal, so they yield their window slots to oracle-checkable
+        # queries; bpe_merges is serial-reference-verified in pytest
         "distinct_users_approx": q_distinct_users_approx,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -4517,6 +4564,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": _ORACLE_BOILERPLATE_LINES,
         "token_budget_mix": _ORACLE_TOKEN_BUDGET_MIX,
         "duplicate_spans": _ORACLE_DUPLICATE_SPANS,
+        "events_winsorized": _ORACLE_EVENTS_WINSORIZED,
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

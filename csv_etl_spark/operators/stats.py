@@ -207,3 +207,47 @@ def moment_stats_oracle_sql(
            END AS corr_xy
     FROM m
 """
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group winsorization — the standard heavy-tail taming step for
+    numeric feature columns (clamp to the [p_lo, p_hi] percentile bounds
+    instead of dropping rows, preserving row count for joins downstream).
+    Appends ``<value_col>_wins`` plus the bounds used; rows keep every
+    input column.
+
+    Scale shape: one tiny bounds aggregate (n_groups rows — exact
+    interpolated percentiles by default, ``exact=False`` for the one-pass
+    t-digest approx_percentile at 100 TB, same switch discipline as
+    length_outliers / lm_score_buckets), broadcast back for a map-only
+    clamp.  No window over the data, no second shuffle.  Bounds are
+    rounded to 6 decimals so the clamp compares identical doubles on any
+    engine."""
+    keys = list(by or [])
+    v = F.col(value_col).cast("double")
+    pct = (
+        F.percentile(v, F.array(F.lit(float(p_lo)), F.lit(float(p_hi))))
+        if exact
+        else F.approx_percentile(
+            v, F.array(F.lit(float(p_lo)), F.lit(float(p_hi))), F.lit(10_000)
+        )
+    )
+    agg = [
+        F.round(F.element_at(pct, 1), 6).alias("_w_lo"),
+        F.round(F.element_at(pct, 2), 6).alias("_w_hi"),
+    ]
+    bounds = df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
+    joined = (
+        df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(F.broadcast(bounds))
+    )
+    clamped = F.round(F.greatest(F.least(v, F.col("_w_hi")), F.col("_w_lo")), 6)
+    return joined.withColumn(f"{value_col}_wins", clamped).withColumnRenamed(
+        "_w_lo", f"{value_col}_lo"
+    ).withColumnRenamed("_w_hi", f"{value_col}_hi")

@@ -807,3 +807,112 @@ def length_outliers(
             (dev > k).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE-style phrase-merge training
+# ---------------------------------------------------------------------------
+
+# Unit-separator control char (U+001F) joins token streams during merge
+# training; whitespace tokenization can never produce it from normal text,
+# and any adversarial occurrence inside a token only mis-merges that one
+# pair, never crashes (documented input assumption).
+_MERGE_SEP = "\x1f"
+
+
+def phrase_merges(
+    df,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    joiner: str = "_",
+):
+    """Iterative BPE-style merge TRAINING at the word level (phrase/
+    multiword-unit induction — the loop whose single first step is
+    ``top_token_pairs``): repeat k times {count adjacent token pairs →
+    take the most frequent (deterministic pair tiebreak) → merge every
+    non-overlapping occurrence left-to-right, greedily, corpus-wide}.
+    Each learned merge changes the statistics the next round sees, which
+    is what makes BPE BPE and puts this operator outside single-pass SQL
+    — it is pytest-verified against a serial reference implementation
+    instead of a DuckDB oracle (same weaker-check class as k-means).
+    Returns the learned merge table ``(rank, pair, n)``; stops early when
+    no pair reaches ``min_count``.
+
+    Scale shape per round: one map-only pair build (the zip_with-over-
+    slices spelling — plan discipline #5), one count groupBy with
+    map-side partials, ONE driver row (TakeOrdered limit 1), and a
+    map-only merge pass — the merge is a single JVM ``regexp_replace``
+    over the SEP-joined token stream (left-to-right non-overlapping
+    replacement is exactly the greedy BPE merge order), with both tokens
+    ``\\Q..\\E``-quoted.  State between rounds is localCheckpoint-ed
+    (eager), the same lineage-truncation discipline as the CC resolver:
+    persist alone would keep round k's plan containing rounds 1..k-1
+    until analysis overflows.  Driver traffic: k single rows."""
+    import re as _re
+
+    spark = df.sparkSession
+    toks = ws_tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    # lazy checkpoints: materialization happens inside the round's count
+    # job (first consumer) and is REUSED by the merge pass — one data pass
+    # per round instead of two, same lineage truncation
+    state = df.select(
+        F.concat_ws(_MERGE_SEP, toks).alias("_s")
+    ).localCheckpoint(eager=False)
+
+    merges: list[tuple[int, str, int]] = []
+    for rank in range(1, k + 1):
+        ts = F.split(F.col("_s"), _MERGE_SEP)
+        # split("") yields [""] — guard empty docs out of the pair build
+        ts = F.when(F.col("_s") == "", F.array().cast("array<string>")).otherwise(ts)
+        n = F.size(ts)
+        pairs = F.when(
+            n < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.zip_with(
+                F.slice(ts, F.lit(1), n - 1),
+                F.slice(ts, F.lit(2), n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        )
+        top = (
+            state.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        pair, count = top[0]["pair"], int(top[0]["n"])
+        merges.append((rank, pair, count))
+        a, b = pair.split(" ", 1)
+        # Sentinel + lookahead spelling: the stream is wrapped in SEP on
+        # both ends, the pattern consumes "SEP a SEP b" and only LOOKS AT
+        # the trailing SEP — so back-to-back occurrences ("a b a b")
+        # merge in one pass (a consumed trailing SEP would swallow the
+        # next occurrence's leading boundary).  No lookbehind (Java
+        # bounded-lookbehind rules stay out of play).
+        pat = (
+            f"{_MERGE_SEP}{_re.escape(a)}{_MERGE_SEP}"
+            f"{_re.escape(b)}(?={_MERGE_SEP})"
+        )
+        merged = a + joiner + b
+        replacement = (_MERGE_SEP + merged).replace("\\", "\\\\").replace("$", "\\$")
+        wrapped = F.concat(F.lit(_MERGE_SEP), F.col("_s"), F.lit(_MERGE_SEP))
+        state = state.select(
+            F.regexp_replace(
+                F.regexp_replace(wrapped, pat, replacement),
+                f"^{_MERGE_SEP}|{_MERGE_SEP}$",
+                "",
+            ).alias("_s")
+        ).localCheckpoint(eager=False)
+
+    return spark.createDataFrame(
+        merges or [], schema="rank int, pair string, n bigint"
+    )

@@ -1944,3 +1944,79 @@ def test_cap_per_group_matches_serial_window(spark):
         for r in cap_per_group(df.repartition(11), n=5, by="source").collect()
     }
     assert again == expected
+
+
+def test_phrase_merges_matches_serial_reference(spark):
+    """The distributed BPE-style merge loop must equal a serial reference:
+    same pair chosen each round (count desc, pair asc), same greedy
+    left-to-right non-overlapping merge, corpus-wide."""
+    from collections import Counter
+
+    docs = [
+        "new york city is in new york",
+        "new york is big and new york is loud",
+        "san francisco and new york city",
+        "a a a a",          # overlapping same-token pairs: greedy semantics
+        "",                  # empty doc must not contribute
+        "solo",
+    ]
+
+    def serial(docs, k, min_count):
+        toks = [d.lower().split() for d in docs]
+        out = []
+        for rank in range(1, k + 1):
+            c = Counter()
+            for t in toks:
+                for i in range(len(t) - 1):
+                    c[(t[i], t[i + 1])] += 1
+            if not c:
+                break
+            best = min(c.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            (a, b), n = best
+            if n < min_count:
+                break
+            out.append((rank, f"{a} {b}", n))
+            merged = f"{a}_{b}"
+            new_toks = []
+            for t in toks:
+                nt, i = [], 0
+                while i < len(t):
+                    if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                        nt.append(merged)
+                        i += 2
+                    else:
+                        nt.append(t[i])
+                        i += 1
+                new_toks.append(nt)
+            toks = new_toks
+        return out
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = [
+        (r["rank"], r["pair"], r["n"])
+        for r in text.phrase_merges(df, k=6).orderBy("rank").collect()
+    ]
+    assert got == serial(docs, 6, 2)
+    assert got[0][1] == "new york"  # the dominant bigram merges first
+    # the a-a doc: 3 adjacent pairs, greedy merge leaves [a_a, a_a] then
+    # (a_a, a_a) can win a later round — serial reference covers it
+
+
+def test_winsorize_clamps_to_group_bounds(spark):
+    from csv_etl_spark.operators.stats import winsorize
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [("a", 1e9), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = winsorize(df, "v", by=["k"]).collect()
+    a = [r for r in out if r["k"] == "a"]
+    assert len(out) == len(rows)  # row count preserved
+    assert all(r["v_lo"] <= r["v_wins"] <= r["v_hi"] for r in a)
+    spike = [r for r in a if r["v"] == 1e9][0]
+    assert spike["v_wins"] == spike["v_hi"]  # outlier clamped, not dropped
+    mid = [r for r in a if r["v"] == 50.0][0]
+    assert mid["v_wins"] == 50.0  # interior values untouched
+    # ungrouped + approx paths run and keep schema
+    assert winsorize(df, "v").count() == len(rows)
+    assert winsorize(df, "v", by=["k"], exact=False).count() == len(rows)
