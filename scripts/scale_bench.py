@@ -61,6 +61,19 @@ QUERIES = {
     "profile_events": "sf10",
     "image_dup_clusters": "sf10",
     "bigram_logprob": "sf10",
+    # round-7 operators: every new contract query gets a scale point.
+    # bpe_merges' cost is k× per-round job overhead (iterative trainer) —
+    # its exponent measures how the per-round groupBy scales, the loop
+    # count is fixed.
+    "bm25_terms": "sf10",
+    "perplexity_buckets": "sf10",
+    "boilerplate_lines": "sf10",
+    "token_budget_mix": "sf10",
+    "duplicate_spans": "sf10",
+    "contamination_report": "sf10",
+    "source_cap": "sf10",
+    "events_winsorized": "sf10",
+    "bpe_merges": "sf10",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),
