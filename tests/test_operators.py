@@ -2020,3 +2020,55 @@ def test_winsorize_clamps_to_group_bounds(spark):
     # ungrouped + approx paths run and keep schema
     assert winsorize(df, "v").count() == len(rows)
     assert winsorize(df, "v", by=["k"], exact=False).count() == len(rows)
+
+
+def test_phrase_merges_regex_metachar_tokens(spark):
+    """Tokens that are regex metacharacters must merge correctly — the
+    JVM regexp merge quotes both tokens and the replacement ($, \\)."""
+    from collections import Counter
+
+    docs = [
+        "$x (y) $x (y) a.b a.b",
+        "$x (y) a.b [z] \\ $",
+        "* * * ?",
+    ]
+
+    def serial(docs, k):
+        toks = [d.split() for d in docs]
+        out = []
+        for rank in range(1, k + 1):
+            c = Counter()
+            for t in toks:
+                for i in range(len(t) - 1):
+                    c[(t[i], t[i + 1])] += 1
+            if not c:
+                break
+            best = min(c.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
+            (a, b), n = best
+            if n < 2:
+                break
+            out.append((rank, f"{a} {b}", n))
+            merged = f"{a}_{b}"
+            nt2 = []
+            for t in toks:
+                nt, i = [], 0
+                while i < len(t):
+                    if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                        nt.append(merged)
+                        i += 2
+                    else:
+                        nt.append(t[i])
+                        i += 1
+                nt2.append(nt)
+            toks = nt2
+        return out
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = [
+        (r["rank"], r["pair"], r["n"])
+        for r in text.phrase_merges(df, k=4, lowercase=False)
+        .orderBy("rank").collect()
+    ]
+    assert got == serial(docs, 4)
