@@ -4289,6 +4289,62 @@ _ORACLE_EVENTS_WINSORIZED = """
 """
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big×big interval-overlap join (joins.interval_overlap_join):
+    4-hour purchase windows vs 1-hour error windows per user —
+    bucketed epoch equijoin + distinct + exact predicate, never an
+    inequality cross join.  Epochs emitted as BIGINT (timezone-free
+    parity)."""
+    from csv_etl_spark.operators.joins import interval_overlap_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 14400 SECONDS")).alias("end"),
+    )
+    r = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 3600 SECONDS")).alias("end"),
+    )
+    out = interval_overlap_join(
+        p, r, keys=["user_id"], left_id="purchase_id", right_id="error_id",
+        bucket_seconds=7200,
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "error_id",
+        F.unix_timestamp("overlap_start").cast("bigint").alias("overlap_start_epoch"),
+        F.unix_timestamp("overlap_end").cast("bigint").alias("overlap_end_epoch"),
+        "overlap_seconds",
+    )
+
+
+_ORACLE_INTERVAL_OVERLAP = """
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 14400 AS e
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, event_id AS error_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 3600 AS e
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p.user_id, p.purchase_id, r.error_id,
+           greatest(p.s, r.s) AS overlap_start_epoch,
+           least(p.e, r.e) AS overlap_end_epoch,
+           least(p.e, r.e) - greatest(p.s, r.s) AS overlap_seconds
+    FROM p JOIN r ON p.user_id = r.user_id AND p.s < r.e AND r.s < p.e
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE-style phrase-merge training (text.phrase_merges,
     k=8): each round's winning pair depends on the previous round's
@@ -4349,10 +4405,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        salted top-k);
     #      ann_quantized → events_winsorized takes its slot (NEW in r7:
     #        per-group percentile clamp); ANN machinery stays represented
-    #        by ann_bruteforce + ann_ivf_approx.
+    #        by ann_bruteforce + ann_ivf_approx;
+    #      image_dhash → interval_overlap takes its slot (NEW in r7:
+    #        bucketed big×big interval join); the dHash kernel still runs
+    #        in-window inside image_dup_clusters.
     #    Round-robin discipline: every query keeps a driver row at most two
-    #    rounds old — all 19 displaced entries are r6-green, due back by r8.
-    #    ALL 110 registry entries (108 with oracles; distinct_users_approx
+    #    rounds old — all 20 displaced entries are r6-green, due back by r8.
+    #    ALL 111 registry entries (109 with oracles; distinct_users_approx
     #    and bpe_merges are rows-only by design) remain oracle-checked
     #    locally via
     #    scripts/check_oracle.py regardless of position.  Update these
@@ -4387,7 +4446,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_events": q_salted_agg_events,
         "web_curation": q_web_curation,
         "events_rolling_time": q_events_rolling_time,
-        "image_dhash": q_image_dhash,
         "stats_moments": q_stats_moments,
         "training_mix": q_training_mix,
         "tfidf_terms": q_tfidf_terms,
@@ -4413,6 +4471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_report": q_contamination_report,
         "source_cap": q_source_cap,
         "events_winsorized": q_events_winsorized,
+        "interval_overlap": q_interval_overlap,
         # ---- rotated out in round 7 (green in CORRECTNESS_r06, due a
         # driver row again by r8; machinery represented in-window — see
         # the displacement map in the header comment) ----
@@ -4434,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_bigrams": q_text_top_bigrams,
         "length_outliers": q_length_outliers,
         "ann_quantized": q_ann_quantized,
+        "image_dhash": q_image_dhash,
         "corpus_decontaminate": q_corpus_decontaminate,
         "sample_by_quality": q_sample_by_quality,
         # ---- entries below are past the driver's 50-query window (all with
@@ -4565,6 +4625,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mix": _ORACLE_TOKEN_BUDGET_MIX,
         "duplicate_spans": _ORACLE_DUPLICATE_SPANS,
         "events_winsorized": _ORACLE_EVENTS_WINSORIZED,
+        "interval_overlap": _ORACLE_INTERVAL_OVERLAP,
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

@@ -114,3 +114,86 @@ def range_join_buckets(
     the bucket/dim case by construction."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return facts.join(F.broadcast(buckets), cond, "left")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_id: str,
+    right_id: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 1000,
+) -> DataFrame:
+    """Big×big INTERVAL OVERLAP join — pairs of (left, right) intervals
+    on the same ``keys`` whose half-open time ranges ``[start, end)``
+    intersect.  This is the third temporal-join shape (after as-of and
+    value-vs-broadcast-interval): both sides large, both sides ranges —
+    the case where a naive inequality join is a per-key cross product.
+
+    Plan shape (the standard interval-binning decomposition): each
+    interval explodes into the ``bucket_seconds``-wide epoch buckets it
+    spans (map-only; two intervals can only overlap if they share a
+    bucket), the join is a pure EQUIJOIN on (keys…, bucket) — shuffle
+    hash-partitioned, never a cross join — then bucket-duplicate pairs
+    collapse with one distinct and the exact predicate
+    ``l.start < r.end AND r.start < l.end`` filters the false candidates
+    from shared-bucket-but-disjoint pairs.  Cost: rows × spanned-buckets
+    into one shuffle; pick ``bucket_seconds`` near the typical interval
+    length (spans/interval ≈ 2) — the same width-matching rule as every
+    spatial/temporal grid join.
+
+    ``max_buckets_per_interval`` guards the explode: one year-long
+    interval at 1-second buckets would fan out 31M rows silently; the
+    plan raises instead (assert_true), telling the caller to widen the
+    bucket.  Returns ``(*keys, left_id, right_id, overlap_start,
+    overlap_end, overlap_seconds)``."""
+
+    def prep(df: DataFrame, id_col: str, side: str) -> DataFrame:
+        s = F.unix_timestamp(F.col(start_col)).cast("long")
+        e = F.unix_timestamp(F.col(end_col)).cast("long")
+        w = F.lit(int(bucket_seconds))
+        n_buckets = F.when(
+            e > s, F.floor((e - 1) / w) - F.floor(s / w) + 1
+        ).otherwise(F.lit(0))
+        guard = F.assert_true(
+            n_buckets <= max_buckets_per_interval,
+            F.lit(
+                f"interval_overlap_join: an interval spans more than "
+                f"{max_buckets_per_interval} buckets of {bucket_seconds}s — "
+                "widen bucket_seconds (match it to the typical interval "
+                "length) or split the interval."
+            ),
+        )
+        buckets = F.when(
+            e > s,
+            F.sequence(F.floor(s / w), F.floor((e - 1) / w)),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return df.select(
+            *[F.col(k) for k in keys],
+            F.col(id_col).alias(f"_id{side}"),
+            F.coalesce(guard.cast("long"), s).alias(f"_s{side}"),
+            e.alias(f"_e{side}"),
+            F.explode(buckets).alias("_bucket"),
+        )
+
+    l = prep(left, left_id, "l")
+    r = prep(right, right_id, "r")
+    pairs = (
+        l.join(r, [*keys, "_bucket"])
+        .drop("_bucket")
+        .distinct()  # a pair meeting in k shared buckets collapses to one
+        .filter((F.col("_sl") < F.col("_er")) & (F.col("_sr") < F.col("_el")))
+    )
+    overlap_s = F.greatest("_sl", "_sr")
+    overlap_e = F.least("_el", "_er")
+    return pairs.select(
+        *keys,
+        F.col("_idl").alias(left_id),
+        F.col("_idr").alias(right_id),
+        F.from_unixtime(overlap_s).cast("timestamp").alias("overlap_start"),
+        F.from_unixtime(overlap_e).cast("timestamp").alias("overlap_end"),
+        (overlap_e - overlap_s).cast("bigint").alias("overlap_seconds"),
+    )

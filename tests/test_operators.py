@@ -2072,3 +2072,62 @@ def test_phrase_merges_regex_metachar_tokens(spark):
         .orderBy("rank").collect()
     ]
     assert got == serial(docs, 4)
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    from datetime import datetime, timedelta
+
+    from csv_etl_spark.operators.joins import interval_overlap_join
+
+    base = datetime(2024, 1, 1)
+
+    def iv(uid, iid, s_min, e_min):
+        return (uid, iid, base + timedelta(minutes=s_min), base + timedelta(minutes=e_min))
+
+    left = spark.createDataFrame(
+        [
+            iv(1, 10, 0, 60),     # long interval spanning several buckets
+            iv(1, 11, 90, 100),
+            iv(2, 12, 0, 10),
+            iv(2, 13, 500, 510),  # far away: no partner
+        ],
+        ["user_id", "lid", "start", "end"],
+    )
+    right = spark.createDataFrame(
+        [
+            iv(1, 20, 30, 45),    # inside 10
+            iv(1, 21, 55, 95),    # overlaps 10 AND 11, crosses bucket line
+            iv(1, 22, 100, 110),  # touches 11 at end: half-open -> no overlap
+            iv(2, 23, 9, 12),     # 1-minute overlap with 12
+            iv(3, 24, 0, 60),     # other key: never pairs
+        ],
+        ["user_id", "rid", "start", "end"],
+    )
+    out = interval_overlap_join(
+        left, right, keys=["user_id"], left_id="lid", right_id="rid",
+        bucket_seconds=600,
+    ).collect()
+    got = {(r["user_id"], r["lid"], r["rid"]): r["overlap_seconds"] for r in out}
+    # naive reference
+    lrows = left.collect()
+    rrows = right.collect()
+    exp = {}
+    for l in lrows:
+        for r in rrows:
+            if l["user_id"] == r["user_id"] and l["start"] < r["end"] and r["start"] < l["end"]:
+                sec = (min(l["end"], r["end"]) - max(l["start"], r["start"])).total_seconds()
+                exp[(l["user_id"], l["lid"], r["rid"])] = int(sec)
+    assert got == exp
+    assert (1, 10, 21) in got and (1, 11, 21) in got  # bucket-crossing pair found once
+    assert (1, 11, 22) not in got                     # half-open boundary
+    # guard: a pathological interval must raise, not explode 31M rows
+    import pytest as _pytest
+
+    huge = spark.createDataFrame(
+        [iv(1, 99, 0, 60 * 24 * 400)], ["user_id", "lid", "start", "end"]
+    )
+    with _pytest.raises(Exception, match="widen bucket_seconds"):
+        interval_overlap_join(
+            huge, right, keys=["user_id"], left_id="lid", right_id="rid",
+            bucket_seconds=60, max_buckets_per_interval=1000,
+        ).count()
