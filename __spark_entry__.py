@@ -4193,6 +4193,96 @@ def _duplicate_spans_oracle() -> str:
 _ORACLE_DUPLICATE_SPANS = _duplicate_spans_oracle()
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (dedup.remove_duplicate_spans): same
+    planted shared-prefix corpus as duplicate_spans; every planted doc
+    except the lowest id loses the shared 32-token window, keepers and
+    clean docs pass through re-joined."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    passage = " ".join(f"shared{i:02d}" for i in range(40))
+    seeded = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 25 == 0,
+            F.concat(F.lit(passage + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup.remove_duplicate_spans(seeded, span_tokens=32, stride=16, min_docs=2)
+
+
+def _remove_spans_oracle() -> str:
+    passage = " ".join(f"shared{i:02d}" for i in range(40))
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 25 = 0 THEN '{passage} ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM seeded
+    ),
+    g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) = 0 THEN 0
+                  WHEN len(toks) <= 16 THEN 1
+                  ELSE CAST(ceil((len(toks) - 16) / 16.0) AS BIGINT) END AS n_chunks
+      FROM t
+    ),
+    w AS (
+      SELECT doc_id, CAST(cid * 16 AS BIGINT) AS start_token,
+             array_to_string(
+               toks[CAST(cid*16+1 AS BIGINT):CAST(cid*16+32 AS BIGINT)], ' ')
+               AS win
+      FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS cid FROM g)
+      WHERE len(toks[CAST(cid*16+1 AS BIGINT):CAST(cid*16+32 AS BIGINT)]) = 32
+    ),
+    perkey AS (
+      SELECT win, min(doc_id) AS keeper
+      FROM (SELECT DISTINCT doc_id, win FROM w)
+      GROUP BY win HAVING count(*) >= 2
+    ),
+    losers AS (
+      SELECT w.doc_id, w.start_token
+      FROM w JOIN perkey USING (win)
+      WHERE w.doc_id <> perkey.keeper
+    ),
+    mask AS (
+      SELECT DISTINCT doc_id, start_token + unnest(range(0, 32)) AS pos
+      FROM losers
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS pos
+      FROM t
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.tok, tp.pos
+      FROM tokpos tp LEFT JOIN mask m
+        ON tp.doc_id = m.doc_id AND tp.pos = m.pos
+      WHERE m.doc_id IS NULL
+    ),
+    re AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+             count(*) AS nk
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+    SELECT tot.doc_id, coalesce(re.text, '') AS text,
+           CAST(tot.n_tokens AS BIGINT) AS n_tokens,
+           CAST(tot.n_tokens - coalesce(re.nk, 0) AS BIGINT) AS n_tokens_removed
+    FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
+"""
+
+
+_ORACLE_REMOVE_DUP_SPANS = _remove_spans_oracle()
+
+
 def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc contamination overlap report
     (cleaning.contamination_overlap): same planted benchmark as
@@ -4408,10 +4498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        by ann_bruteforce + ann_ivf_approx;
     #      image_dhash → interval_overlap takes its slot (NEW in r7:
     #        bucketed big×big interval join); the dHash kernel still runs
-    #        in-window inside image_dup_clusters.
+    #        in-window inside image_dup_clusters;
+    #      tfidf_terms → remove_dup_spans takes its slot (NEW in r7: the
+    #        span-dedup ACTION on duplicate_spans' detection); tf/df
+    #        machinery stays in-window via bm25_terms.
     #    Round-robin discipline: every query keeps a driver row at most two
-    #    rounds old — all 20 displaced entries are r6-green, due back by r8.
-    #    ALL 111 registry entries (109 with oracles; distinct_users_approx
+    #    rounds old — all 21 displaced entries are r6-green, due back by r8.
+    #    ALL 112 registry entries (110 with oracles; distinct_users_approx
     #    and bpe_merges are rows-only by design) remain oracle-checked
     #    locally via
     #    scripts/check_oracle.py regardless of position.  Update these
@@ -4448,7 +4541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_time": q_events_rolling_time,
         "stats_moments": q_stats_moments,
         "training_mix": q_training_mix,
-        "tfidf_terms": q_tfidf_terms,
         # ---- window 40-50: first driver rows this round (never checked
         # by the driver before; local-oracle green since late round 6) ----
         "scd2_history": q_scd2_history,
@@ -4472,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "events_winsorized": q_events_winsorized,
         "interval_overlap": q_interval_overlap,
+        "remove_dup_spans": q_remove_dup_spans,
         # ---- rotated out in round 7 (green in CORRECTNESS_r06, due a
         # driver row again by r8; machinery represented in-window — see
         # the displacement map in the header comment) ----
@@ -4494,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_outliers": q_length_outliers,
         "ann_quantized": q_ann_quantized,
         "image_dhash": q_image_dhash,
+        "tfidf_terms": q_tfidf_terms,
         "corpus_decontaminate": q_corpus_decontaminate,
         "sample_by_quality": q_sample_by_quality,
         # ---- entries below are past the driver's 50-query window (all with
@@ -4626,6 +4720,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _ORACLE_DUPLICATE_SPANS,
         "events_winsorized": _ORACLE_EVENTS_WINSORIZED,
         "interval_overlap": _ORACLE_INTERVAL_OVERLAP,
+        "remove_dup_spans": _ORACLE_REMOVE_DUP_SPANS,
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

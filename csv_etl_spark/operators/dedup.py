@@ -845,3 +845,92 @@ def duplicate_spans(
         .filter(F.col("n_docs") >= min_docs)
     )
     return keyed.join(hot, "_key").select(F.col(id_col), "start_token", "n_docs")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    span_tokens: int = 32,
+    stride: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the action on top of
+    ``duplicate_spans``' detection (Lee et al. 2022: keep one copy of a
+    duplicated substring, cut the rest): for every window content shared
+    by ≥ ``min_docs`` distinct documents, the occurrence(s) in the LOWEST
+    doc id survive and every other document loses the window's token
+    range.  Overlapping flagged windows in one doc union into one mask.
+    Returns one row per input doc: ``(id_col, text, n_tokens,
+    n_tokens_removed)`` — text re-joined from surviving tokens in order
+    (whitespace-normalized by construction, same as the chunk path).
+
+    Plan shape: duplicate_spans' window build + key count, a key-keyed
+    min() for the keeper doc, a bounded posexplode of loser windows into
+    (doc, token-position) mask rows (span_tokens rows per flagged
+    occurrence — output-sized, not corpus-sized), one (doc, pos)
+    left_anti against the token stream, and one doc-keyed reassembly
+    groupBy.  Everything keyed, no windows over data, no collect.
+    Granularity caveat shared with duplicate_spans: strided windows only
+    align on shared prefixes / whole-doc structure — the documented trade
+    vs suffix-array substring dedup."""
+    if stride <= 0 or stride > span_tokens:
+        raise ValueError("need 0 < stride <= span_tokens")
+    from csv_etl_spark.operators.packing import chunk_documents
+    from csv_etl_spark.operators.text import ws_tokens as _wt
+
+    windows = chunk_documents(
+        df,
+        chunk_tokens=span_tokens,
+        overlap=span_tokens - stride,
+        text_col=text_col,
+        id_col=id_col,
+    ).filter(F.col("n_chunk_tokens") == span_tokens)
+    keyed = windows.select(
+        F.col(id_col).alias("_doc"),
+        (F.col("chunk_id") * stride).cast("bigint").alias("_start"),
+        F.xxhash64("chunk_text").alias("_key"),
+    )
+    per_key = keyed.select("_doc", "_key").distinct().groupBy("_key").agg(
+        F.count(F.lit(1)).alias("_nd"), F.min("_doc").alias("_keeper")
+    ).filter(F.col("_nd") >= min_docs)
+    losers = keyed.join(per_key, "_key").filter(F.col("_doc") != F.col("_keeper"))
+    mask = losers.select(
+        "_doc",
+        F.explode(
+            F.sequence(F.col("_start"), F.col("_start") + F.lit(span_tokens - 1))
+        ).alias("_pos"),
+    ).distinct()
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(_wt(F.col(text_col))).alias("_pos", "_tok"),
+    )
+    kept = toks.join(mask, ["_doc", "_pos"], "left_anti")
+    reassembled = kept.groupBy("_doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s.getField("_tok"),
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("_doc"),
+        F.greatest(F.size(_wt(F.col(text_col))), F.lit(0)).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        totals.join(reassembled, "_doc", "left")
+        .select(
+            F.col("_doc").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0).cast("bigint")))
+            .cast("bigint")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -2131,3 +2131,31 @@ def test_interval_overlap_join_matches_naive(spark):
             huge, right, keys=["user_id"], left_id="lid", right_id="rid",
             bucket_seconds=60, max_buckets_per_interval=1000,
         ).count()
+
+
+def test_remove_duplicate_spans_keeps_lowest_doc(spark):
+    prefix = " ".join(f"p{j}" for j in range(32))
+    tail_a = " ".join(f"a{j}" for j in range(10))
+    tail_b = " ".join(f"b{j}" for j in range(10))
+    rows = [
+        (1, f"{prefix} {tail_a}"),
+        (2, f"{prefix} {tail_b}"),
+        (3, "unrelated " * 40),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.remove_duplicate_spans(df, span_tokens=32, stride=16).collect()}
+    # doc 1 (lowest) keeps everything
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[1]["text"] == f"{prefix} {tail_a}"
+    # doc 2 loses the shared 32-token window, keeps its tail
+    assert out[2]["n_tokens_removed"] == 32
+    assert out[2]["text"] == tail_b
+    # doc 3 untouched (whitespace-normalized re-join)
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[3]["text"] == " ".join(["unrelated"] * 40)
+    # composition: after removal, no cross-doc duplicated spans remain
+    cleaned = spark.createDataFrame(
+        [(k, v["text"]) for k, v in out.items()], ["doc_id", "text"]
+    )
+    assert dedup.duplicate_spans(cleaned, span_tokens=32, stride=16).count() == 0
