@@ -3880,9 +3880,18 @@ def q_events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("double").alias("value"),
         F.unix_timestamp("ts").cast("double").alias("ts_epoch"),
     )
-    stats = moment_stats(
-        prepared, "value", "ts_epoch", by=["event_type"], center_y=_EPOCH_CENTER
-    ).select("event_type", "mean_x", "stddev_x")
+    stats = (
+        moment_stats(
+            prepared, "value", "ts_epoch", by=["event_type"], center_y=_EPOCH_CENTER
+        )
+        .select("event_type", "mean_x", "stddev_x")
+        # zero-variance groups have no defined z-score: under this repo's
+        # ANSI-on sessions (value - mean)/0.0 would RAISE (moment_stats now
+        # clamps near-constant groups to exactly 0.0 rather than NaN), and
+        # the oracle's NULL-division rows never pass abs(z) > 3 either —
+        # filtering the group out matches the oracle on both engines.
+        .filter(F.col("stddev_x") > 0)
+    )
     z = (F.col("value") - F.col("mean_x")) / F.col("stddev_x")
     return (
         prepared.join(F.broadcast(stats), "event_type")
@@ -3912,7 +3921,8 @@ def _anomalies_oracle() -> str:
            round(CAST(e.value AS DOUBLE), 6) AS value,
            round((CAST(e.value AS DOUBLE) - s.mean_x) / s.stddev_x, 6) AS z
     FROM events e JOIN stats s ON e.event_type = s.event_type
-    WHERE abs((CAST(e.value AS DOUBLE) - s.mean_x) / s.stddev_x) > 3.0
+    WHERE s.stddev_x > 0
+      AND abs((CAST(e.value AS DOUBLE) - s.mean_x) / s.stddev_x) > 3.0
 """
 
 
@@ -4128,34 +4138,33 @@ _ORACLE_TOKEN_BUDGET_MIX = """
 """
 
 
-def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document duplicated-span detection (dedup.duplicate_spans,
-    32-token windows, stride 16, ≥2 docs): a shared 40-token passage is
-    PLANTED as a PREFIX on every 25th doc (prefix, because strided
-    windows only align on shared prefixes/whole docs — the documented
-    granularity trade vs suffix-array substring dedup), so window 0 of
-    every planted doc is a corpus-duplicated span; naturally identical
-    docs surface through the same path at every window."""
+_SPAN_PASSAGE = " ".join(f"shared{i:02d}" for i in range(40))
+
+
+def _span_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared planted corpus for the two span queries: a 40-token passage
+    prepended to every 25th doc (prefix, because strided windows only
+    align on shared prefixes/whole docs — the documented granularity
+    trade vs suffix-array substring dedup)."""
     d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
-    passage = " ".join(f"shared{i:02d}" for i in range(40))
-    seeded = d.select(
+    return d.select(
         "doc_id",
         F.when(
             F.col("doc_id") % 25 == 0,
-            F.concat(F.lit(passage + " "), F.col("text")),
+            F.concat(F.lit(_SPAN_PASSAGE + " "), F.col("text")),
         )
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return dedup.duplicate_spans(seeded, span_tokens=32, stride=16, min_docs=2)
 
 
-def _duplicate_spans_oracle() -> str:
-    passage = " ".join(f"shared{i:02d}" for i in range(40))
-    return f"""
-    WITH seeded AS (
+def _span_windows_cte() -> str:
+    """Shared oracle CTE prefix (seeded corpus -> tokens -> full 32-token
+    windows at stride 16) for the two span oracles — one definition, so
+    detection and removal can never drift apart."""
+    return f"""seeded AS (
       SELECT doc_id,
-             CASE WHEN doc_id % 25 = 0 THEN '{passage} ' || text
+             CASE WHEN doc_id % 25 = 0 THEN '{_SPAN_PASSAGE} ' || text
                   ELSE text END AS text
       FROM documents
     ),
@@ -4179,7 +4188,27 @@ def _duplicate_spans_oracle() -> str:
                AS win
       FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS cid FROM g)
       WHERE len(toks[CAST(cid*16+1 AS BIGINT):CAST(cid*16+32 AS BIGINT)]) = 32
-    ),
+    )"""
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span detection (dedup.duplicate_spans,
+    32-token windows, stride 16, ≥2 docs): a shared 40-token passage is
+    PLANTED as a PREFIX on every 25th doc (prefix, because strided
+    windows only align on shared prefixes/whole docs — the documented
+    granularity trade vs suffix-array substring dedup), so window 0 of
+    every planted doc is a corpus-duplicated span; naturally identical
+    docs surface through the same path at every window.  Corpus seeding
+    and the oracle window CTEs are shared with remove_dup_spans
+    (_span_seeded / _span_windows_cte)."""
+    return dedup.duplicate_spans(
+        _span_seeded(spark, sf_dir), span_tokens=32, stride=16, min_docs=2
+    )
+
+
+def _duplicate_spans_oracle() -> str:
+    return f"""
+    WITH {_span_windows_cte()},
     hot AS (
       SELECT win, CAST(count(*) AS BIGINT) AS n_docs
       FROM (SELECT DISTINCT doc_id, win FROM w)
@@ -4195,53 +4224,17 @@ _ORACLE_DUPLICATE_SPANS = _duplicate_spans_oracle()
 
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span REMOVAL (dedup.remove_duplicate_spans): same
-    planted shared-prefix corpus as duplicate_spans; every planted doc
-    except the lowest id loses the shared 32-token window, keepers and
-    clean docs pass through re-joined."""
-    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
-    passage = " ".join(f"shared{i:02d}" for i in range(40))
-    seeded = d.select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 25 == 0,
-            F.concat(F.lit(passage + " "), F.col("text")),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+    planted shared-prefix corpus as duplicate_spans (_span_seeded); every
+    planted doc except the lowest id loses the shared 32-token window,
+    keepers and clean docs pass through re-joined."""
+    return dedup.remove_duplicate_spans(
+        _span_seeded(spark, sf_dir), span_tokens=32, stride=16, min_docs=2
     )
-    return dedup.remove_duplicate_spans(seeded, span_tokens=32, stride=16, min_docs=2)
 
 
 def _remove_spans_oracle() -> str:
-    passage = " ".join(f"shared{i:02d}" for i in range(40))
     return f"""
-    WITH seeded AS (
-      SELECT doc_id,
-             CASE WHEN doc_id % 25 = 0 THEN '{passage} ' || text
-                  ELSE text END AS text
-      FROM documents
-    ),
-    t AS (
-      SELECT doc_id,
-             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
-                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
-      FROM seeded
-    ),
-    g AS (
-      SELECT doc_id, toks, len(toks) AS n,
-             CASE WHEN len(toks) = 0 THEN 0
-                  WHEN len(toks) <= 16 THEN 1
-                  ELSE CAST(ceil((len(toks) - 16) / 16.0) AS BIGINT) END AS n_chunks
-      FROM t
-    ),
-    w AS (
-      SELECT doc_id, CAST(cid * 16 AS BIGINT) AS start_token,
-             array_to_string(
-               toks[CAST(cid*16+1 AS BIGINT):CAST(cid*16+32 AS BIGINT)], ' ')
-               AS win
-      FROM (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS cid FROM g)
-      WHERE len(toks[CAST(cid*16+1 AS BIGINT):CAST(cid*16+32 AS BIGINT)]) = 32
-    ),
+    WITH {_span_windows_cte()},
     perkey AS (
       SELECT win, min(doc_id) AS keeper
       FROM (SELECT DISTINCT doc_id, win FROM w)
@@ -4454,8 +4447,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # entries (insertion order).  Round-7 window (50 = 39 + 11):
-    #  * 39 carried-over queries (every operator family keeps at least one
+    # entries (insertion order).  Round-7 window (50 = 28 + 11 + 11):
+    #  * 28 carried-over queries (every operator family keeps at least one
     #    representative in-window);
     #  * the 11 late-round-6 queries that have NEVER had a driver row
     #    (scd2_history ... sample_weighted, all local-oracle green since r6)
@@ -4478,9 +4471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        bloom=True path is the plain path plus the shared Bloom
     #        pre-filter, exact-result-preserving, so its driver row is the
     #        strictly stronger check).
-    #  * the 5 operators NEW in round 7 (bm25_terms, perplexity_buckets,
-    #    boilerplate_lines, token_budget_mix, duplicate_spans) also enter the
-    #    window immediately, displacing 5 more r6-green entries:
+    #  * the 11 operators NEW in round 7 (dedup_incremental_bloom,
+    #    bm25_terms, perplexity_buckets, boilerplate_lines, token_budget_mix,
+    #    duplicate_spans, contamination_report, source_cap,
+    #    events_winsorized, interval_overlap, remove_dup_spans) also enter
+    #    the window immediately, displacing r6-green entries:
     #      tokens_to_ids → tfidf/bigram token machinery + perplexity_buckets;
     #      corpus_shuffle → pack_sequences + token_budget_mix (both ride
     #        with_global_cumsum); dedup_representatives → 6 in-window dedup
@@ -4503,7 +4498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #        span-dedup ACTION on duplicate_spans' detection); tf/df
     #        machinery stays in-window via bm25_terms.
     #    Round-robin discipline: every query keeps a driver row at most two
-    #    rounds old — all 21 displaced entries are r6-green, due back by r8.
+    #    rounds old — the rotated-out section below lists all 22 displaced
+    #    entries (verified count), every one r6-green and due back by r8.
     #    ALL 112 registry entries (110 with oracles; distinct_users_approx
     #    and bpe_merges are rows-only by design) remain oracle-checked
     #    locally via

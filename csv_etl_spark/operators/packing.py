@@ -46,28 +46,33 @@ _CUMSUM_CACHE = BoundedPersistCache()
 def with_global_cumsum(
     df: DataFrame,
     value_col: str,
-    order_col: str,
+    order_col: str | list[str],
     out_col: str = "cum_before",
 ) -> DataFrame:
     """EXCLUSIVE prefix sum of ``value_col`` over the global ``order_col``
     order, appended as ``out_col`` (long).  Exact, deterministic, and
-    layout-independent — ``order_col`` must be a total order (unique), or
-    ties make the result depend on partitioning.
+    layout-independent — the order must be total (unique), or ties make
+    the result depend on partitioning.  ``order_col`` may be a LIST of
+    columns: the order is then the tuple order, which is how group-major
+    orders should be spelled (a string concat of group+key is NOT
+    prefix-safe — 'a' vs 'a|b' group values interleave because hex key
+    chars sort below '|'; tuple ordering has no such seam).
 
-    Plan shape: repartitionByRange(order_col) → sortWithinPartitions →
+    Plan shape: repartitionByRange(order cols) → sortWithinPartitions →
     local cumsum via mapInPandas → broadcast-join of driver-prefix-summed
     partition totals.  The only data-sized movement is the range shuffle;
     the driver materializes exactly one row per partition."""
     spark = df.sparkSession
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     part = (
-        df.repartitionByRange(F.col(order_col))
-        .sortWithinPartitions(order_col)
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     # Persisted: the partition totals (an action, below) and the returned
     # plan must see the SAME partitioning; registered in the bounded cache
     # so bench/long sessions can invalidate and nothing leaks unbounded.
-    key = _CUMSUM_CACHE.key_for(part, value_col, order_col)
+    key = _CUMSUM_CACHE.key_for(part, value_col, *order_cols)
     cached = _CUMSUM_CACHE.get(key)
     if cached is not None:
         part = cached

@@ -236,34 +236,41 @@ def token_budget_select(
 
     Scale shape: this is a per-group running sum, but NOT a per-group
     window (a window partitioned by a handful of sources single-reduces
-    each source).  Instead the group rides the FRONT of the global order
-    key (``group || '|' || md5(id)`` — group blocks stay contiguous, ties
-    impossible since md5(id) is unique per id), one global exact prefix
-    sum runs over it (``packing.with_global_cumsum``: range shuffle +
-    Arrow local cumsum + driver-side offsets, one row per partition), and
-    each group's running sum is recovered by subtracting the group's
-    minimum global cumsum — an n_groups-row aggregate broadcast back.
-    Total cost: one range shuffle + one tiny agg, independent of group
-    count or skew."""
+    each source).  Instead the group rides the FRONT of a TUPLE order
+    (group, md5(id)) — tuple ordering keeps group blocks contiguous with
+    no prefix-collision seam (a string concat 'group|md5' would interleave
+    groups 'a' and 'a|b'), and md5(id) makes the order total.  One global
+    exact prefix sum runs over it (``packing.with_global_cumsum``: range
+    shuffle + Arrow local cumsum + driver-side offsets, one row per
+    partition), and each group's running sum is recovered by subtracting
+    the group's minimum global cumsum — an n_groups-row aggregate
+    broadcast back.  Total cost: one range shuffle + one tiny agg,
+    independent of group count or skew.  NULL ``by`` values form their
+    own group (internally keyed by a sentinel so the offset join is
+    null-safe); NULL/whitespace-only text counts 0 tokens."""
     from csv_etl_spark.operators.packing import with_global_cumsum
     from csv_etl_spark.operators.text import token_count
 
-    okey = F.concat_ws(
-        "|",
-        F.col(by),
-        F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))),
-    )
+    okey = F.md5(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
     d = df.select(
         F.col(id_col),
         F.col(by),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        # NULL-group sentinel: plain join on `by` would drop NULL-group
+        # rows (null != null); \\x00 prefix keeps it out of realistic
+        # group-name space
+        F.coalesce(F.col(by).cast("string"), F.lit("\x00<null>")).alias("_grp"),
+        # greatest(...,0): NULL text must count 0 tokens, not NULL/-1 —
+        # a non-monotonic value would corrupt the min-offset recovery
+        F.greatest(token_count(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
         okey.alias("_okey"),
     )
-    c = with_global_cumsum(d, "n_tokens", "_okey", out_col="_gcum")
-    group_off = c.groupBy(by).agg(F.min("_gcum").alias("_goff"))
+    c = with_global_cumsum(d, "n_tokens", ["_grp", "_okey"], out_col="_gcum")
+    group_off = c.groupBy("_grp").agg(F.min("_gcum").alias("_goff"))
     cum = F.col("_gcum") - F.col("_goff") + F.col("n_tokens")
     return (
-        c.join(F.broadcast(group_off), by)
+        c.join(F.broadcast(group_off), "_grp")
         .withColumn("cum_tokens", cum.cast("long"))
         .filter(F.col("cum_tokens") <= budget)
         .select(F.col(id_col), F.col(by), F.col("n_tokens"), F.col("cum_tokens"))

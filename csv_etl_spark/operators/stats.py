@@ -31,11 +31,15 @@ group holds ~1e10 rows.  Variance, covariance, correlation are
 shift-invariant, and ``mean_x`` adds the offset back, so centering is
 free — pass a ``center`` that is a multiple of 1e-6 (so ``c·10⁶`` is an
 integer) and the quantized moments shift EXACTLY, giving results
-identical to the uncentered computation.  Overflow is never silent:
-Spark (ANSI off) NULLs an overflowed decimal sum, so the plan carries an
-``assert_true`` that errors loudly — matching DuckDB, whose HUGEINT
-raises on overflow — instead of emitting NULL stats that a downstream
-gate would misread as "no data".
+identical to the uncentered computation.  Overflow is never silent on
+ANY engine configuration: this repo's sessions run ANSI-on, where the
+decimal sum itself raises ARITHMETIC_OVERFLOW; on ANSI-off deployments
+(the Spark 3.x default) the sum silently NULLs instead, so every output
+column additionally carries an ``assert_true`` guard that errors loudly
+— matching DuckDB, whose HUGEINT raises — rather than emitting NULL
+stats a downstream gate would misread as "no data".  The guard rides
+every column (not just one) so Catalyst column pruning cannot delete it
+under a partial projection.
 """
 
 from __future__ import annotations
@@ -112,12 +116,17 @@ def moment_stats(
         & ((F.col("_ny") == 0) | (F.col("_sy").isNotNull() & F.col("_syy").isNotNull()))
         & ((F.col("_nb") == 0) | F.col("_sxy").isNotNull())
     )
-    # assert_true yields NULL on pass, raises on fail; coalescing it into
-    # `n` forces evaluation without adding an output column.
-    n_checked = F.coalesce(
-        F.assert_true(no_overflow, F.lit(_OVERFLOW_MSG)).cast("bigint"),
-        F.col("n"),
-    )
+    # assert_true yields NULL on pass, raises on fail.  It must ride EVERY
+    # output column, not just one: Catalyst column pruning deletes any
+    # expression a caller's projection drops, so a guard living only in
+    # `n` vanishes for a caller selecting (keys, mean_x, stddev_x) — the
+    # exact projection q_events_anomalies uses — and overflow would go
+    # back to being silent.  coalesce(assert, value) adds no output column
+    # and no measurable cost (the flag columns are already aggregated).
+    _guard = F.assert_true(no_overflow, F.lit(_OVERFLOW_MSG))
+
+    def checked(col: Column, typ: str) -> Column:
+        return F.coalesce(_guard.cast(typ), col)
     n = F.col("n").cast("double")
     sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
     sxx, syy, sxy = (
@@ -148,11 +157,11 @@ def moment_stats(
     )
     return agg.select(
         *by,
-        n_checked.alias("n"),
-        F.round(mean_x, 6).alias("mean_x"),
-        F.round(std_x, 6).alias("stddev_x"),
-        F.round(covar, 6).alias("covar_xy"),
-        F.round(corr, 6).alias("corr_xy"),
+        checked(F.col("n").cast("bigint"), "bigint").alias("n"),
+        checked(F.round(mean_x, 6), "double").alias("mean_x"),
+        checked(F.round(std_x, 6), "double").alias("stddev_x"),
+        checked(F.round(covar, 6), "double").alias("covar_xy"),
+        checked(F.round(corr, 6), "double").alias("corr_xy"),
     )
 
 
@@ -232,21 +241,43 @@ def winsorize(
     engine."""
     keys = list(by or [])
     v = F.col(value_col).cast("double")
-    pct = (
-        F.percentile(v, F.array(F.lit(float(p_lo)), F.lit(float(p_hi))))
-        if exact
-        else F.approx_percentile(
-            v, F.array(F.lit(float(p_lo)), F.lit(float(p_hi))), F.lit(10_000)
+
+    def pct_of(col: Column) -> Column:
+        probs = F.array(F.lit(float(p_lo)), F.lit(float(p_hi)))
+        return (
+            F.percentile(col, probs)
+            if exact
+            else F.approx_percentile(col, probs, F.lit(10_000))
         )
-    )
-    agg = [
-        F.round(F.element_at(pct, 1), 6).alias("_w_lo"),
-        F.round(F.element_at(pct, 2), 6).alias("_w_hi"),
-    ]
-    bounds = df.groupBy(*keys).agg(*agg) if keys else df.agg(*agg)
-    joined = (
-        df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(F.broadcast(bounds))
-    )
+
+    def agg_of(col: Column) -> list[Column]:
+        return [
+            F.round(F.element_at(pct_of(col), 1), 6).alias("_w_lo"),
+            F.round(F.element_at(pct_of(col), 2), 6).alias("_w_hi"),
+        ]
+
+    if keys:
+        # NULL-group rows must survive ("preserving row count" is the
+        # contract): a plain inner join on the keys drops them (null !=
+        # null), so bound lookup runs on sentinel-coalesced internal keys
+        grp_cols = [
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00<null>")).alias(f"_wg_{i}")
+            for i, k in enumerate(keys)
+        ]
+        grp_names = [f"_wg_{i}" for i in range(len(keys))]
+        bounds = (
+            df.select(*grp_cols, v.alias("_wv"))
+            .groupBy(*grp_names)
+            .agg(*agg_of(F.col("_wv")))
+        )
+        joined = (
+            df.select("*", *grp_cols)
+            .join(F.broadcast(bounds), grp_names)
+            .drop(*grp_names)
+        )
+    else:
+        bounds = df.agg(*agg_of(v))
+        joined = df.crossJoin(F.broadcast(bounds))
     clamped = F.round(F.greatest(F.least(v, F.col("_w_hi")), F.col("_w_lo")), 6)
     return joined.withColumn(f"{value_col}_wins", clamped).withColumnRenamed(
         "_w_lo", f"{value_col}_lo"

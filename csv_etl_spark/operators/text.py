@@ -489,7 +489,9 @@ def tfidf_top_terms(
 
     from csv_etl_spark.operators._cache import BoundedPersistCache
 
-    key = BoundedPersistCache.key_for(tf, "tfidf_tf")
+    # shared tag: bm25_top_terms builds the IDENTICAL (doc, token) tf
+    # aggregate — one persisted frame serves both operators in a session
+    key = BoundedPersistCache.key_for(tf, "doc_token_tf")
     cached = _TF_CACHE.get(key)
     if cached is not None:
         tf = cached
@@ -553,7 +555,7 @@ def bm25_top_terms(
         toks = F.transform(toks, lambda t: F.lower(t))
     pairs = df.select(F.col(id_col), F.explode(toks).alias("token"))
     tf = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    key = _TF_BPC.key_for(tf, "bm25_tf")
+    key = _TF_BPC.key_for(tf, "doc_token_tf")  # shared with tfidf_top_terms
     cached = _TF_CACHE.get(key)
     if cached is not None:
         tf = cached
@@ -562,12 +564,16 @@ def bm25_top_terms(
         _TF_CACHE.put(key, tf)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("_dl"))
-    scalars = df.agg(
-        F.count(F.lit(1)).cast("double").alias("_n"),
-        F.coalesce(F.sum(token_count(F.col(text_col)).cast("double")), F.lit(0.0)).alias(
-            "_total"
-        ),
-    ).select("_n", (F.col("_total") / F.col("_n")).alias("_avgdl"))
+    # N needs the raw frame (empty docs count toward avgdl's denominator)
+    # but only as a column-pruned count(1); total tokens is sum(tf) over
+    # the already-persisted tf — no second tokenize of the corpus
+    n_row = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    tot_row = tf.agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("double").alias("_total")
+    )
+    scalars = n_row.crossJoin(tot_row).select(
+        "_n", (F.col("_total") / F.col("_n")).alias("_avgdl")
+    )
     lk1, lb = F.lit(float(k1)), F.lit(float(b))
     idf = F.log(
         F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)

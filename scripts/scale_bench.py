@@ -61,7 +61,9 @@ QUERIES = {
     "profile_events": "sf10",
     "image_dup_clusters": "sf10",
     "bigram_logprob": "sf10",
-    # round-7 operators: every new contract query gets a scale point.
+    # round-7 operators: every new contract query gets a scale point
+    # (interval_overlap runs on the events axis; remove_dup_spans is the
+    # heaviest of the span pair — position-mask explode + reassembly).
     # bpe_merges' cost is k× per-round job overhead (iterative trainer) —
     # its exponent measures how the per-round groupBy scales, the loop
     # count is fixed.
@@ -74,6 +76,8 @@ QUERIES = {
     "source_cap": "sf10",
     "events_winsorized": "sf10",
     "bpe_merges": "sf10",
+    "interval_overlap": "sf10",
+    "remove_dup_spans": "sf10",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),
@@ -106,8 +110,12 @@ def main() -> None:
     # scale evidence to new operators without re-timing the whole matrix)
     args = sys.argv[1:]
     out_name = "BENCHNOTES_r6_sf1.json"
-    if args and args[0] == "--out":
-        out_name, args = args[1], args[2:]
+    if "--out" in args:
+        i = args.index("--out")
+        if i + 1 >= len(args):
+            raise SystemExit("usage: scale_bench.py [--out FILE.json] [query ...]")
+        out_name = args[i + 1]
+        args = args[:i] + args[i + 2:]
     selected = {q: m for q, m in QUERIES.items() if not args or q in args}
     unknown = [a for a in args if a not in QUERIES]
     if unknown:

@@ -2159,3 +2159,48 @@ def test_remove_duplicate_spans_keeps_lowest_doc(spark):
         [(k, v["text"]) for k, v in out.items()], ["doc_id", "text"]
     )
     assert dedup.duplicate_spans(cleaned, span_tokens=32, stride=16).count() == 0
+
+
+def test_moment_stats_guard_survives_projection(spark):
+    """The overflow assert must ride every stat column: a caller selecting
+    only (keys, mean_x, stddev_x) — events_anomalies' projection — must
+    still error on overflow instead of reverting to silent NULLs."""
+    import pytest
+
+    from csv_etl_spark.operators.stats import moment_stats
+
+    big = spark.createDataFrame([("o", 3.2e12, 1.0)] * 11, ["k", "x", "y"])
+    pruned = moment_stats(big, "x", "y", by=["k"]).select("k", "mean_x", "stddev_x")
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    assert "raise_error" in plan or "assert_true" in plan
+    with pytest.raises(Exception, match="re-center|overflow|ASSERT|OVERFLOW"):
+        pruned.collect()
+
+
+def test_winsorize_and_token_budget_null_groups(spark):
+    """NULL group keys must not silently drop rows: winsorize preserves
+    row count, token_budget_select gives NULL-source docs their own
+    budget group; NULL text counts 0 tokens."""
+    from csv_etl_spark.operators.sampling import token_budget_select
+    from csv_etl_spark.operators.stats import winsorize
+
+    rows = [("a", 1.0), ("a", 100.0), (None, 5.0), (None, 6.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = winsorize(df, "v", by=["k"]).collect()
+    assert len(out) == 4  # NULL-group rows survive
+    assert {r["k"] for r in out} == {"a", None}
+
+    docs = [
+        (1, "w w w", "s"),
+        (2, "w w", None),      # NULL group forms its own budget group
+        (3, None, None),       # NULL text -> 0 tokens, still selectable
+        (4, "w w w w", "s"),
+    ]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    got = {r["doc_id"]: (r["source"], r["n_tokens"], r["cum_tokens"])
+           for r in token_budget_select(ddf, budget=10, by="source").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2][0] is None and got[3][1] == 0
+    # per-group cumsums are internally consistent
+    null_grp = sorted(v[2] for k, v in got.items() if v[0] is None)
+    assert null_grp[-1] == 2  # 2 + 0 tokens in the NULL group
