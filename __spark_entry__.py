@@ -4428,6 +4428,76 @@ _ORACLE_INTERVAL_OVERLAP = """
 """
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (text.dsir_importance): src0 documents
+    play the target domain; every doc gets a log importance weight under
+    add-k unigram LMs (target vs corpus), and the top 100 are drawn by
+    Gumbel top-k — log_importance + Gumbel(md5-uniform) noise, the
+    log-domain equivalent of resampling with probability ∝ exp(weight)
+    (no exp overflow, engine-portable).  Deterministic md5 noise, rounded
+    key, doc_id tiebreak."""
+    d = _t(spark, sf_dir, "documents", parallelize=True)
+    target = d.filter(F.col("source") == "src0").select("text")
+    imp = text.dsir_importance(d.select("doc_id", "text"), target)
+    u = _sampling.key_uniform(F.col("doc_id"))
+    gkey = F.round(
+        F.col("log_importance") - F.log(-F.log(F.greatest(u, F.lit(1e-12)))), 9
+    )
+    return (
+        imp.withColumn("_g", gkey)
+        .orderBy(F.col("_g").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", "n_tokens", "log_importance")
+    )
+
+
+_ORACLE_DSIR_SELECTION = """
+    WITH ts AS (
+      SELECT doc_id, source,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    t AS (SELECT doc_id, lower(unnest(toks)) AS tok FROM ts),
+    tt AS (SELECT lower(unnest(toks)) AS tok FROM ts WHERE source = 'src0'),
+    cc AS (SELECT tok, count(*) AS nc FROM t GROUP BY tok),
+    tc AS (SELECT tok, count(*) AS nt FROM tt GROUP BY tok),
+    sc AS (
+      SELECT (SELECT CAST(sum(nc) AS DOUBLE) FROM cc) AS totc,
+             (SELECT CAST(count(*) AS DOUBLE) FROM cc) AS v,
+             (SELECT CAST(coalesce(sum(nt), 0) AS DOUBLE) FROM tc) AS tott
+    ),
+    r AS (
+      SELECT t.doc_id,
+             round(ln((coalesce(tc.nt, 0) + 0.5) / (sc.tott + 0.5 * sc.v))
+                   - ln((cc.nc + 0.5) / (sc.totc + 0.5 * sc.v)), 6) AS r6
+      FROM t JOIN cc USING (tok) LEFT JOIN tc USING (tok) CROSS JOIN sc
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             round(CAST(sum(CAST(r6 * 1000000 AS HUGEINT)) AS DOUBLE)
+                   / 1000000.0, 6) AS li
+      FROM r GROUP BY doc_id
+    ),
+    full_docs AS (
+      SELECT d.doc_id,
+             CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+             coalesce(a.li, 0.0) AS log_importance
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    )
+    SELECT doc_id, n_tokens, log_importance
+    FROM (
+      SELECT *,
+             round(log_importance - ln(-ln(greatest(
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               / 4294967296.0, 1e-12))), 9) AS gkey
+      FROM full_docs
+    )
+    ORDER BY gkey DESC, doc_id ASC
+    LIMIT 100
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE-style phrase-merge training (text.phrase_merges,
     k=8): each round's winning pair depends on the previous round's
@@ -4500,7 +4570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    Round-robin discipline: every query keeps a driver row at most two
     #    rounds old — the rotated-out section below lists all 22 displaced
     #    entries (verified count), every one r6-green and due back by r8.
-    #    ALL 112 registry entries (110 with oracles; distinct_users_approx
+    #    ALL 113 registry entries (111 with oracles; distinct_users_approx
     #    and bpe_merges are rows-only by design) remain oracle-checked
     #    locally via
     #    scripts/check_oracle.py regardless of position.  Update these
@@ -4586,6 +4656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "corpus_decontaminate": q_corpus_decontaminate,
         "sample_by_quality": q_sample_by_quality,
+        # ---- late round-7 addition: past-window (window full); locally
+        # oracle-checked now, first driver row when it rotates in r8 ----
+        "dsir_selection": q_dsir_selection,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -4717,6 +4790,7 @@ def oracle_sql() -> dict[str, str]:
         "events_winsorized": _ORACLE_EVENTS_WINSORIZED,
         "interval_overlap": _ORACLE_INTERVAL_OVERLAP,
         "remove_dup_spans": _ORACLE_REMOVE_DUP_SPANS,
+        "dsir_selection": _ORACLE_DSIR_SELECTION,
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

@@ -105,6 +105,7 @@ HEADLINE = [
     "events_winsorized",
     "interval_overlap",
     "remove_dup_spans",
+    "dsir_selection",
     # iterative trainer: ~1.5s/round x 8 rounds of fixed job overhead at
     # local scale — by far the heaviest headline entry, expected and
     # documented (per-round cost is job scheduling, not data volume)

@@ -922,3 +922,86 @@ def phrase_merges(
     return spark.createDataFrame(
         merges or [], schema="rank int, pair string, n bigint"
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — the public recipe:
+    score every raw document by how target-like it is under cheap n-gram
+    LMs, then resample proportionally):
+
+        log_importance(d) = Σ_tok  ln P_target(tok) − ln P_corpus(tok)
+
+    with add-k smoothed unigram models estimated from the ``target`` set
+    and from ``df`` itself, sharing the CORPUS vocabulary size V in both
+    denominators so target-OOV tokens contribute a well-defined penalty
+    ln(k/(N_t + kV)) instead of −inf.  Returns ``(id_col, n_tokens,
+    log_importance)`` for every corpus doc (0 tokens → 0.0).
+
+    Scale shape: two token-count groupBys (corpus + target — the target
+    is benchmark-sized, its counts BROADCAST into the scoring join), one
+    scalar row (N_c, N_t, V) broadcast, and one token-keyed join of the
+    exploded corpus against its own counts (AQE skew-splits the Zipf
+    head) — unigram_logprob's plan plus one broadcast lookup.  Sum is
+    rounded to 6 decimals: libm ln() may differ in the last ulp between
+    engines, and the ROUNDED per-token ratios are summed via exact
+    decimal so partial-aggregation order cannot leak into the hash."""
+    toks = ws_tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+
+    t_toks = ws_tokens(F.col(text_col))
+    if lowercase:
+        t_toks = F.transform(t_toks, lambda t: F.lower(t))
+    t_exploded = target.select(F.explode(t_toks).alias("_tok"))
+
+    c_counts = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_nc"))
+    t_counts = t_exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_nt"))
+    scalars = (
+        c_counts.agg(
+            F.sum("_nc").cast("double").alias("_totc"),
+            F.count(F.lit(1)).cast("double").alias("_v"),
+        )
+        .crossJoin(t_counts.agg(F.sum("_nt").cast("double").alias("_tott")))
+    )
+    k = F.lit(float(k_smooth))
+    # per-token log ratio, rounded to 6 BEFORE the sum (cross-engine ulp
+    # discipline), summed as exact decimal micro-units
+    ratio = F.round(
+        F.log(
+            (F.coalesce(F.col("_nt"), F.lit(0)) + k)
+            / (F.col("_tott") + k * F.col("_v"))
+        )
+        - F.log((F.col("_nc") + k) / (F.col("_totc") + k * F.col("_v"))),
+        6,
+    )
+    scored = (
+        exploded.join(c_counts, "_tok")
+        .join(F.broadcast(t_counts), "_tok", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            (ratio * F.lit(1_000_000)).cast("decimal(38,0)").alias("_r6"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        (F.sum("_r6").cast("double") / F.lit(1_000_000.0)).alias("_li"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.round(F.coalesce(F.col("_li"), F.lit(0.0)), 6).alias("log_importance"),
+        )
+    )

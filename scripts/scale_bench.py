@@ -78,6 +78,7 @@ QUERIES = {
     "bpe_merges": "sf10",
     "interval_overlap": "sf10",
     "remove_dup_spans": "sf10",
+    "dsir_selection": "sf10",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),

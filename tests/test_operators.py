@@ -2204,3 +2204,29 @@ def test_winsorize_and_token_budget_null_groups(spark):
     # per-group cumsums are internally consistent
     null_grp = sorted(v[2] for k, v in got.items() if v[0] is None)
     assert null_grp[-1] == 2  # 2 + 0 tokens in the NULL group
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    from csv_etl_spark.operators.text import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100, "physics quantum electron proton neutron field theory")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quantum electron field theory proton"),   # target-like
+            (2, "recipe butter sugar flour oven bake"),    # off-domain
+            (3, "quantum recipe electron butter"),         # mixed
+            (4, ""),                                        # empty -> 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dsir_importance(corpus, target).collect()}
+    assert out[1]["log_importance"] > out[3]["log_importance"] > out[2]["log_importance"]
+    assert out[1]["log_importance"] > 0 and out[2]["log_importance"] < 0
+    assert out[4]["n_tokens"] == 0 and out[4]["log_importance"] == 0.0
+    # layout independence (decimal micro-unit sum, no double-order drift)
+    again = {r["doc_id"]: r["log_importance"]
+             for r in dsir_importance(corpus.repartition(7), target).collect()}
+    assert {k: v["log_importance"] for k, v in out.items()} == again
