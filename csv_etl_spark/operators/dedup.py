@@ -730,11 +730,26 @@ def incremental_dedup(
         .distinct()
     )
     if bloom:
+        from pyspark.storagelevel import StorageLevel
+
         from csv_etl_spark.operators.cleaning import (
             _bloom_bitmap,
             _bloom_might_contain,
             _bloom_parameters,
         )
+
+        # the corpus key table feeds THREE consumers (sizing count, bitmap
+        # build, exact anti-join) — without a persist each one re-runs the
+        # normalize+hash+distinct over the full corpus.  Session-cached
+        # (bounded, bench-invalidated) like the shingle projections; the
+        # count below materializes it once, the other two read the cache.
+        key = BoundedPersistCache.key_for(seen, "incremental_seen")
+        cached = _SHINGLE_CACHE.get(key)
+        if cached is not None:
+            seen = cached
+        elif key is not None:
+            seen = seen.persist(StorageLevel.MEMORY_AND_DISK)
+            _SHINGLE_CACHE.put(key, seen)
 
         expected = (
             bloom_expected_items if bloom_expected_items is not None else seen.count()
