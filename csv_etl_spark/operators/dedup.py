@@ -806,6 +806,46 @@ def cluster_representatives(
 # ---------------------------------------------------------------------------
 
 
+def _keyed_windows(
+    df: DataFrame, span_tokens: int, stride: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared window builder for the span pair: full ``span_tokens``
+    windows keyed by xxhash64 of their space-joined tokens, as
+    ``(id_col, _start, _key)`` — 24 bytes/row, text dropped.  PERSISTED
+    through the bounded session cache: both operators consume the frame
+    from 2 branches (count + flag-back join), and without the persist
+    each branch re-runs the tokenize+chunk build over the full text —
+    the multi-consumer rule from the shingle/tf projections applied to
+    windows."""
+    from pyspark.storagelevel import StorageLevel
+
+    from csv_etl_spark.operators.packing import chunk_documents
+
+    keyed = (
+        chunk_documents(
+            df,
+            chunk_tokens=span_tokens,
+            overlap=span_tokens - stride,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        .filter(F.col("n_chunk_tokens") == span_tokens)
+        .select(
+            F.col(id_col),
+            (F.col("chunk_id") * stride).cast("bigint").alias("_start"),
+            F.xxhash64("chunk_text").alias("_key"),
+        )
+    )
+    key = BoundedPersistCache.key_for(keyed, "span_windows")
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    if key is not None:
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE.put(key, keyed)
+    return keyed
+
+
 def duplicate_spans(
     df: DataFrame,
     span_tokens: int = 32,
@@ -838,19 +878,8 @@ def duplicate_spans(
     join, linear in corpus tokens / stride."""
     if stride <= 0 or stride > span_tokens:
         raise ValueError("need 0 < stride <= span_tokens")
-    from csv_etl_spark.operators.packing import chunk_documents
-
-    windows = chunk_documents(
-        df,
-        chunk_tokens=span_tokens,
-        overlap=span_tokens - stride,
-        text_col=text_col,
-        id_col=id_col,
-    ).filter(F.col("n_chunk_tokens") == span_tokens)
-    keyed = windows.select(
-        F.col(id_col),
-        (F.col("chunk_id") * stride).cast("bigint").alias("start_token"),
-        F.xxhash64("chunk_text").alias("_key"),
+    keyed = _keyed_windows(df, span_tokens, stride, text_col, id_col).select(
+        F.col(id_col), F.col("_start").alias("start_token"), "_key"
     )
     hot = (
         keyed.select(F.col(id_col), "_key")
@@ -891,20 +920,10 @@ def remove_duplicate_spans(
     vs suffix-array substring dedup."""
     if stride <= 0 or stride > span_tokens:
         raise ValueError("need 0 < stride <= span_tokens")
-    from csv_etl_spark.operators.packing import chunk_documents
     from csv_etl_spark.operators.text import ws_tokens as _wt
 
-    windows = chunk_documents(
-        df,
-        chunk_tokens=span_tokens,
-        overlap=span_tokens - stride,
-        text_col=text_col,
-        id_col=id_col,
-    ).filter(F.col("n_chunk_tokens") == span_tokens)
-    keyed = windows.select(
-        F.col(id_col).alias("_doc"),
-        (F.col("chunk_id") * stride).cast("bigint").alias("_start"),
-        F.xxhash64("chunk_text").alias("_key"),
+    keyed = _keyed_windows(df, span_tokens, stride, text_col, id_col).select(
+        F.col(id_col).alias("_doc"), "_start", "_key"
     )
     per_key = keyed.select("_doc", "_key").distinct().groupBy("_key").agg(
         F.count(F.lit(1)).alias("_nd"), F.min("_doc").alias("_keeper")
