@@ -4368,7 +4368,8 @@ _ORACLE_EVENTS_WINSORIZED = """
            b.value_lo, b.value_hi,
            round(greatest(least(CAST(e.value AS DOUBLE), b.value_hi),
                           b.value_lo), 6) AS value_wins
-    FROM events e JOIN b USING (event_type)
+    FROM events e JOIN b
+      ON e.event_type IS NOT DISTINCT FROM b.event_type
 """
 
 

@@ -36,6 +36,25 @@ class BoundedPersistCache:
         except Exception:
             return None
 
+    def get_or_persist(self, df: DataFrame, *tags) -> DataFrame:
+        """The get-or-persist idiom every multi-consumer projection uses,
+        in one place so no call site can forget the rules: return the
+        cached persisted frame for (df's plan, tags); otherwise persist
+        MEMORY_AND_DISK, register, and return it.  Untrackable plans
+        (key None) pass through UNPERSISTED — persisting without
+        registration would leak (the module-docstring hazard)."""
+        from pyspark.storagelevel import StorageLevel
+
+        key = self.key_for(df, *tags)
+        if key is None:
+            return df
+        cached = self.get(key)
+        if cached is not None:
+            return cached
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self.put(key, df)
+        return df
+
     def get(self, key: tuple | None) -> DataFrame | None:
         if key is None:
             return None

@@ -730,8 +730,6 @@ def incremental_dedup(
         .distinct()
     )
     if bloom:
-        from pyspark.storagelevel import StorageLevel
-
         from csv_etl_spark.operators.cleaning import (
             _bloom_bitmap,
             _bloom_might_contain,
@@ -743,13 +741,7 @@ def incremental_dedup(
         # normalize+hash+distinct over the full corpus.  Session-cached
         # (bounded, bench-invalidated) like the shingle projections; the
         # count below materializes it once, the other two read the cache.
-        key = BoundedPersistCache.key_for(seen, "incremental_seen")
-        cached = _SHINGLE_CACHE.get(key)
-        if cached is not None:
-            seen = cached
-        elif key is not None:
-            seen = seen.persist(StorageLevel.MEMORY_AND_DISK)
-            _SHINGLE_CACHE.put(key, seen)
+        seen = _SHINGLE_CACHE.get_or_persist(seen, "incremental_seen")
 
         expected = (
             bloom_expected_items if bloom_expected_items is not None else seen.count()
@@ -817,8 +809,6 @@ def _keyed_windows(
     each branch re-runs the tokenize+chunk build over the full text —
     the multi-consumer rule from the shingle/tf projections applied to
     windows."""
-    from pyspark.storagelevel import StorageLevel
-
     from csv_etl_spark.operators.packing import chunk_documents
 
     keyed = (
@@ -836,14 +826,7 @@ def _keyed_windows(
             F.xxhash64("chunk_text").alias("_key"),
         )
     )
-    key = BoundedPersistCache.key_for(keyed, "span_windows")
-    cached = _SHINGLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    if key is not None:
-        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-        _SHINGLE_CACHE.put(key, keyed)
-    return keyed
+    return _SHINGLE_CACHE.get_or_persist(keyed, "span_windows")
 
 
 def duplicate_spans(

@@ -246,8 +246,9 @@ def token_budget_select(
     the group's minimum global cumsum — an n_groups-row aggregate
     broadcast back.  Total cost: one range shuffle + one tiny agg,
     independent of group count or skew.  NULL ``by`` values form their
-    own group (internally keyed by a sentinel so the offset join is
-    null-safe); NULL/whitespace-only text counts 0 tokens."""
+    own group (range-sort places them in one contiguous block; the
+    offset join is null-safe ``<=>``); NULL/whitespace-only text counts
+    0 tokens."""
     from csv_etl_spark.operators.packing import with_global_cumsum
     from csv_etl_spark.operators.text import token_count
 
@@ -255,10 +256,6 @@ def token_budget_select(
     d = df.select(
         F.col(id_col),
         F.col(by),
-        # NULL-group sentinel: plain join on `by` would drop NULL-group
-        # rows (null != null); \\x00 prefix keeps it out of realistic
-        # group-name space
-        F.coalesce(F.col(by).cast("string"), F.lit("\x00<null>")).alias("_grp"),
         # greatest(...,0): NULL text must count 0 tokens, not NULL/-1 —
         # a non-monotonic value would corrupt the min-offset recovery
         F.greatest(token_count(F.col(text_col)), F.lit(0))
@@ -266,11 +263,18 @@ def token_budget_select(
         .alias("n_tokens"),
         okey.alias("_okey"),
     )
-    c = with_global_cumsum(d, "n_tokens", ["_grp", "_okey"], out_col="_gcum")
-    group_off = c.groupBy("_grp").agg(F.min("_gcum").alias("_goff"))
+    # tuple order on the REAL group column (NULLs range-sort first as
+    # their own contiguous block; -0.0/0.0 order-equal so they form one
+    # block, matching the groupBy below); offsets join back null-safely.
+    c = with_global_cumsum(d, "n_tokens", [by, "_okey"], out_col="_gcum")
+    group_off = (
+        c.groupBy(by)
+        .agg(F.min("_gcum").alias("_goff"))
+        .select(F.col(by).alias("_gb"), "_goff")
+    )
     cum = F.col("_gcum") - F.col("_goff") + F.col("n_tokens")
     return (
-        c.join(F.broadcast(group_off), "_grp")
+        c.join(F.broadcast(group_off), F.col(by).eqNullSafe(F.col("_gb")))
         .withColumn("cum_tokens", cum.cast("long"))
         .filter(F.col("cum_tokens") <= budget)
         .select(F.col(id_col), F.col(by), F.col("n_tokens"), F.col("cum_tokens"))

@@ -258,22 +258,21 @@ def winsorize(
 
     if keys:
         # NULL-group rows must survive ("preserving row count" is the
-        # contract): a plain inner join on the keys drops them (null !=
-        # null), so bound lookup runs on sentinel-coalesced internal keys
-        grp_cols = [
-            F.coalesce(F.col(k).cast("string"), F.lit("\x00<null>")).alias(f"_wg_{i}")
-            for i, k in enumerate(keys)
-        ]
-        grp_names = [f"_wg_{i}" for i in range(len(keys))]
-        bounds = (
-            df.select(*grp_cols, v.alias("_wv"))
-            .groupBy(*grp_names)
-            .agg(*agg_of(F.col("_wv")))
+        # contract), and grouping must keep SQL GROUP BY semantics (e.g.
+        # -0.0 and 0.0 are ONE group — a stringified sentinel key would
+        # split them): group on the real columns, join back null-safely
+        # with <=> against renamed bound keys.
+        bounds = df.groupBy(*keys).agg(*agg_of(v)).select(
+            *[F.col(k).alias(f"_wk_{i}") for i, k in enumerate(keys)],
+            "_w_lo",
+            "_w_hi",
         )
-        joined = (
-            df.select("*", *grp_cols)
-            .join(F.broadcast(bounds), grp_names)
-            .drop(*grp_names)
+        cond = None
+        for i, k in enumerate(keys):
+            c = F.col(k).eqNullSafe(F.col(f"_wk_{i}"))
+            cond = c if cond is None else (cond & c)
+        joined = df.join(F.broadcast(bounds), cond).drop(
+            *[f"_wk_{i}" for i in range(len(keys))]
         )
     else:
         bounds = df.agg(*agg_of(v))

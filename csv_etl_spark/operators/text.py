@@ -485,19 +485,9 @@ def tfidf_top_terms(
     # measured plan), so without a persist the tokenize+explode+groupBy
     # runs twice.  Same session-cache discipline as the shingle/LSH
     # projections.
-    from pyspark.storagelevel import StorageLevel
-
-    from csv_etl_spark.operators._cache import BoundedPersistCache
-
     # shared tag: bm25_top_terms builds the IDENTICAL (doc, token) tf
     # aggregate — one persisted frame serves both operators in a session
-    key = BoundedPersistCache.key_for(tf, "doc_token_tf")
-    cached = _TF_CACHE.get(key)
-    if cached is not None:
-        tf = cached
-    elif key is not None:
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-        _TF_CACHE.put(key, tf)
+    tf = _TF_CACHE.get_or_persist(tf, "doc_token_tf")
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     n = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     scored = (
@@ -548,20 +538,12 @@ def bm25_top_terms(
     aggregate is shared through the same session persist cache (it feeds
     df, dl, and the score join).  Engine-portable: identical doubles into
     ln/division on both engines, scores rounded to 6, token tiebreak."""
-    from pyspark.storagelevel import StorageLevel
-
     toks = ws_tokens(F.col(text_col))
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
     pairs = df.select(F.col(id_col), F.explode(toks).alias("token"))
     tf = pairs.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    key = _TF_BPC.key_for(tf, "doc_token_tf")  # shared with tfidf_top_terms
-    cached = _TF_CACHE.get(key)
-    if cached is not None:
-        tf = cached
-    elif key is not None:
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-        _TF_CACHE.put(key, tf)
+    tf = _TF_CACHE.get_or_persist(tf, "doc_token_tf")  # shared with tfidf
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("double").alias("_dl"))
     # N needs the raw frame (empty docs count toward avgdl's denominator)
@@ -622,8 +604,6 @@ def lm_score_buckets(
     sketch-sized state (same switch discipline as ``length_outliers``).
     Boundaries and scores are pre-rounded to 6 decimals so bucket
     membership compares identical doubles on every engine."""
-    from pyspark.storagelevel import StorageLevel
-
     p_lo, p_hi = float(probs[0]), float(probs[1])
     scored = unigram_logprob(df, text_col=text_col, id_col=id_col).join(
         df.select(F.col(id_col), F.col(by)), id_col
@@ -633,13 +613,7 @@ def lm_score_buckets(
     # not reuse the aggregate across branches) — persist the doc-sized
     # (id, group, score) frame, same session-cache discipline as the
     # tf/shingle projections.
-    key = _TF_BPC.key_for(scored, "lm_buckets_scored")
-    cached = _TF_CACHE.get(key)
-    if cached is not None:
-        scored = cached
-    elif key is not None:
-        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-        _TF_CACHE.put(key, scored)
+    scored = _TF_CACHE.get_or_persist(scored, "lm_buckets_scored")
     pct = (
         F.percentile(F.col("avg_logprob"), F.array(F.lit(p_lo), F.lit(p_hi)))
         if exact
@@ -964,13 +938,24 @@ def dsir_importance(
     t_exploded = target.select(F.explode(t_toks).alias("_tok"))
 
     c_counts = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_nc"))
+    # c_counts feeds the scalar agg AND the scoring join (vocab-sized) —
+    # multi-consumer persist rule; the exploded token stream itself stays
+    # unpersisted (the documented unigram trade: re-scanning columnar
+    # parquet beats spilling a ~10x token stream)
+    c_counts = _TF_CACHE.get_or_persist(c_counts, "dsir_corpus_counts")
     t_counts = t_exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_nt"))
     scalars = (
         c_counts.agg(
             F.sum("_nc").cast("double").alias("_totc"),
             F.count(F.lit(1)).cast("double").alias("_v"),
         )
-        .crossJoin(t_counts.agg(F.sum("_nt").cast("double").alias("_tott")))
+        # coalesce like the oracle: an empty/whitespace-only target must
+        # yield real OOV penalties (tott = 0), not NULL-poisoned scores
+        .crossJoin(
+            t_counts.agg(
+                F.coalesce(F.sum("_nt"), F.lit(0)).cast("double").alias("_tott")
+            )
+        )
     )
     k = F.lit(float(k_smooth))
     # per-token log ratio, rounded to 6 BEFORE the sum (cross-engine ulp
