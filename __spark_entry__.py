@@ -4499,6 +4499,68 @@ _ORACLE_DSIR_SELECTION = """
 """
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus summary (text.corpus_report): docs, tokens,
+    mean quality, English fraction, exact-normalized duplicate fraction
+    — one metric projection + one groupBy.  Duplicates are PLANTED like
+    corpus_curation's (every 20th doc reappears uppercased+punctuated
+    under a shifted id) so dup_frac is demonstrably non-zero."""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text", "source"
+    )
+    planted = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+        F.col("source"),
+    )
+    return text.corpus_report(d.unionByName(planted), by="source")
+
+
+_ORACLE_CORPUS_REPORT = f"""
+    WITH aug AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id, upper(text) || ' !!!' AS text, source
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    t AS (
+      SELECT source, text,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                  '\\s+', ' ', 'g')) AS norm_text
+      FROM aug
+    ),
+    m AS (
+      SELECT source, norm_text,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> list_contains([{_SW}], lower(x)))) AS sw_hits,
+             len(list_filter(toks, x -> list_contains([{_RO}], lower(x)))) AS ro_hits,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+      FROM t
+    ),
+    s AS (
+      SELECT source, norm_text, n_tokens,
+             round((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                    + least(CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens
+                                 ELSE 0.0 END * 4.0, 1.0)) / 2.0
+                   * (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+                                       ELSE 0.0 END * 2.0, 1.0) * 0.5), 6) AS quality,
+             CASE WHEN sw_hits > ro_hits AND sw_hits >= 2 THEN 1 ELSE 0 END AS en
+      FROM m
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(quality), 6) AS mean_quality,
+           round(CAST(sum(en) AS DOUBLE) / count(*), 6) AS english_frac,
+           round(1.0 - CAST(count(DISTINCT norm_text) AS DOUBLE) / count(*), 6)
+             AS dup_frac
+    FROM s GROUP BY source
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE-style phrase-merge training (text.phrase_merges,
     k=8): each round's winning pair depends on the previous round's
@@ -4571,7 +4633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    Round-robin discipline: every query keeps a driver row at most two
     #    rounds old — the rotated-out section below lists all 22 displaced
     #    entries (verified count), every one r6-green and due back by r8.
-    #    ALL 113 registry entries (111 with oracles; distinct_users_approx
+    #    ALL 114 registry entries (112 with oracles; distinct_users_approx
     #    and bpe_merges are rows-only by design) remain oracle-checked
     #    locally via
     #    scripts/check_oracle.py regardless of position.  Update these
@@ -4657,9 +4719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "corpus_decontaminate": q_corpus_decontaminate,
         "sample_by_quality": q_sample_by_quality,
-        # ---- late round-7 addition: past-window (window full); locally
-        # oracle-checked now, first driver row when it rotates in r8 ----
+        # ---- late round-7 additions: past-window (window full); locally
+        # oracle-checked now, first driver rows when they rotate in r8 ----
         "dsir_selection": q_dsir_selection,
+        "corpus_report": q_corpus_report,
         # ---- entries below are past the driver's 50-query window (all with
         # green driver rows in CORRECTNESS_r05 or earlier, or locally
         # oracle-verified; machinery represented by in-window siblings) ----
@@ -4792,6 +4855,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap": _ORACLE_INTERVAL_OVERLAP,
         "remove_dup_spans": _ORACLE_REMOVE_DUP_SPANS,
         "dsir_selection": _ORACLE_DSIR_SELECTION,
+        "corpus_report": _ORACLE_CORPUS_REPORT,
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

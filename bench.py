@@ -106,6 +106,7 @@ HEADLINE = [
     "interval_overlap",
     "remove_dup_spans",
     "dsir_selection",
+    "corpus_report",
     # iterative trainer: ~1.5s/round x 8 rounds of fixed job overhead at
     # local scale — by far the heaviest headline entry, expected and
     # documented (per-round cost is job scheduling, not data volume)

@@ -990,3 +990,48 @@ def dsir_importance(
             F.round(F.coalesce(F.col("_li"), F.lit(0.0)), 6).alias("log_importance"),
         )
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group corpus summary — the dataset-card numbers in ONE call:
+    ``(by, n_docs, n_tokens, mean_quality, english_frac, dup_frac)``,
+    where ``dup_frac`` is the exact-normalized-duplicate fraction
+    (1 − distinct normalized texts / docs).  This is the composition a
+    release audit or a mixing decision starts from — the same metrics the
+    curation pipeline gates on, aggregated instead of filtered.
+
+    Scale shape: one map-only metric projection + ONE groupBy on the
+    group key; the duplicate count rides the same aggregate as a
+    count_distinct over 8-byte normalized-text hashes (the documented
+    ~n²/2⁶⁵ collision trade of the exact-dedup family — the text never
+    shuffles).  Distinct-per-group state is bounded by group size; for
+    groups beyond memory comfort the same approx_count_distinct switch
+    as profile_table applies."""
+    c = F.col(text_col)
+    # normalize_text's spelling (dedup.py), inlined: text.py is imported
+    # BY dedup/cleaning, so importing back would cycle
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\w\s]", ""), r"\s+", " ")
+    )
+    m = df.select(
+        F.col(by),
+        token_count(c).alias("_nt"),
+        quality_score(c).alias("_q"),
+        (lang_id(c) == "en").cast("int").alias("_en"),
+        F.xxhash64(norm).alias("_nh"),
+    )
+    n = F.count(F.lit(1))
+    return m.groupBy(by).agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("_q"), 6).alias("mean_quality"),
+        F.round(F.sum("_en") / n, 6).alias("english_frac"),
+        F.round(F.lit(1.0) - F.count_distinct(F.col("_nh")) / n, 6).alias(
+            "dup_frac"
+        ),
+    )

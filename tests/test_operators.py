@@ -2230,3 +2230,23 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     again = {r["doc_id"]: r["log_importance"]
              for r in dsir_importance(corpus.repartition(7), target).collect()}
     assert {k: v["log_importance"] for k, v in out.items()} == again
+
+
+def test_corpus_report_summary(spark):
+    from csv_etl_spark.operators.text import corpus_report
+
+    rows = [
+        (1, "the cat sat on the mat with a hat", "a"),
+        (2, "THE CAT SAT ON THE MAT, WITH A HAT!", "a"),  # normalized dup of 1
+        (3, "el la de que y le un una les si", "a"),       # non-English
+        (4, "the dog and the fox are in the box", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in corpus_report(df).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 3 and a["n_tokens"] == 9 + 9 + 10
+    assert a["dup_frac"] == pytest.approx(round(1 - 2 / 3, 6))
+    assert a["english_frac"] == pytest.approx(round(2 / 3, 6))
+    b = out["b"]
+    assert b["n_docs"] == 1 and b["dup_frac"] == 0.0 and b["english_frac"] == 1.0
+    assert 0.0 <= a["mean_quality"] <= 1.0
