@@ -148,8 +148,21 @@ def interval_overlap_join(
     ``max_buckets_per_interval`` guards the explode: one year-long
     interval at 1-second buckets would fan out 31M rows silently; the
     plan raises instead (assert_true), telling the caller to widen the
-    bucket.  Returns ``(*keys, left_id, right_id, overlap_start,
-    overlap_end, overlap_seconds)``."""
+    bucket.
+
+    Degenerate intervals (``end <= start``, including zero-length
+    points) MATCH NOTHING, by construction: they explode into an empty
+    bucket array, so they never reach the equijoin.  This is the
+    consistent half-open reading — a zero-length ``[t, t)`` is the empty
+    set, and the empty set intersects nothing, even when ``t`` lies
+    strictly inside a partner interval (``l.start < r.end AND
+    r.start < l.end`` alone WOULD pair it; the bucket plan deliberately
+    does not).  Inverted intervals are treated as malformed rows and
+    likewise dropped rather than raised: at 100 TB a handful of bad rows
+    must not kill the job, and a pre-filter can count them if the caller
+    cares.  Pinned by ``test_interval_overlap_degenerate_intervals``.
+    Returns ``(*keys, left_id, right_id, overlap_start, overlap_end,
+    overlap_seconds)``."""
 
     def prep(df: DataFrame, id_col: str, side: str) -> DataFrame:
         s = F.unix_timestamp(F.col(start_col)).cast("long")

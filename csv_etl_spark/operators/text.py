@@ -827,7 +827,11 @@ def phrase_merges(
     map-only merge pass — the merge is a single JVM ``regexp_replace``
     over the SEP-joined token stream (left-to-right non-overlapping
     replacement is exactly the greedy BPE merge order), with both tokens
-    ``\\Q..\\E``-quoted.  State between rounds is localCheckpoint-ed
+    quoted via Python ``re.escape`` — which never backslashes
+    alphanumerics, so every escape it emits (``\\(``, ``\\+``, …) is a
+    literal-char escape Java's Pattern also accepts; safe here because
+    whitespace tokenization guarantees tokens contain no whitespace, the
+    one class where the two engines' escape alphabets diverge.  State between rounds is localCheckpoint-ed
     (eager), the same lineage-truncation discipline as the CC resolver:
     persist alone would keep round k's plan containing rounds 1..k-1
     until analysis overflows.  Driver traffic: k single rows."""

@@ -5,9 +5,12 @@ exponent per decade (t = c * n^alpha; alpha = log10(t_big/t_small) per
 10x step).  alpha ~ 1 is linear; alpha >> 1 means a super-linear shuffle
 or buffer is hiding somewhere and would bite at 100 TB.
 
-Writes BENCHNOTES_r6_sf1.json at the repo root.
+Writes the JSON named by --out at the repo root; --out is REQUIRED so a
+run can never silently clobber a previous round's scale-evidence file
+(round-8 ADVICE fix — the old default overwrote BENCHNOTES_r6_sf1.json).
 
-Usage: python scripts/gen_scale_docs.py && python scripts/scale_bench.py
+Usage: python scripts/gen_scale_docs.py &&
+       python scripts/scale_bench.py --out BENCHNOTES_r8_sf1.json [query ...]
 """
 
 from __future__ import annotations
@@ -110,13 +113,19 @@ def main() -> None:
     # (a subset run measures only the named queries — used to extend the
     # scale evidence to new operators without re-timing the whole matrix)
     args = sys.argv[1:]
-    out_name = "BENCHNOTES_r6_sf1.json"
-    if "--out" in args:
-        i = args.index("--out")
-        if i + 1 >= len(args):
-            raise SystemExit("usage: scale_bench.py [--out FILE.json] [query ...]")
-        out_name = args[i + 1]
-        args = args[:i] + args[i + 2:]
+    # --out is mandatory: a defaulted filename once clobbered the r6
+    # evidence file with r7 data (ADVICE r8) — fail loudly instead.
+    if "--out" not in args:
+        raise SystemExit(
+            "usage: scale_bench.py --out FILE.json [query ...] "
+            "(--out is required so historical BENCHNOTES files cannot "
+            "be overwritten by accident)"
+        )
+    i = args.index("--out")
+    if i + 1 >= len(args):
+        raise SystemExit("usage: scale_bench.py --out FILE.json [query ...]")
+    out_name = args[i + 1]
+    args = args[:i] + args[i + 2:]
     selected = {q: m for q, m in QUERIES.items() if not args or q in args}
     unknown = [a for a in args if a not in QUERIES]
     if unknown:

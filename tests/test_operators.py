@@ -1795,7 +1795,9 @@ def test_lm_score_buckets_are_group_monotone(spark):
         for i in range(9):
             # vary rarity: docs with more unique tokens score lower
             uniq = " ".join(f"{g}rare{i}x{j}" for j in range(i))
-            rows.append((hash((g, i)) % 10_000 + i * 10_000, f"{base} {uniq}".strip(), g))
+            # deterministic ids (ADVICE r8: hash() is per-run randomized
+            # and could collide across groups, flaking the length check)
+            rows.append((ord(g) * 100_000 + i, f"{base} {uniq}".strip(), g))
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     out = text.lm_score_buckets(df, by="source").collect()
     assert len(out) == len(rows)
@@ -2131,6 +2133,44 @@ def test_interval_overlap_join_matches_naive(spark):
             huge, right, keys=["user_id"], left_id="lid", right_id="rid",
             bucket_seconds=60, max_buckets_per_interval=1000,
         ).count()
+
+
+def test_interval_overlap_degenerate_intervals(spark):
+    """Zero-length and inverted intervals match NOTHING (documented
+    half-open semantics: [t, t) is the empty set), even when the point
+    lies strictly inside a partner interval (round-8 ADVICE pin)."""
+    from datetime import datetime, timedelta
+
+    from csv_etl_spark.operators.joins import interval_overlap_join
+
+    base = datetime(2024, 1, 1)
+
+    def iv(uid, iid, s_min, e_min):
+        return (uid, iid, base + timedelta(minutes=s_min), base + timedelta(minutes=e_min))
+
+    left = spark.createDataFrame(
+        [
+            iv(1, 10, 30, 30),   # zero-length point inside right-20
+            iv(1, 11, 50, 40),   # inverted: malformed, dropped
+            iv(1, 12, 10, 35),   # sane interval: the control pair
+        ],
+        ["user_id", "lid", "start", "end"],
+    )
+    right = spark.createDataFrame(
+        [iv(1, 20, 0, 60)], ["user_id", "rid", "start", "end"]
+    )
+    out = interval_overlap_join(
+        left, right, keys=["user_id"], left_id="lid", right_id="rid",
+        bucket_seconds=600,
+    ).collect()
+    got = {(r["lid"], r["rid"]) for r in out}
+    assert got == {(12, 20)}  # point + inverted rows paired with nothing
+    # symmetric: degenerate rows on the RIGHT side match nothing either
+    out2 = interval_overlap_join(
+        right, left, keys=["user_id"], left_id="rid", right_id="lid",
+        bucket_seconds=600,
+    ).collect()
+    assert {(r["rid"], r["lid"]) for r in out2} == {(20, 12)}
 
 
 def test_remove_duplicate_spans_keeps_lowest_doc(spark):
