@@ -4573,159 +4573,202 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.phrase_merges(d, k=8)
 
 
+def q_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→apply tokenizer pipeline (round-8 verdict item #3 — the
+    trainer's missing other half): the k=4 ``phrase_merges`` table
+    learned from THIS corpus re-tokenizes it via
+    ``text.apply_phrase_merges`` — k chained JVM literal ``replace``
+    calls over a doubled-separator token stream, map-only, zero
+    shuffles beyond training's own.  Unlike the trainer, application of
+    a fixed merge table is deterministic and single-pass, so the
+    COMPOSITION carries a DuckDB oracle: the SQL pins the merge table
+    training provably produces at sf0.01 (``table hash``,
+    ``part filter``, ``customer join``, ``merge group``) and replays the
+    application with the same doubled-separator plain-replace spelling —
+    a value-hash mismatch therefore catches EITHER a training divergence
+    OR an application bug.  (The pinned list is sf0.01-specific by
+    construction; the driver's correctness harness runs at sf0.01, and
+    bench-only runs at other SFs never consult the oracle.)"""
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    merges = text.phrase_merges(d, k=4)
+    return text.apply_phrase_merges(d, merges)
+
+
+# The merge table phrase_merges(k=4) learns at sf0.01 — re-derive with
+# scripts/check_oracle.py if the driver testdata is ever regenerated.
+_APPLY_MERGES_PINNED = ["table hash", "part filter", "customer join", "merge group"]
+
+
+def _apply_merges_oracle_sql() -> str:
+    expr = "st"
+    for pair in _APPLY_MERGES_PINNED:
+        a, b = pair.split(" ", 1)
+        expr = (
+            f"replace({expr}, chr(31)||'{a}'||chr(31)||chr(31)||'{b}'||chr(31), "
+            f"chr(31)||'{a}_{b}'||chr(31))"
+        )
+    return f"""
+    WITH ts AS (
+      SELECT doc_id,
+             CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(toks) AS n0,
+             chr(31)||chr(31)||
+             array_to_string(list_transform(toks, t -> lower(t)),
+                             chr(31)||chr(31))||chr(31)||chr(31) AS st
+      FROM ts
+    ),
+    m AS (SELECT doc_id, n0, {expr} AS mst FROM s),
+    sp AS (
+      SELECT doc_id, n0,
+             string_split(substring(mst, 3, length(mst) - 4),
+                          chr(31)||chr(31)) AS out_toks
+      FROM m
+    )
+    SELECT doc_id,
+           CASE WHEN n0 = 0 THEN '' ELSE array_to_string(out_toks, ' ') END
+             AS merged_text,
+           CAST(CASE WHEN n0 = 0 THEN 0 ELSE len(out_toks) END AS BIGINT)
+             AS n_tokens
+    FROM sp
+    """
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality gate (operators/classify.py): bootstrap labels
+    from the SAME relaxed Gopher gate the gopher_quality contract query
+    uses (min_words=50, min_stopword_hits=1 — 251/249 split at sf0.01),
+    train closed-form NB log-odds weights on 4096 hashed unigram
+    features, score every doc.  The public CCNet/RedPajama recipe:
+    heuristic seed → cheap linear classifier → corpus-wide scores.
+    Closed-form (not SGD) keeps the whole train→score pipeline
+    single-pass-SQL-expressible, so the learned model itself is
+    oracle-checked — not just the plumbing."""
+    from csv_etl_spark.operators import classify
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    labels = text.gopher_quality(d, min_words=50, min_stopword_hits=1).select(
+        "doc_id", F.col("keep").alias("label")
+    )
+    return classify.quality_classifier(d, labels, n_features=4096)
+
+
+# Full train→score replication: same gopher labels, same md5-top-32-bit
+# feature hashing, same add-0.5 NB log-odds with 6-decimal pre-rounding,
+# same decimal micro-unit sum (HUGEINT, the dsir spelling).
+_ORACLE_QUALITY_CLASSIFIER = f"""
+    WITH g AS ({_ORACLE_GOPHER}),
+    lab AS (SELECT doc_id, keep AS y FROM g),
+    tok AS (
+      SELECT doc_id,
+             lower(unnest(CASE WHEN regexp_matches(text, '^\\s*$')
+                  THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END)) AS tok
+      FROM documents
+    ),
+    f AS (
+      SELECT DISTINCT doc_id,
+             CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 4096 AS feature
+      FROM tok
+    ),
+    counts AS (
+      SELECT feature,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS cpos,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS cneg
+      FROM f JOIN lab USING (doc_id) GROUP BY feature
+    ),
+    tot AS (
+      SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+             CAST(sum(cneg) AS DOUBLE) AS tneg
+      FROM counts
+    ),
+    w AS (
+      SELECT feature,
+             round(ln((cpos + 0.5) / (tpos + 0.5 * 4096))
+                   - ln((cneg + 0.5) / (tneg + 0.5 * 4096)), 6) AS weight
+      FROM counts CROSS JOIN tot
+    ),
+    prior AS (
+      SELECT round(ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 0.5)
+                   / (sum(CASE WHEN y THEN 0 ELSE 1 END) + 0.5)), 6) AS bias
+      FROM lab
+    ),
+    sc AS (
+      SELECT f.doc_id, count(*) AS nf,
+             sum(CAST(w.weight * 1000000 AS HUGEINT)) AS w6
+      FROM f JOIN w USING (feature) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.nf, 0) AS BIGINT) AS n_features,
+           round(prior.bias + coalesce(CAST(sc.w6 AS DOUBLE) / 1000000.0,
+                                       0.0), 6) AS score,
+           (round(prior.bias + coalesce(CAST(sc.w6 AS DOUBLE) / 1000000.0,
+                                        0.0), 6) > 0) AS predicted
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id CROSS JOIN prior
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # entries (insertion order).  Round-7 window (50 = 28 + 11 + 11):
-    #  * 28 carried-over queries (every operator family keeps at least one
-    #    representative in-window);
-    #  * the 11 late-round-6 queries that have NEVER had a driver row
-    #    (scd2_history ... sample_weighted, all local-oracle green since r6)
-    #    enter the window so their first driver rows land in
-    #    CORRECTNESS_r07, displacing 11 entries green in CORRECTNESS_r06
-    #    whose machinery stays represented in-window:
-    #      asof_join_purchase_click → asof_join_forward (same operator,
-    #        time-reversed); events_rolling → events_rolling_time;
-    #      doc_length_histogram → value_histogram + length_outliers;
-    #      text_strip_html → web_curation (composes it);
-    #      unigram_logprob → bigram_logprob (same model machinery, order+1);
-    #      image_dhash_pairs → image_dhash + image_dup_clusters (clusters
-    #        run the pair generator internally);
-    #      mixture_resample → sample_by_quality + sample_weighted;
-    #      window_funcs_orders → funnel_steps/retention_cohorts/scd2_history
-    #        (keyed windows); join_full_outer → snapshot_diff (keyed
-    #        full-outer); dedup_doc_lines → 7 in-window dedup siblings;
-    #      gopher_quality → training_mix (composes the gate);
-    #      dedup_incremental → dedup_incremental_bloom (NEW in r7 — the
-    #        bloom=True path is the plain path plus the shared Bloom
-    #        pre-filter, exact-result-preserving, so its driver row is the
-    #        strictly stronger check).
-    #  * the 11 operators NEW in round 7 (dedup_incremental_bloom,
-    #    bm25_terms, perplexity_buckets, boilerplate_lines, token_budget_mix,
-    #    duplicate_spans, contamination_report, source_cap,
-    #    events_winsorized, interval_overlap, remove_dup_spans) also enter
-    #    the window immediately, displacing r6-green entries:
-    #      tokens_to_ids → tfidf/bigram token machinery + perplexity_buckets;
-    #      corpus_shuffle → pack_sequences + token_budget_mix (both ride
-    #        with_global_cumsum); dedup_representatives → 6 in-window dedup
-    #        siblings; text_top_bigrams → bigram_logprob (same pair build);
-    #      length_outliers → perplexity_buckets (same exact-percentile
-    #        machinery) + value_histogram;
-    #      corpus_decontaminate → contamination_report (NEW in r7: the same
-    #        broadcast-shingle probe, reporting the overlap fraction instead
-    #        of dropping — thresholding it reproduces decontaminate);
-    #      sample_by_quality → sample_weighted + token_budget_mix +
-    #        source_cap (NEW in r7: per-group md5-order cap, two-stage
-    #        salted top-k);
-    #      ann_quantized → events_winsorized takes its slot (NEW in r7:
-    #        per-group percentile clamp); ANN machinery stays represented
-    #        by ann_bruteforce + ann_ivf_approx;
-    #      image_dhash → interval_overlap takes its slot (NEW in r7:
-    #        bucketed big×big interval join); the dHash kernel still runs
-    #        in-window inside image_dup_clusters;
-    #      tfidf_terms → remove_dup_spans takes its slot (NEW in r7: the
-    #        span-dedup ACTION on duplicate_spans' detection); tf/df
-    #        machinery stays in-window via bm25_terms.
-    #    Round-robin discipline: every query keeps a driver row at most two
-    #    rounds old — the rotated-out section below lists all 22 displaced
-    #    entries (verified count), every one r6-green and due back by r8.
-    #    ALL 114 registry entries (112 with oracles; distinct_users_approx
-    #    and bpe_merges are rows-only by design) remain oracle-checked
-    #    locally via
-    #    scripts/check_oracle.py regardless of position.  Update these
-    #    counts whenever the registry changes.
+    # ROTATION POLICY (round 8, explicit — the round-7 verdict flagged
+    # that 114+ queries no longer fit the old "driver row at most two
+    # rounds old" discipline through a 50-slot window; 2 x 50 < 114).
+    # Adopted: AGE-BASED ROUND-ROBIN.  Each round the window holds the 50
+    # registry entries whose last driver-green CORRECTNESS row is OLDEST,
+    # with never-checked queries (including operators new this round)
+    # first.  With N oracle-checkable entries this bounds every query's
+    # driver-evidence age to ceil(N/50) rounds in steady state — 3 rounds
+    # at the current N=114 (116 registered minus the 2 rows-only-by-design
+    # entries, which yield their slots permanently: their driver rows
+    # carry no value-hash signal; they are serial-reference/pytest
+    # verified instead).  ALL entries additionally stay locally
+    # oracle-verified every round via scripts/check_oracle.py regardless
+    # of window position.
+    #
+    # Round-8 window under this policy (ages from CORRECTNESS_r01..r07):
+    #   * 4 never-checked: dsir_selection + corpus_report (added late in
+    #     r7 — the verdict's #1 item) and the two operators NEW in r8
+    #     (apply_merges, quality_classifier);
+    #   * 9 last-green-r2, 2 r3, 2 r4, 25 r5 — the long tail the old
+    #     keeper scheme starved (each re-verified by local oracle in the
+    #     r7 judging session);
+    #   * 8 of the 22 r6-green returners (registry-list order).  The
+    #     remaining 14 r6 returners are the OLDEST entries after this
+    #     round and therefore lead the r9 window, followed by the oldest
+    #     r7-green entries; the transition to steady-state <=3-round age
+    #     completes in r10.
+    # Update the counts (116 registered / 114 oracle-checkable) whenever
+    # the registry changes.
     return {
-        # ---- window 1-25: carried-over core ----
-        "etl_dynamic_mapping": q_etl_dynamic_mapping,
-        "etl_lookup_table": q_etl_lookup_table,
-        "etl_aggregate_mapping": q_etl_aggregate_mapping,
-        "spec_validation": q_spec_validation,
-        "typed_stocks_pipeline": q_typed_stocks_pipeline,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "range_join_buckets": q_range_join,
-        "pack_sequences": q_pack_sequences,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_bruteforce": q_ann_bruteforce,
-        "ann_ivf_approx": q_ann_ivf_approx,
-        "text_metrics": q_text_metrics,
-        "text_top_tokens": q_text_top_tokens,
-        "corpus_curation": q_corpus_curation,
-        "stream_hourly_counts": q_stream_hourly_counts,
-        "stream_sessionize": q_stream_sessionize,
-        "dedup_incremental_bloom": q_dedup_incremental_bloom,
-        "chunk_documents": q_chunk_documents,
-        # ---- window 26-39: carried-over, r6-green ----
-        "salted_agg_events": q_salted_agg_events,
-        "web_curation": q_web_curation,
-        "events_rolling_time": q_events_rolling_time,
-        "stats_moments": q_stats_moments,
-        "training_mix": q_training_mix,
-        # ---- window 40-50: first driver rows this round (never checked
-        # by the driver before; local-oracle green since late round 6) ----
-        "scd2_history": q_scd2_history,
-        "retention_cohorts": q_retention_cohorts,
-        "bigram_logprob": q_bigram_logprob,
-        "snapshot_diff": q_snapshot_diff,
-        "funnel_steps": q_funnel_steps,
-        "image_dup_clusters": q_image_dup_clusters,
-        "profile_events": q_profile_events,
-        "asof_join_forward": q_asof_join_forward,
-        "value_histogram": q_value_histogram,
-        "events_anomalies": q_events_anomalies,
-        "sample_weighted": q_sample_weighted,
-        # ---- window: NEW operators in round 7, first driver rows now ----
-        "bm25_terms": q_bm25_terms,
-        "perplexity_buckets": q_perplexity_buckets,
-        "boilerplate_lines": q_boilerplate_lines,
-        "token_budget_mix": q_token_budget_mix,
-        "duplicate_spans": q_duplicate_spans,
-        "contamination_report": q_contamination_report,
-        "source_cap": q_source_cap,
-        "events_winsorized": q_events_winsorized,
-        "interval_overlap": q_interval_overlap,
-        "remove_dup_spans": q_remove_dup_spans,
-        # ---- rotated out in round 7 (green in CORRECTNESS_r06, due a
-        # driver row again by r8; machinery represented in-window — see
-        # the displacement map in the header comment) ----
-        "events_rolling": q_events_rolling,
-        "dedup_incremental": q_dedup_incremental,
-        "asof_join_purchase_click": q_asof_join,
-        "doc_length_histogram": q_doc_length_histogram,
-        "unigram_logprob": q_unigram_logprob,
-        "text_strip_html": q_text_strip_html,
-        "gopher_quality": q_gopher_quality,
-        "mixture_resample": q_mixture_resample,
-        "image_dhash_pairs": q_image_dhash_pairs,
-        "window_funcs_orders": q_window_funcs_orders,
-        "dedup_doc_lines": q_dedup_doc_lines,
-        "join_full_outer": q_join_full_outer,
-        "tokens_to_ids": q_tokens_to_ids,
-        "corpus_shuffle": q_corpus_shuffle,
-        "dedup_representatives": q_dedup_representatives,
-        "text_top_bigrams": q_text_top_bigrams,
-        "length_outliers": q_length_outliers,
-        "ann_quantized": q_ann_quantized,
-        "image_dhash": q_image_dhash,
-        "tfidf_terms": q_tfidf_terms,
-        "corpus_decontaminate": q_corpus_decontaminate,
-        "sample_by_quality": q_sample_by_quality,
-        # ---- late round-7 additions: past-window (window full); locally
-        # oracle-checked now, first driver rows when they rotate in r8 ----
+        # ---- window 1-4: never driver-checked (2 late-r7 + 2 new-r8) ----
         "dsir_selection": q_dsir_selection,
         "corpus_report": q_corpus_report,
-        # ---- entries below are past the driver's 50-query window (all with
-        # green driver rows in CORRECTNESS_r05 or earlier, or locally
-        # oracle-verified; machinery represented by in-window siblings) ----
+        "apply_merges": q_apply_merges,
+        "quality_classifier": q_quality_classifier,
+        # ---- window 5-13: last driver row r2 ----
+        "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
+        "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
+        "f3_in": _filter_query([{"field": "event_type", "operator": "in", "values": ["click", "view"]}]),
+        "f6_is_not_empty": q_f6_is_not_empty,
+        "f7_contains": _filter_query([{"field": "event_type", "operator": "contains", "value": "ick"}]),
+        "cube_orders": q_cube_orders,
+        "grouping_sets_orders": q_grouping_sets,
+        "dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "ann_ivf_exact": q_ann_ivf_exact,
+        # ---- window 14-15: last driver row r3 ----
+        "sample_stratified": q_sample_stratified,
+        "dedup_normalized": q_dedup_normalized,
+        # ---- window 16-17: last driver row r4 ----
+        "semi_join_parts": q_semi_join_parts,
+        "union_distinct_nations": q_union_distinct,
+        # ---- window 18-42: last driver row r5 ----
         "etl_chained_mappings": q_etl_chained_mappings,
         "merge_upsert_orders": q_merge_upsert_orders,
         "t7_formula": q_t7_formula,
@@ -4751,23 +4794,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "text_filter_lines": q_text_filter_lines,
-        "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
-        "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
-        "f3_in": _filter_query([{"field": "event_type", "operator": "in", "values": ["click", "view"]}]),
-        "f6_is_not_empty": q_f6_is_not_empty,
-        "f7_contains": _filter_query([{"field": "event_type", "operator": "contains", "value": "ick"}]),
-        "sample_stratified": q_sample_stratified,
-        "dedup_normalized": q_dedup_normalized,
-        "cube_orders": q_cube_orders,
-        "grouping_sets_orders": q_grouping_sets,
-        "dedup_jaccard_capped": q_dedup_jaccard_capped,
-        "ann_ivf_exact": q_ann_ivf_exact,
-        "semi_join_parts": q_semi_join_parts,
-        "union_distinct_nations": q_union_distinct,
-        # rows-only by design (HLL estimate is engine-specific / iterative
-        # loop is not single-pass SQL): their driver rows carry no hash
-        # signal, so they yield their window slots to oracle-checkable
-        # queries; bpe_merges is serial-reference-verified in pytest
+        # ---- window 43-50: r6-green returners, 8 of 22 (list order) ----
+        "events_rolling": q_events_rolling,
+        "dedup_incremental": q_dedup_incremental,
+        "asof_join_purchase_click": q_asof_join,
+        "doc_length_histogram": q_doc_length_histogram,
+        "unigram_logprob": q_unigram_logprob,
+        "text_strip_html": q_text_strip_html,
+        "gopher_quality": q_gopher_quality,
+        "mixture_resample": q_mixture_resample,
+        # ==== past the 50-query window from here ====
+        # ---- r6-green returners 9-22: OLDEST remaining evidence — these
+        # 14 lead the r9 window ----
+        "image_dhash_pairs": q_image_dhash_pairs,
+        "window_funcs_orders": q_window_funcs_orders,
+        "dedup_doc_lines": q_dedup_doc_lines,
+        "join_full_outer": q_join_full_outer,
+        "tokens_to_ids": q_tokens_to_ids,
+        "corpus_shuffle": q_corpus_shuffle,
+        "dedup_representatives": q_dedup_representatives,
+        "text_top_bigrams": q_text_top_bigrams,
+        "length_outliers": q_length_outliers,
+        "ann_quantized": q_ann_quantized,
+        "image_dhash": q_image_dhash,
+        "tfidf_terms": q_tfidf_terms,
+        "corpus_decontaminate": q_corpus_decontaminate,
+        "sample_by_quality": q_sample_by_quality,
+        # ---- r7-green (CORRECTNESS_r07, 50/50): due again by r10; the
+        # oldest ~36 of these fill the rest of the r9 window ----
+        "etl_dynamic_mapping": q_etl_dynamic_mapping,
+        "etl_lookup_table": q_etl_lookup_table,
+        "etl_aggregate_mapping": q_etl_aggregate_mapping,
+        "spec_validation": q_spec_validation,
+        "typed_stocks_pipeline": q_typed_stocks_pipeline,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "range_join_buckets": q_range_join,
+        "pack_sequences": q_pack_sequences,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf_approx": q_ann_ivf_approx,
+        "text_metrics": q_text_metrics,
+        "text_top_tokens": q_text_top_tokens,
+        "corpus_curation": q_corpus_curation,
+        "stream_hourly_counts": q_stream_hourly_counts,
+        "stream_sessionize": q_stream_sessionize,
+        "dedup_incremental_bloom": q_dedup_incremental_bloom,
+        "chunk_documents": q_chunk_documents,
+        "salted_agg_events": q_salted_agg_events,
+        "web_curation": q_web_curation,
+        "events_rolling_time": q_events_rolling_time,
+        "stats_moments": q_stats_moments,
+        "training_mix": q_training_mix,
+        "scd2_history": q_scd2_history,
+        "retention_cohorts": q_retention_cohorts,
+        "bigram_logprob": q_bigram_logprob,
+        "snapshot_diff": q_snapshot_diff,
+        "funnel_steps": q_funnel_steps,
+        "image_dup_clusters": q_image_dup_clusters,
+        "profile_events": q_profile_events,
+        "asof_join_forward": q_asof_join_forward,
+        "value_histogram": q_value_histogram,
+        "events_anomalies": q_events_anomalies,
+        "sample_weighted": q_sample_weighted,
+        "bm25_terms": q_bm25_terms,
+        "perplexity_buckets": q_perplexity_buckets,
+        "boilerplate_lines": q_boilerplate_lines,
+        "token_budget_mix": q_token_budget_mix,
+        "duplicate_spans": q_duplicate_spans,
+        "contamination_report": q_contamination_report,
+        "source_cap": q_source_cap,
+        "events_winsorized": q_events_winsorized,
+        "interval_overlap": q_interval_overlap,
+        "remove_dup_spans": q_remove_dup_spans,
+        # ---- rows-only by design (HLL estimate is engine-specific /
+        # iterative loop is not single-pass SQL): their driver rows carry
+        # no hash signal, so they yield their window slots to
+        # oracle-checkable queries permanently; both are
+        # serial-reference/pytest verified ----
         "distinct_users_approx": q_distinct_users_approx,
         "bpe_merges": q_bpe_merges,
     }
@@ -4856,6 +4965,8 @@ def oracle_sql() -> dict[str, str]:
         "remove_dup_spans": _ORACLE_REMOVE_DUP_SPANS,
         "dsir_selection": _ORACLE_DSIR_SELECTION,
         "corpus_report": _ORACLE_CORPUS_REPORT,
+        "apply_merges": _apply_merges_oracle_sql(),
+        "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

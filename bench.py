@@ -111,6 +111,9 @@ HEADLINE = [
     # local scale — by far the heaviest headline entry, expected and
     # documented (per-round cost is job scheduling, not data volume)
     "bpe_merges",
+    # round 8 additions: train(k=4)→apply composition + NB learned gate
+    "apply_merges",
+    "quality_classifier",
 ]
 
 
@@ -159,6 +162,7 @@ def main() -> None:
         # concurrently with the next pass's timed queries and contend for
         # the block manager (the suspected cause of r5's driver-run passes
         # getting SLOWER on exactly the cached operators).
+        from csv_etl_spark.operators import classify as _classify
         from csv_etl_spark.operators import dedup as _dedup
         from csv_etl_spark.operators import multimodal as _mm
         from csv_etl_spark.operators import packing as _pack
@@ -174,6 +178,8 @@ def main() -> None:
         # pack_sequences / corpus_shuffle passes 2+ timed a persisted range
         # shuffle instead of the operator — their honest medians rise a bit
         _pack._CUMSUM_CACHE.invalidate(blocking=True)
+        # r8 addition: the classifier's (doc, feature) pair cache
+        _classify._FEAT_CACHE.invalidate(blocking=True)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {n: [] for n in HEADLINE if n in queries}

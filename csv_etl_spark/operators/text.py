@@ -902,6 +902,71 @@ def phrase_merges(
     )
 
 
+def apply_phrase_merges(
+    df,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    joiner: str = "_",
+):
+    """Apply a LEARNED merge table (the output of ``phrase_merges``) to a
+    corpus — the other half of the tokenizer-training loop: train once,
+    then re-tokenize every document with the k merges in rank order, each
+    one a greedy left-to-right non-overlapping corpus-wide replacement
+    (identical semantics to the merge pass inside the trainer, pinned by
+    ``test_apply_phrase_merges_matches_serial``).
+
+    ``merges`` is the trainer's DataFrame ``(rank, pair, n)`` or a plain
+    rank-ordered list of ``"a b"`` pair strings.  A DataFrame is collected
+    — MODEL-sized (k rows, the merge table IS the model), the same
+    bounded-driver-pull class as the k-means centroids.
+
+    Unlike the trainer, application of a FIXED merge table is one
+    deterministic map-only pass — no iteration-dependent statistics — so
+    this half CAN carry a DuckDB oracle (the ``apply_merges`` contract
+    query).  Plan: zero shuffles, k chained JVM literal ``replace`` calls
+    (non-regex — cheaper than the trainer's regexp, and engine-portable:
+    DuckDB's ``replace`` has the same left-to-right non-overlapping
+    semantics).  Boundary spelling: the token stream is joined on DOUBLED
+    separators and wrapped in one extra separator pair per end, so every
+    token sits between two SEPs; a merge consumes one SEP from each side
+    and restores it in the replacement, keeping the invariant for the
+    next merge AND letting back-to-back occurrences ("a b a b") merge in
+    one pass — the plain-replace equivalent of the trainer's lookahead
+    regex.  Returns ``(id_col, merged_text, n_tokens)``; empty /
+    whitespace-only docs → ("", 0)."""
+    if isinstance(merges, DataFrame):
+        merges = [
+            r["pair"] for r in merges.orderBy("rank").collect()  # model-sized
+        ]
+    sep = _MERGE_SEP
+    bnd = sep + sep
+    toks = ws_tokens(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    empty = F.size(toks) == 0
+    stream = F.concat(F.lit(bnd), F.concat_ws(bnd, toks), F.lit(bnd))
+    for pair in merges:
+        a, b = pair.split(" ", 1)
+        stream = F.replace(
+            stream,
+            F.lit(sep + a + bnd + b + sep),
+            F.lit(sep + a + joiner + b + sep),
+        )
+    inner = F.regexp_replace(stream, f"^{sep}{sep}|{sep}{sep}$", "")
+    out_toks = F.split(inner, bnd)
+    merged_text = F.when(empty, F.lit("")).otherwise(
+        F.array_join(out_toks, " ")
+    )
+    n_tokens = F.when(empty, F.lit(0)).otherwise(F.size(out_toks))
+    return df.select(
+        F.col(id_col),
+        merged_text.alias("merged_text"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target: DataFrame,

@@ -93,6 +93,7 @@ N_RUNS = 3
 
 
 def clear_caches() -> None:
+    from csv_etl_spark.operators import classify as _classify
     from csv_etl_spark.operators import dedup as _dedup
     from csv_etl_spark.operators import multimodal as _mm
     from csv_etl_spark.operators import packing as _pack
@@ -106,6 +107,8 @@ def clear_caches() -> None:
     _text._TF_CACHE.invalidate(blocking=True)
     # same r7 fix as bench.py: prefix-sum cache must not serve passes 2+
     _pack._CUMSUM_CACHE.invalidate(blocking=True)
+    # r8 addition: the classifier's (doc, feature) pair cache
+    _classify._FEAT_CACHE.invalidate(blocking=True)
 
 
 def main() -> None:
