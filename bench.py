@@ -111,9 +111,11 @@ HEADLINE = [
     # local scale — by far the heaviest headline entry, expected and
     # documented (per-round cost is job scheduling, not data volume)
     "bpe_merges",
-    # round 8 additions: train(k=4)→apply composition + NB learned gate
+    # round 8 additions: train(k=4)→apply composition, NB learned gate,
+    # blocked edit-distance join
     "apply_merges",
     "quality_classifier",
+    "fuzzy_join",
 ]
 
 

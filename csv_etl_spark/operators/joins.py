@@ -210,3 +210,129 @@ def interval_overlap_join(
         F.from_unixtime(overlap_e).cast("timestamp").alias("overlap_end"),
         (overlap_e - overlap_s).cast("bigint").alias("overlap_seconds"),
     )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_id: str,
+    right_id: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Blocked FUZZY STRING JOIN — pairs of (left, right) rows whose key
+    strings are within Levenshtein distance ``max_dist`` — the record-
+    linkage / entity-dedup primitive (merging crawl metadata, author
+    fields, near-identical titles) that a naive approach writes as an
+    O(n·m) cross join with an edit-distance check per pair.
+
+    Plan shape (the PassJoin pigeonhole decomposition, Li et al. 2011 —
+    the published segment-filter algorithm for scalable edit-distance
+    joins): every left string splits into ``max_dist + 1`` balanced
+    contiguous segments; d edits can touch at most d of them, so any
+    right string within distance d must contain at least one segment
+    VERBATIM, at a position shifted by at most d.  The right side
+    enumerates substrings of exactly the DISTINCT segment lengths in
+    play (a tiny length table joined broadcast — no driver collect),
+    candidates come from a pure EQUIJOIN on (segment text, segment
+    length) — never a cross join — pruned by the position window
+    |pos − start| ≤ d and the length window |len_l − len_r| ≤ d, deduped
+    per (left, right) pair, and verified with the exact JVM
+    ``levenshtein``.  Left strings shorter than ``max_dist + 1`` chars
+    (degenerate segments) route through a keyed length-bucket equijoin
+    instead — each emits its 2d + 1 admissible right lengths as join
+    keys — still no cross join.  NULL keys on either side match nothing.
+
+    Scale notes: segments + substrings feed one shuffle — linear in
+    total string length for high-entropy keys (names, phones, hashes),
+    where candidates ≈ true matches.  The documented worst case is a
+    corpus-wide shared template (every key starting with the same
+    (d+1)-th of its text, e.g. ``Customer#…``): that segment becomes one
+    hot join key and candidates degrade toward all-pairs — fuzzy-join
+    the VARYING part of such keys instead (the standard PassJoin
+    caveat); AQE's skew split keeps the hot key from pinning one reducer
+    meanwhile.  Returns ``(left_id, right_id, left_val, right_val,
+    dist)``."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    d = int(max_dist)
+    n_seg = d + 1
+
+    ls = left.select(
+        F.col(left_id).alias("_lid"),
+        F.col(left_on).alias("_lval"),
+        F.length(left_on).alias("_ll"),
+    )
+    rs = right.select(
+        F.col(right_id).alias("_rid"),
+        F.col(right_on).alias("_rval"),
+        F.length(right_on).alias("_rl"),
+    )
+
+    # --- main path: left strings with >= n_seg chars (non-empty segments)
+    exploded = ls.filter(F.col("_ll") >= n_seg).select(
+        "_lid", "_lval", "_ll",
+        F.explode(F.sequence(F.lit(0), F.lit(d))).alias("_i"),
+    )
+    start = F.floor(F.col("_i") * F.col("_ll") / F.lit(n_seg)).cast("int")
+    nxt = F.floor((F.col("_i") + 1) * F.col("_ll") / F.lit(n_seg)).cast("int")
+    segs = exploded.select(
+        "_lid", "_lval", "_ll",
+        start.alias("_start"),
+        (nxt - start).alias("_slen"),
+        F.col("_lval").substr(start + F.lit(1), nxt - start).alias("_seg"),
+    )
+    # distinct segment lengths: bounded by the distinct key lengths — a
+    # broadcast-sized table by construction (string keys, not documents)
+    seg_lens = segs.select("_slen").distinct()
+    subs = (
+        rs.join(F.broadcast(seg_lens), F.col("_rl") >= F.col("_slen"))
+        .select(
+            "_rid", "_rval", "_rl",
+            F.col("_slen").alias("_sublen"),
+            F.explode(
+                F.sequence(F.lit(1), F.col("_rl") - F.col("_slen") + 1)
+            ).alias("_pos"),
+        )
+        .select(
+            "_rid", "_rval", "_rl", "_sublen", "_pos",
+            F.col("_rval").substr(F.col("_pos"), F.col("_sublen")).alias("_sub"),
+        )
+    )
+    cand_main = (
+        segs.join(
+            subs,
+            (F.col("_seg") == F.col("_sub"))
+            & (F.col("_slen") == F.col("_sublen")),
+        )
+        .filter(F.abs(F.col("_pos") - 1 - F.col("_start")) <= d)
+        .filter(F.abs(F.col("_ll") - F.col("_rl")) <= d)
+        .select("_lid", "_lval", "_rid", "_rval")
+    )
+
+    # --- short path: left strings with < n_seg chars — length-keyed
+    cand_short = (
+        ls.filter(F.col("_ll") < n_seg)
+        .select(
+            "_lid", "_lval",
+            F.explode(
+                F.sequence(F.greatest(F.col("_ll") - d, F.lit(0)), F.col("_ll") + d)
+            ).alias("_lenkey"),
+        )
+        .join(rs, F.col("_rl") == F.col("_lenkey"))
+        .select("_lid", "_lval", "_rid", "_rval")
+    )
+
+    pairs = cand_main.unionByName(cand_short).distinct()
+    dist = F.levenshtein("_lval", "_rval")
+    return (
+        pairs.filter(dist <= d)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            F.col("_lval").alias("left_val"),
+            F.col("_rval").alias("right_val"),
+            dist.cast("int").alias("dist"),
+        )
+    )

@@ -23,7 +23,11 @@ import pyarrow.parquet as pq
 
 BASE = "/root/testdata/sf0.1/documents.parquet"
 OUT_ROOT = Path(__file__).resolve().parent / "scale"
-SIZES = {"sf1": 50_000, "sf10": 500_000}
+# sf100 (5M docs, ~1.7 GB) is the round-8 extra decade for the span/image
+# pair; generate it on demand: `gen_scale_docs.py sf100` (default
+# regenerates the classic sf1+sf10 pair only).
+SIZES = {"sf1": 50_000, "sf10": 500_000, "sf100": 5_000_000}
+DEFAULT_SIZES = ["sf1", "sf10"]
 SEED = 42
 DUP_RATE = 8 / 5000  # measured: 5000 rows, 4992 distinct texts at sf0.1
 
@@ -46,9 +50,15 @@ def measured_shape() -> tuple[list[str], list[float], list[int]]:
 
 
 def main() -> None:
+    import sys
+
+    wanted = sys.argv[1:] or DEFAULT_SIZES
+    unknown = [w for w in wanted if w not in SIZES]
+    if unknown:
+        raise SystemExit(f"unknown sizes {unknown}; choose from {list(SIZES)}")
     vocab, probs, lengths = measured_shape()
     print(f"vocab={len(vocab)} len[min,max]=({min(lengths)},{max(lengths)})")
-    for name, n_docs in SIZES.items():
+    for name, n_docs in ((n, SIZES[n]) for n in wanted):
         rng = random.Random(SEED)
         texts: list[str] = []
         for i in range(n_docs):

@@ -62,7 +62,7 @@ QUERIES = {
     # with vocab², not corpus size, so its 500k point verifies the model
     # stays bounded while the scoring side scales.
     "profile_events": "sf10",
-    "image_dup_clusters": "sf10",
+    "image_dup_clusters": "sf100",  # r8 extra decade (highest r7 exponent)
     "bigram_logprob": "sf10",
     # round-7 operators: every new contract query gets a scale point
     # (interval_overlap runs on the events axis; remove_dup_spans is the
@@ -74,19 +74,26 @@ QUERIES = {
     "perplexity_buckets": "sf10",
     "boilerplate_lines": "sf10",
     "token_budget_mix": "sf10",
-    "duplicate_spans": "sf10",
+    # round-8 extra decade (VERDICT r7 item #5): the two highest measured
+    # exponents (remove_dup_spans 0.53, image_dup_clusters 0.58) plus
+    # their detection/score siblings get a 5M-doc point to confirm the
+    # trend flattens rather than drifting toward 1.0
+    "duplicate_spans": "sf100",
     "contamination_report": "sf10",
     "source_cap": "sf10",
     "events_winsorized": "sf10",
     "bpe_merges": "sf10",
     "interval_overlap": "sf10",
-    "remove_dup_spans": "sf10",
-    "dsir_selection": "sf10",
+    "remove_dup_spans": "sf100",
+    "dsir_selection": "sf100",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),
     ("sf1", str(REPO / "scripts" / "scale" / "sf1"), 50_000),
     ("sf10", str(REPO / "scripts" / "scale" / "sf10"), 500_000),
+    # generated on demand: scripts/gen_scale_docs.py sf100 (documents only
+    # — every sf100-marked query reads the documents axis)
+    ("sf100", str(REPO / "scripts" / "scale" / "sf100"), 5_000_000),
 ]
 STEP_ORDER = [s[0] for s in STEPS]
 N_RUNS = 3
@@ -179,6 +186,8 @@ def main() -> None:
             exps["5k->50k"] = round(math.log10(r["sf1"] / r["sf0.1"]), 3)
         if "sf1" in r and "sf10" in r:
             exps["50k->500k"] = round(math.log10(r["sf10"] / r["sf1"]), 3)
+        if "sf10" in r and "sf100" in r:
+            exps["500k->5M"] = round(math.log10(r["sf100"] / r["sf10"]), 3)
         exponents[q] = exps
 
     out = {

@@ -102,3 +102,113 @@ def test_errors_by_line_v4(spark, tmp_path):
     grouped = {r[LINE_COL]: sorted(e["field"] for e in r["errors"])
                for r in errors_by_line(result.errors).collect()}
     assert grouped == {2: ["date"], 3: ["date", "type"]}
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_string_join (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _naive_fuzzy(lrows, rrows, d):
+    return {
+        (li, ri, lv, rv, _lev(lv, rv))
+        for li, lv in lrows
+        for ri, rv in rrows
+        if _lev(lv, rv) <= d
+    }
+
+
+def test_fuzzy_string_join_matches_naive(spark):
+    """Blocking must be SOUND: every pair the naive cross-join-with-
+    levenshtein finds must come out, nothing else."""
+    from csv_etl_spark.operators.joins import fuzzy_string_join
+
+    lrows = [
+        (1, "abcdef"), (2, "zzzzzz"), (3, "abcdeg"), (4, "kitten"),
+        (5, "a"), (6, ""), (7, "ab"),
+    ]
+    rrows = [
+        (10, "abcdef"),   # exact
+        (11, "abcdxf"),   # sub mid
+        (12, "abcdefg"),  # insert at end
+        (13, "bcdef"),    # delete at front (position shift)
+        (14, "sitten"),   # kitten d=1
+        (15, "b"), (16, ""), (17, "abc"),
+        (18, "totally-different"),
+    ]
+    left = spark.createDataFrame(lrows, ["lid", "s"])
+    right = spark.createDataFrame(rrows, ["rid", "t"])
+    for d in (0, 1, 2):
+        got = {
+            (r["lid"], r["rid"], r["left_val"], r["right_val"], r["dist"])
+            for r in fuzzy_string_join(
+                left, right, "s", "t", "lid", "rid", max_dist=d
+            ).collect()
+        }
+        assert got == _naive_fuzzy(lrows, rrows, d), d
+
+
+def test_fuzzy_string_join_shared_template_worst_case(spark):
+    """The documented hot-segment worst case (uniform prefix) still
+    produces exactly the naive result — degraded cost, same answer."""
+    from csv_etl_spark.operators.joins import fuzzy_string_join
+
+    lrows = [(i, f"Customer#{i:04d}") for i in range(30)]
+    rrows = [(100 + i, f"Customer#{i:04d}"[:-1] + "X") for i in range(30)]
+    left = spark.createDataFrame(lrows, ["lid", "s"])
+    right = spark.createDataFrame(rrows, ["rid", "t"])
+    got = {
+        (r["lid"], r["rid"], r["dist"])
+        for r in fuzzy_string_join(
+            left, right, "s", "t", "lid", "rid", max_dist=1
+        ).collect()
+    }
+    exp = {(li, ri, _lev(lv, rv))
+           for li, lv, ri, rv in (
+               (li, lv, ri, rv) for li, lv in lrows for ri, rv in rrows)
+           if _lev(lv, rv) <= 1}
+    assert got == exp
+    # every planted (i, 100+i) pair found: last digit -> X is distance 1
+    # EXCEPT ids whose last digit already... X never collides with digits
+    assert all((i, 100 + i, 1) in got for i in range(30))
+
+
+def test_fuzzy_string_join_fuzz(spark):
+    """Random corpora across alphabets/lengths vs the naive reference."""
+    import random
+
+    from csv_etl_spark.operators.joins import fuzzy_string_join
+
+    rng = random.Random(8)
+    for trial in range(3):
+        alpha = "ab" if trial == 0 else "abcde"
+        lrows = [
+            (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 9))))
+            for i in range(25)
+        ]
+        rrows = [
+            (i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 9))))
+            for i in range(25)
+        ]
+        d = rng.choice([1, 2])
+        left = spark.createDataFrame(lrows, ["lid", "s"])
+        right = spark.createDataFrame(rrows, ["rid", "t"])
+        got = {
+            (r["lid"], r["rid"], r["left_val"], r["right_val"], r["dist"])
+            for r in fuzzy_string_join(
+                left, right, "s", "t", "lid", "rid", max_dist=d
+            ).collect()
+        }
+        assert got == _naive_fuzzy(lrows, rrows, d), (trial, d)
