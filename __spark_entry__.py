@@ -4705,6 +4705,54 @@ _ORACLE_FUZZY_JOIN = """
 """
 
 
+def q_pct_rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percent-rank normalization of the event value
+    (stats.percent_rank_transform): SQL percent_rank() semantics WITHOUT
+    a Window — distinct-value counts + the packer's distributed prefix
+    sum + an equijoin back; a Window.orderBy spelling would single-reduce
+    each type at 100 TB.  Oracle is the literal SQL window function, so
+    the check proves the window-free plan is row-identical to the window
+    semantics (ties, 1-row groups and all)."""
+    from csv_etl_spark.operators.stats import percent_rank_transform
+
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    return percent_rank_transform(e, "value", by=["event_type"])
+
+
+_ORACLE_PCT_RANK = """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+             AS pct_rank
+    FROM events WHERE value IS NOT NULL
+"""
+
+
+def q_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pairwise Pearson correlation matrix over the four numeric
+    lineitem columns (stats.pairwise_corr): all 6 pairs from ONE scan
+    with conditional exact fixed-point moments — the feature-profiling
+    step that naively costs a scan per pair.  Engine-parity via the
+    module's quantize→decimal-sum→double-combine discipline."""
+    from csv_etl_spark.operators.stats import pairwise_corr
+
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
+    return pairwise_corr(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def _corr_lineitem_oracle_sql() -> str:
+    from csv_etl_spark.operators.stats import pairwise_corr_oracle_sql
+
+    return pairwise_corr_oracle_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 # Full train→score replication: same gopher labels, same md5-top-32-bit
 # feature hashing, same add-0.5 NB log-odds with 6-decimal pre-rounding,
 # same decimal micro-unit sum (HUGEINT, the dsir spelling).
@@ -4782,18 +4830,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of window position.
     #
     # Round-8 window under this policy (ages from CORRECTNESS_r01..r07):
-    #   * 5 never-checked: dsir_selection + corpus_report (added late in
-    #     r7 — the verdict's #1 item) and the three operators NEW in r8
-    #     (apply_merges, quality_classifier, fuzzy_join);
+    #   * 7 never-checked: dsir_selection + corpus_report (added late in
+    #     r7 — the verdict's #1 item) and the five operators NEW in r8
+    #     (apply_merges, quality_classifier, fuzzy_join, pct_rank_events,
+    #     corr_lineitem);
     #   * 9 last-green-r2, 2 r3, 2 r4, 25 r5 — the long tail the old
     #     keeper scheme starved (each re-verified by local oracle in the
     #     r7 judging session);
-    #   * 7 of the 22 r6-green returners (registry-list order).  The
-    #     remaining 15 r6 returners are the OLDEST entries after this
+    #   * 5 of the 22 r6-green returners (registry-list order).  The
+    #     remaining 17 r6 returners are the OLDEST entries after this
     #     round and therefore lead the r9 window, followed by the oldest
     #     r7-green entries; the transition to steady-state <=3-round age
     #     completes in r10.
-    # Update the counts (117 registered / 115 oracle-checkable) whenever
+    # Update the counts (119 registered / 117 oracle-checkable) whenever
     # the registry changes.
     return {
         # ---- window 1-4: never driver-checked (2 late-r7 + 2 new-r8) ----
@@ -4802,6 +4851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_merges": q_apply_merges,
         "quality_classifier": q_quality_classifier,
         "fuzzy_join": q_fuzzy_join,
+        "pct_rank_events": q_pct_rank_events,
+        "corr_lineitem": q_corr_lineitem,
         # ---- window 5-13: last driver row r2 ----
         "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
         "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
@@ -4850,11 +4901,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_purchase_click": q_asof_join,
         "doc_length_histogram": q_doc_length_histogram,
         "unigram_logprob": q_unigram_logprob,
+        # ==== past the 50-query window from here ====
+        # ---- r6-green returners 6-22: OLDEST remaining evidence — these
+        # 17 lead the r9 window ----
         "text_strip_html": q_text_strip_html,
         "gopher_quality": q_gopher_quality,
-        # ==== past the 50-query window from here ====
-        # ---- r6-green returners 8-22: OLDEST remaining evidence — these
-        # 15 lead the r9 window ----
         "mixture_resample": q_mixture_resample,
         "image_dhash_pairs": q_image_dhash_pairs,
         "window_funcs_orders": q_window_funcs_orders,
@@ -5018,6 +5069,8 @@ def oracle_sql() -> dict[str, str]:
         "apply_merges": _apply_merges_oracle_sql(),
         "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
         "fuzzy_join": _ORACLE_FUZZY_JOIN,
+        "pct_rank_events": _ORACLE_PCT_RANK,
+        "corr_lineitem": _corr_lineitem_oracle_sql(),
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

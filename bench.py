@@ -116,6 +116,8 @@ HEADLINE = [
     "apply_merges",
     "quality_classifier",
     "fuzzy_join",
+    "pct_rank_events",
+    "corr_lineitem",
 ]
 
 

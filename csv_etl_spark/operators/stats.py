@@ -281,3 +281,169 @@ def winsorize(
     return joined.withColumn(f"{value_col}_wins", clamped).withColumnRenamed(
         "_w_lo", f"{value_col}_lo"
     ).withColumnRenamed("_w_hi", f"{value_col}_hi")
+
+
+def pairwise_corr(
+    df: DataFrame,
+    cols: list[str],
+    centers: dict[str, float] | None = None,
+) -> DataFrame:
+    """ONE-PASS pairwise Pearson correlation matrix over ``cols`` — the
+    feature-profiling step (which numeric columns co-move?) that naively
+    costs one scan per pair; here ALL k(k−1)/2 pairs aggregate in a
+    single scan with map-side partials (one job, no shuffle beyond the
+    scalar agg).  Per pair, sums are conditioned on BOTH columns being
+    non-null (pairwise deletion — each pair's n can differ), using the
+    module's exact fixed-point moment discipline: same quantization, same
+    decimal sums, same double combine, same 6-decimal rounding, same
+    loud-on-overflow assert riding every output, so the matrix is
+    bit-identical on any engine and any partitioning.  ``centers``
+    optionally re-centers wide columns for decimal headroom (see module
+    docstring).  Returns long format ``(col_x, col_y, n, corr)`` for
+    i < j pairs; a constant column yields NULL corr (undefined), matching
+    SQL."""
+    if len(cols) < 2:
+        raise ValueError("pairwise_corr needs at least 2 columns")
+    centers = centers or {}
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = []
+    for a, b in pairs:
+        cond = F.col(a).isNotNull() & F.col(b).isNotNull()
+        qa = F.when(cond, _q(F.col(a), centers.get(a, 0.0)))
+        qb = F.when(cond, _q(F.col(b), centers.get(b, 0.0)))
+        t = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(cond, 1)).alias(f"_n_{t}"),
+            F.sum(qa).alias(f"_sa_{t}"),
+            F.sum(qb).alias(f"_sb_{t}"),
+            F.sum(qa * qa).alias(f"_saa_{t}"),
+            F.sum(qb * qb).alias(f"_sbb_{t}"),
+            F.sum(qa * qb).alias(f"_sab_{t}"),
+            # overflow flags (ANSI-off silently NULLs products/sums):
+            # product count must equal the pair count, sums non-null
+            F.count(qa * qb).alias(f"_nab_{t}"),
+        ]
+    m = df.agg(*aggs)
+    structs = []
+    for a, b in pairs:
+        t = f"{a}__{b}"
+        nb = F.col(f"_n_{t}")
+        n = nb.cast("double")
+        sa, sb = F.col(f"_sa_{t}").cast("double"), F.col(f"_sb_{t}").cast("double")
+        saa = F.col(f"_saa_{t}").cast("double")
+        sbb = F.col(f"_sbb_{t}").cast("double")
+        sab = F.col(f"_sab_{t}").cast("double")
+        van = n * saa - sa * sa
+        vbn = n * sbb - sb * sb
+        cvn = n * sab - sa * sb
+        corr = F.when(
+            (nb >= 2) & (van > 0) & (vbn > 0),
+            F.round(cvn / F.sqrt(van) / F.sqrt(vbn), 6),
+        )
+        ok = (F.col(f"_nab_{t}") == nb) & (
+            (nb == 0)
+            | (
+                F.col(f"_sa_{t}").isNotNull()
+                & F.col(f"_sb_{t}").isNotNull()
+                & F.col(f"_saa_{t}").isNotNull()
+                & F.col(f"_sbb_{t}").isNotNull()
+                & F.col(f"_sab_{t}").isNotNull()
+            )
+        )
+        guard = F.assert_true(ok, F.lit(_OVERFLOW_MSG))
+        structs.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.coalesce(guard.cast("bigint"), nb.cast("bigint")).alias("n"),
+                F.coalesce(guard.cast("double"), corr).alias("corr"),
+            )
+        )
+    return m.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+
+
+def pairwise_corr_oracle_sql(
+    table: str, cols: list[str], centers: dict[str, float] | None = None
+) -> str:
+    """DuckDB twin of ``pairwise_corr``: identical conditional HUGEINT
+    moment sums per pair, identical double combine and rounding, UNION
+    ALL into the same long format (HUGEINT raises loudly on overflow like
+    the Spark side's assert)."""
+    centers = centers or {}
+
+    def quant(col: str) -> str:
+        expr = f"CAST({col} AS DOUBLE)"
+        c = centers.get(col, 0.0)
+        if c:
+            expr = f"({expr} - {float(c)!r})"
+        return f"CAST(floor({expr} * {QUANT}) AS HUGEINT)"
+
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            cond = f"{a} IS NOT NULL AND {b} IS NOT NULL"
+            qa = f"CASE WHEN {cond} THEN {quant(a)} END"
+            qb = f"CASE WHEN {cond} THEN {quant(b)} END"
+            van = "(n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+            vbn = "(n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+            cvn = "(n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+            selects.append(f"""
+    SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,
+           CASE WHEN n >= 2 AND {van} > 0 AND {vbn} > 0
+                THEN round({cvn} / sqrt({van}) / sqrt({vbn}), 6) END AS corr
+    FROM (
+      SELECT count(CASE WHEN {cond} THEN 1 END) AS n,
+             sum({qa}) AS sa, sum({qb}) AS sb,
+             sum(({qa}) * ({qa})) AS saa, sum(({qb}) * ({qb})) AS sbb,
+             sum(({qa}) * ({qb})) AS sab
+      FROM {table}
+    )""")
+    return " UNION ALL ".join(selects)
+
+
+def percent_rank_transform(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """SQL ``percent_rank()`` over the global (or per-group) value order
+    WITHOUT a global sort and WITHOUT a Window — rank/quantile
+    normalization of a feature column at corpus scale.  The identity:
+    ``rank(v) − 1`` equals the count of rows strictly below ``v``, so
+    percent_rank is an EXCLUSIVE prefix sum of per-value counts over the
+    value order.  Plan: one groupBy onto the DISTINCT-value count table
+    (map-side combinable; the only thing range-shuffled afterwards is
+    that table, never the data), the packer's distributed prefix sum
+    (``with_global_cumsum`` — one driver row per partition), and an
+    equijoin back on the value — a full-data ``Window.orderBy(value)``
+    would instead sort the entire input into one unbounded-frame pass.
+    Per-group: the tuple-ordered (group, value) prefix sum plus an
+    n_groups-row offset aggregate broadcast back — token_budget_mix's
+    shape; assumes bounded group count (sources / languages / types).
+    Ties share the rank (SQL rank semantics); a 1-row group scores 0.0
+    like SQL; NULL values pass through with NULL ``out_col``."""
+    from .packing import with_global_cumsum
+
+    keys = list(by or [])
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    cum = with_global_cumsum(counts, "_cnt", [*keys, value_col], out_col="_cum")
+    if keys:
+        offs = cum.groupBy(*keys).agg(
+            F.min("_cum").alias("_goff"), F.sum("_cnt").alias("_gn")
+        )
+        ranked = cum.join(F.broadcast(offs), keys)
+        num = (F.col("_cum") - F.col("_goff")).cast("double")
+    else:
+        offs = cum.agg(F.sum("_cnt").alias("_gn"))
+        ranked = cum.crossJoin(F.broadcast(offs))
+        num = F.col("_cum").cast("double")
+    pct = F.when(
+        F.col("_gn") > 1, num / (F.col("_gn") - F.lit(1)).cast("double")
+    ).otherwise(F.lit(0.0))
+    ranked = ranked.select(*keys, value_col, pct.alias(out_col))
+    return df.join(ranked, [*keys, value_col], "left")

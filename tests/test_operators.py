@@ -2622,3 +2622,133 @@ def test_lm_score_buckets_plan_no_window_broadcast_bounds(spark):
     )
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# percent_rank_transform / pairwise_corr (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_percent_rank_matches_sql_window(spark):
+    """Window-free percent_rank must equal Spark's own percent_rank()
+    window — ties, 1-row groups, and NULLs included."""
+    import random
+
+    from pyspark.sql import Window
+
+    from csv_etl_spark.operators.stats import percent_rank_transform
+
+    rng = random.Random(4)
+    rows = []
+    for i in range(120):
+        g = f"g{i % 3}" if i % 17 else "solo"[:4]  # plus a tiny group
+        v = None if i % 29 == 0 else float(rng.randrange(0, 12))  # many ties
+        rows.append((i, g, v))
+    rows.append((999, "one", 5.0))  # 1-row group -> 0.0
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+
+    # grouped
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in percent_rank_transform(df, "v", by=["g"]).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    exp = {
+        r["id"]: (None if r["v"] is None else r["p"])
+        for r in df.filter(F.col("v").isNotNull())
+        .withColumn("p", F.percent_rank().over(w))
+        .unionByName(
+            df.filter(F.col("v").isNull()).withColumn("p", F.lit(None).cast("double"))
+        )
+        .collect()
+    }
+    assert got == exp
+    assert got[999] == 0.0
+
+    # global
+    got_g = {
+        r["id"]: r["pct_rank"]
+        for r in percent_rank_transform(df, "v").collect()
+    }
+    wg = Window.orderBy("v")
+    exp_g = {
+        r["id"]: r["p"]
+        for r in df.filter(F.col("v").isNotNull())
+        .withColumn("p", F.percent_rank().over(wg))
+        .collect()
+    }
+    for i, p in exp_g.items():
+        assert got_g[i] == p, i
+    assert all(got_g[i] is None for i, (_, _, v) in
+               ((r[0], r) for r in rows) if v is None)
+
+
+def test_percent_rank_plan_no_window(spark):
+    """The whole point: no Window over the data (a global orderBy window
+    is a single-reducer pass at 100 TB)."""
+    from csv_etl_spark.operators.stats import percent_rank_transform
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 2}", float(i % 7)) for i in range(50)], ["id", "g", "v"]
+    )
+    plan = (
+        percent_rank_transform(df, "v", by=["g"])._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Window" not in plan
+
+
+def test_pairwise_corr_matches_numpy(spark):
+    import numpy as np
+
+    from csv_etl_spark.operators.stats import pairwise_corr
+
+    rng = np.random.default_rng(7)
+    n = 300
+    x = rng.normal(10, 2, n).round(4)
+    y = (0.5 * x + rng.normal(0, 1, n)).round(4)
+    z = rng.normal(-5, 3, n).round(4)
+    const = np.full(n, 2.5)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(k)) for a, b, c, k in zip(x, y, z, const)],
+        ["x", "y", "z", "k"],
+    )
+    out = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr"])
+        for r in pairwise_corr(df, ["x", "y", "z", "k"]).collect()
+    }
+    assert set(out) == {("x", "y"), ("x", "z"), ("x", "k"), ("y", "z"), ("y", "k"), ("z", "k")}
+    for a, av in (("x", x), ("y", y), ("z", z)):
+        for b, bv in (("x", x), ("y", y), ("z", z)):
+            if a < b:
+                exp = float(np.corrcoef(av, bv)[0, 1])
+                got_n, got_c = out[(a, b)]
+                assert got_n == n
+                # 1e-6 quantization + rounding tolerance
+                assert got_c == pytest.approx(exp, abs=5e-4), (a, b)
+    # constant column: undefined corr -> NULL
+    assert out[("x", "k")] == (n, None)
+
+
+def test_pairwise_corr_pairwise_deletion(spark):
+    """Each pair's n counts only rows where BOTH columns are present."""
+    from csv_etl_spark.operators.stats import pairwise_corr
+
+    rows = [
+        (1.0, 2.0, None),
+        (2.0, 4.0, 1.0),
+        (3.0, 6.0, 2.0),
+        (4.0, None, 3.0),
+        (5.0, 10.0, None),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    out = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr"])
+        for r in pairwise_corr(df, ["a", "b", "c"]).collect()
+    }
+    assert out[("a", "b")][0] == 4 and out[("a", "b")][1] == pytest.approx(1.0)
+    assert out[("a", "c")][0] == 3 and out[("a", "c")][1] == pytest.approx(1.0)
+    assert out[("b", "c")][0] == 2  # rows 2,3 only
+    # single-scan plan: all pairs from ONE aggregation over one scan
+    plan = pairwise_corr(df, ["a", "b", "c"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
