@@ -86,6 +86,13 @@ QUERIES = {
     "interval_overlap": "sf10",
     "remove_dup_spans": "sf100",
     "dsir_selection": "sf100",
+    # round-8 operators with a table in the scale dirs (fuzzy_join and
+    # corr_lineitem read customer/lineitem, which the doc/event-axis
+    # generators don't produce — their scale argument is the plan shape
+    # note in ARCHITECTURE §3; everything else gets a measured point)
+    "apply_merges": "sf10",
+    "quality_classifier": "sf10",
+    "pct_rank_events": "sf10",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),

@@ -2752,3 +2752,23 @@ def test_pairwise_corr_pairwise_deletion(spark):
     # single-scan plan: all pairs from ONE aggregation over one scan
     plan = pairwise_corr(df, ["a", "b", "c"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_quality_classifier_plan_shape(spark):
+    """Model join must be broadcast (the weight table is bounded at
+    n_features rows by construction) and nothing may Window over the
+    corpus."""
+    from csv_etl_spark.operators import classify
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 5} text here") for i in range(40)], ["doc_id", "text"]
+    )
+    lab = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(40)], ["doc_id", "label"]
+    )
+    plan = (
+        classify.quality_classifier(df, lab, n_features=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
