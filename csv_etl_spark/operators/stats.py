@@ -422,7 +422,9 @@ def percent_rank_transform(
     n_groups-row offset aggregate broadcast back — token_budget_mix's
     shape; assumes bounded group count (sources / languages / types).
     Ties share the rank (SQL rank semantics); a 1-row group scores 0.0
-    like SQL; NULL values pass through with NULL ``out_col``."""
+    like SQL; NULL values pass through with NULL ``out_col``; NULL group
+    keys form their own group (SQL PARTITION BY semantics — the
+    join-back is null-safe on the keys, winsorize's discipline)."""
     from .packing import with_global_cumsum
 
     keys = list(by or [])
@@ -433,10 +435,20 @@ def percent_rank_transform(
     )
     cum = with_global_cumsum(counts, "_cnt", [*keys, value_col], out_col="_cum")
     if keys:
+        # offsets keyed null-safely: a NULL group is a real group
         offs = cum.groupBy(*keys).agg(
             F.min("_cum").alias("_goff"), F.sum("_cnt").alias("_gn")
+        ).select(
+            *[F.col(k).alias(f"_ok_{i}") for i, k in enumerate(keys)],
+            "_goff", "_gn",
         )
-        ranked = cum.join(F.broadcast(offs), keys)
+        ocond = None
+        for i, k in enumerate(keys):
+            c = F.col(k).eqNullSafe(F.col(f"_ok_{i}"))
+            ocond = c if ocond is None else (ocond & c)
+        ranked = cum.join(F.broadcast(offs), ocond).drop(
+            *[f"_ok_{i}" for i in range(len(keys))]
+        )
         num = (F.col("_cum") - F.col("_goff")).cast("double")
     else:
         offs = cum.agg(F.sum("_cnt").alias("_gn"))
@@ -445,5 +457,16 @@ def percent_rank_transform(
     pct = F.when(
         F.col("_gn") > 1, num / (F.col("_gn") - F.lit(1)).cast("double")
     ).otherwise(F.lit(0.0))
-    ranked = ranked.select(*keys, value_col, pct.alias(out_col))
-    return df.join(ranked, [*keys, value_col], "left")
+    # null-safe join back: NULL group keys must find their group's ranks
+    # (a name-list join would drop them to NULL pct_rank)
+    ranked = ranked.select(
+        *[F.col(k).alias(f"_pk_{i}") for i, k in enumerate(keys)],
+        F.col(value_col).alias("_pk_v"),
+        pct.alias(out_col),
+    )
+    cond = F.col(value_col) == F.col("_pk_v")
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"_pk_{i}"))
+    return df.join(ranked, cond, "left").drop(
+        "_pk_v", *[f"_pk_{i}" for i in range(len(keys))]
+    )

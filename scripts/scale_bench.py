@@ -167,6 +167,48 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {q: {} for q in selected}
     rows_out: dict[str, dict[str, int]] = {q: {} for q in selected}
+
+    def exponents_of() -> dict[str, dict[str, float]]:
+        exps_all: dict[str, dict[str, float]] = {}
+        for q in selected:
+            r = results[q]
+            exps = {}
+            if "sf0.1" in r and "sf1" in r:
+                exps["5k->50k"] = round(math.log10(r["sf1"] / r["sf0.1"]), 3)
+            if "sf1" in r and "sf10" in r:
+                exps["50k->500k"] = round(math.log10(r["sf10"] / r["sf1"]), 3)
+            if "sf10" in r and "sf100" in r:
+                exps["500k->5M"] = round(math.log10(r["sf100"] / r["sf10"]), 3)
+            exps_all[q] = exps
+        return exps_all
+
+    def dump() -> dict:
+        out = {
+            "protocol": (
+                f"median of {N_RUNS} noop-write runs per (query, size); "
+                "operator caches cleared (blocking) between runs; doc tables "
+                "at 50k/500k/5M generated by scripts/gen_scale_docs.py with "
+                "the measured sf0.1 shape (vocab, length distribution, dup "
+                "rate); local[32]"
+            ),
+            "doc_counts": {s: n for s, _d, n in STEPS},
+            "event_counts": {
+                "sf0.1": 100_000, "sf1": 1_000_000, "sf10": 10_000_000
+            },
+            "median_sec": results,
+            "result_rows": rows_out,
+            "scaling_exponent_per_decade": exponents_of(),
+            "note": (
+                "alpha ~ 1.0 = linear scaling; sub-linear values mean fixed "
+                "per-job overhead (session, planning, task dispatch) still "
+                "dominates at this size"
+            ),
+        }
+        # written after EVERY (step, query) so a killed run keeps its
+        # partial evidence (r8: a 50-min timeout once ate a whole matrix)
+        (REPO / out_name).write_text(json.dumps(out, indent=1))
+        return out
+
     for step_name, sf_dir, _n in STEPS:
         if not Path(sf_dir).exists():
             print(f"skip {step_name}: {sf_dir} missing", file=sys.stderr)
@@ -183,40 +225,11 @@ def main() -> None:
                 clear_caches()
             results[q][step_name] = round(median(runs), 3)
             rows_out[q][step_name] = qs[q](spark, sf_dir).count()
+            clear_caches()
             print(f"{step_name} {q}: {results[q][step_name]}s", file=sys.stderr)
+            dump()
 
-    exponents: dict[str, dict[str, float]] = {}
-    for q in selected:
-        r = results[q]
-        exps = {}
-        if "sf0.1" in r and "sf1" in r:
-            exps["5k->50k"] = round(math.log10(r["sf1"] / r["sf0.1"]), 3)
-        if "sf1" in r and "sf10" in r:
-            exps["50k->500k"] = round(math.log10(r["sf10"] / r["sf1"]), 3)
-        if "sf10" in r and "sf100" in r:
-            exps["500k->5M"] = round(math.log10(r["sf100"] / r["sf10"]), 3)
-        exponents[q] = exps
-
-    out = {
-        "protocol": (
-            f"median of {N_RUNS} noop-write runs per (query, size); operator "
-            "caches cleared (blocking) between runs; doc tables at 50k/500k "
-            "generated by scripts/gen_scale_docs.py with the measured sf0.1 "
-            "shape (vocab, length distribution, dup rate); local[32]"
-        ),
-        "doc_counts": {s: n for s, _d, n in STEPS},
-        "event_counts": {"sf0.1": 100_000, "sf1": 1_000_000, "sf10": 10_000_000},
-        "median_sec": results,
-        "result_rows": rows_out,
-        "scaling_exponent_per_decade": exponents,
-        "note": (
-            "alpha ~ 1.0 = linear scaling; sub-linear values mean fixed "
-            "per-job overhead (session, planning, task dispatch) still "
-            "dominates at this size"
-        ),
-    }
-    (REPO / out_name).write_text(json.dumps(out, indent=1))
-    print(json.dumps(out))
+    print(json.dumps(dump()))
 
 
 if __name__ == "__main__":

@@ -2772,3 +2772,46 @@ def test_quality_classifier_plan_shape(spark):
     )
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_percent_rank_null_group_key(spark):
+    """NULL group keys form their own partition (SQL PARTITION BY
+    semantics) — the null-safe join-back must rank them, not drop them."""
+    from csv_etl_spark.operators.stats import percent_rank_transform
+
+    rows = [
+        (1, None, 1.0), (2, None, 2.0), (3, None, 3.0),
+        (4, "g", 5.0), (5, "g", 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    got = {r["id"]: r["pct_rank"]
+           for r in percent_rank_transform(df, "v", by=["g"]).collect()}
+    assert got == {1: 0.0, 2: 0.5, 3: 1.0, 4: 0.0, 5: 1.0}
+
+
+def test_quality_classifier_partial_labels(spark):
+    """Docs without labels are excluded from TRAINING but still scored
+    (the bootstrap pattern: label a seed subset, score the corpus)."""
+    from csv_etl_spark.operators import classify
+
+    df = spark.createDataFrame(
+        [(1, "good clean text"), (2, "spam junk click"),
+         (3, "good text again"), (4, "unlabeled mystery doc")],
+        ["doc_id", "text"],
+    )
+    lab = spark.createDataFrame([(1, True), (2, False)], ["doc_id", "label"])
+    out = {r["doc_id"]: r for r in
+           classify.quality_classifier(df, lab, n_features=32).collect()}
+    assert set(out) == {1, 2, 3, 4}  # all docs scored
+    assert out[1]["score"] > 0 and out[2]["score"] < 0
+    assert out[3]["score"] > 0  # shares "good"/"text" with the pos class
+
+
+def test_apply_phrase_merges_empty_merge_table(spark):
+    """An empty merge table (trainer found nothing above min_count) is
+    identity re-tokenization."""
+    df = spark.createDataFrame([(1, "Keep  My   Tokens"), (2, "")],
+                               ["doc_id", "text"])
+    got = {r["doc_id"]: (r["merged_text"], r["n_tokens"])
+           for r in text.apply_phrase_merges(df, []).collect()}
+    assert got == {1: ("keep my tokens", 3), 2: ("", 0)}
