@@ -195,6 +195,10 @@ def quality_classifier(
         df, n_features, text_col=text_col, id_col=id_col, lowercase=lowercase
     )
     feats = _FEAT_CACHE.get_or_persist(feats, "doc_features", n_features)
+    # labels feed the training join AND the bias aggregate; when they are
+    # themselves a computed gate (the Gopher bootstrap), each branch would
+    # re-run it — persist the tiny (id, bool) frame (multi-consumer rule)
+    labels = _FEAT_CACHE.get_or_persist(labels, "labels")
     weights = train_quality_weights(
         feats, labels, n_features, alpha=alpha, id_col=id_col, label_col=label_col
     )
