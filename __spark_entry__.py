@@ -3215,10 +3215,14 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dhash_pairs_oracle() -> str:
     rows = ", ".join(_dhash_row_sql(r) for r in range(8))
     ham = " + ".join(f"bit_count(xor(a.b[{r}], c.b[{r}]))" for r in range(1, 9))
-    band_eq = " OR ".join(
-        f"(a.b[{2 * i + 1}] = c.b[{2 * i + 1}] AND a.b[{2 * i + 2}] = c.b[{2 * i + 2}])"
+    # band_arity=2 (the operator's scale default since r8): candidates
+    # must agree on >= 2 of the 4 16-bit bands (two consecutive byte rows
+    # per band), not just one
+    band_eq = " + ".join(
+        f"(CASE WHEN a.b[{2 * i + 1}] = c.b[{2 * i + 1}]"
+        f" AND a.b[{2 * i + 2}] = c.b[{2 * i + 2}] THEN 1 ELSE 0 END)"
         for i in range(4)
-    )
+    ) + " >= 2"
     aug = (
         "aug AS (SELECT doc_id, text FROM documents"
         " UNION ALL"
@@ -3264,10 +3268,12 @@ def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _image_clusters_oracle() -> str:
     rows = ", ".join(_dhash_row_sql(r) for r in range(8))
     ham = " + ".join(f"bit_count(xor(a.b[{r}], c.b[{r}]))" for r in range(1, 9))
-    band_eq = " OR ".join(
-        f"(a.b[{2 * i + 1}] = c.b[{2 * i + 1}] AND a.b[{2 * i + 2}] = c.b[{2 * i + 2}])"
+    # band_arity=2 candidates (>= 2 shared bands) — see _dhash_pairs_oracle
+    band_eq = " + ".join(
+        f"(CASE WHEN a.b[{2 * i + 1}] = c.b[{2 * i + 1}]"
+        f" AND a.b[{2 * i + 2}] = c.b[{2 * i + 2}] THEN 1 ELSE 0 END)"
         for i in range(4)
-    )
+    ) + " >= 2"
     aug = (
         "aug AS (SELECT doc_id, text FROM documents"
         " UNION ALL"

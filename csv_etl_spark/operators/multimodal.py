@@ -294,33 +294,94 @@ def image_dhash(df: DataFrame, kernel=dhash_gray_kernel) -> DataFrame:
 
 
 def dhash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 4, id_col: str = "media_id"
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "media_id",
+    band_arity: int = 2,
+    max_exact_media: int | None = 1_000_000,
 ) -> DataFrame:
-    """Image near-dup candidate pairs from dHash: band-equijoin (four
-    16-bit bands — same LSH banding argument as MinHash: a pair within
-    ``max_hamming`` ≤ 3 bits MUST agree on ≥ 1 band by pigeonhole; at 4–6
-    bits recall is still high unless errors spread one-per-band), then an
+    """Image near-dup candidate pairs from dHash: band-equijoin, then an
     exact Hamming verify JVM-side (conv/xor/bit_count — no UDF).
 
-    Scale shape: the join is keyed on (band_idx, band_value) — never
-    O(n²); candidate volume is governed by 16-bit band collisions.  The
-    hash projection is persisted through the session cache before the
-    self-join: ``mapInPandas`` is opaque to Catalyst reuse, so without it
-    BOTH join sides re-decode and re-hash every image (2× the expensive
-    kernel — the same HOF-opacity trap as the shingle/LSH projections).
-    Returns ``(id_a, id_b, hamming)``, one row per pair."""
+    ``band_arity`` picks the LSH key width — the operator's scale knob,
+    the exact analogue of the jaccard family's ``freq_cap``:
+
+    * ``2`` (DEFAULT, the scale path): join keys are the C(4,2)=6
+      two-band COMBINATIONS (32-bit effective keys) — candidates are
+      pairs agreeing on ≥ 2 of the 4 bands.  Pigeonhole guarantees
+      recall whenever the ≤ ``max_hamming`` bit errors touch ≤ 2 bands
+      (always true for hamming ≤ 2; measured 100% of true pairs at the
+      contract scales share ≥ 3 bands).  This default exists because the
+      single-band key space SATURATES: the round-8 5M-image decade
+      measured the arity-1 join at α = 1.67 per decade — 16-bit buckets
+      hold O(n) members each, so candidates grow ~n²/65k — while the
+      32-bit pair keys keep per-bucket occupancy ≪ 1.
+    * ``1`` (the wider-recall exact-ish variant): a pair within
+      ``max_hamming`` ≤ 3 bits MUST agree on ≥ 1 band; at 4–6 bits
+      recall is still high unless errors spread one-per-band.  Guarded
+      by ``max_exact_media`` (one column-pruned count) exactly like
+      ngram_jaccard_pairs' ``max_exact_docs``: above the bound it raises
+      up front instead of launching the saturated quadratic join; pass
+      ``max_exact_media=None`` to waive.
+
+    Scale shape: the join is keyed — never O(n²) by construction at
+    arity 2.  The hash projection is persisted through the session cache
+    before the self-join: ``mapInPandas`` is opaque to Catalyst reuse, so
+    without it BOTH join sides re-decode and re-hash every image (2× the
+    expensive kernel — the same HOF-opacity trap as the shingle/LSH
+    projections).  Returns ``(id_a, id_b, hamming)``, one row per pair."""
     from pyspark.storagelevel import StorageLevel
 
-    key = _BPC.key_for(hashes, "dhash_pairs", max_hamming)
+    if band_arity not in (1, 2):
+        raise ValueError("band_arity must be 1 or 2")
+    if band_arity == 1 and max_exact_media is not None:
+        n_media = hashes.select(id_col).count()
+        if n_media > max_exact_media:
+            raise ValueError(
+                f"dhash_near_dup_pairs(band_arity=1) over {n_media} images "
+                f"(> max_exact_media={max_exact_media}): the 16-bit "
+                "single-band bucket space saturates at this size and the "
+                "candidate join goes super-linear (measured 1.67x cost per "
+                "data decade at 5M). Use the default band_arity=2, or "
+                "raise/disable max_exact_media deliberately."
+            )
+    key = _BPC.key_for(hashes, "dhash_pairs", max_hamming, band_arity)
     cached = _DHASH_CACHE.get(key)
     if cached is not None:
         hashes = cached
     elif key is not None:
         hashes = hashes.persist(StorageLevel.MEMORY_AND_DISK)
         _DHASH_CACHE.put(key, hashes)
-    bands = F.array(*[F.substring("dhash", i * 4 + 1, 4) for i in range(4)])
+    if band_arity == 1:
+        keys_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("k"),
+                    F.substring("dhash", i * 4 + 1, 4).alias("v"),
+                )
+                for i in range(4)
+            ]
+        )
+    else:
+        keys_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i * 4 + j).alias("k"),
+                    F.concat(
+                        F.substring("dhash", i * 4 + 1, 4),
+                        F.substring("dhash", j * 4 + 1, 4),
+                    ).alias("v"),
+                )
+                for i in range(4)
+                for j in range(4)
+                if i < j
+            ]
+        )
     exploded = hashes.filter(F.col("dhash").isNotNull()).select(
-        F.col(id_col), F.col("dhash"), F.posexplode(bands).alias("band_idx", "band_val")
+        F.col(id_col), F.col("dhash"), F.explode(keys_arr).alias("_bk")
+    ).select(
+        F.col(id_col), "dhash",
+        F.col("_bk.k").alias("band_idx"), F.col("_bk.v").alias("band_val"),
     )
     left = exploded.select(
         F.col(id_col).alias("id_a"), F.col("dhash").alias("ha"), "band_idx", "band_val"

@@ -186,7 +186,11 @@ def main() -> None:
         out = {
             "protocol": (
                 f"median of {N_RUNS} noop-write runs per (query, size); "
-                "operator caches cleared (blocking) between runs; doc tables "
+                "operator caches cleared (blocking) between runs AND after "
+                "the result-rows count pass (r8 fix: the count used to warm "
+                "shared caches for the NEXT query — e.g. the span pair's "
+                "shared window table — so r7 numbers for cache-sharing "
+                "siblings were slightly optimistic); doc tables "
                 "at 50k/500k/5M generated by scripts/gen_scale_docs.py with "
                 "the measured sf0.1 shape (vocab, length distribution, dup "
                 "rate); local[32]"

@@ -2815,3 +2815,36 @@ def test_apply_phrase_merges_empty_merge_table(spark):
     got = {r["doc_id"]: (r["merged_text"], r["n_tokens"])
            for r in text.apply_phrase_merges(df, []).collect()}
     assert got == {1: ("keep my tokens", 3), 2: ("", 0)}
+
+
+def test_dhash_band_arity_semantics(spark):
+    """band_arity=2 (default): candidates need >= 2 shared 16-bit bands.
+    A pair sharing exactly ONE band (errors spread across the other
+    three) is the documented recall trade vs band_arity=1; the arity-1
+    path is guarded against saturated corpora."""
+    from csv_etl_spark.operators.multimodal import dhash_near_dup_pairs
+
+    A = "aaaa" + "bbbb" + "cccc" + "dddd"
+    # B: shares only band 0; bands 1-3 each differ by exactly 1 bit
+    B = "aaaa" + "bbba" + "cccd" + "dddc"  # b^a=1bit? see asserts below
+    # C: shares bands 0-2; band 3 differs by 1 bit
+    C = "aaaa" + "bbbb" + "cccc" + "dddc"
+    df = spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], ["media_id", "dhash"]
+    )
+
+    def ham(x, y):
+        return bin(int(x, 16) ^ int(y, 16)).count("1")
+
+    assert ham(A, B) <= 4 and ham(A, C) <= 4
+
+    got2 = {(r["id_a"], r["id_b"]) for r in
+            dhash_near_dup_pairs(df, max_hamming=4).collect()}
+    assert (1, 3) in got2          # 3 shared bands
+    assert (1, 2) not in got2      # only 1 shared band: documented miss
+    got1 = {(r["id_a"], r["id_b"]) for r in
+            dhash_near_dup_pairs(df, max_hamming=4, band_arity=1).collect()}
+    assert (1, 2) in got1 and (1, 3) in got1  # arity-1 finds both
+    # guard: arity-1 over a "saturated" corpus refuses up front
+    with pytest.raises(ValueError, match="max_exact_media"):
+        dhash_near_dup_pairs(df, band_arity=1, max_exact_media=2)
