@@ -4828,7 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with never-checked queries (including operators new this round)
     # first.  With N oracle-checkable entries this bounds every query's
     # driver-evidence age to ceil(N/50) rounds in steady state — 3 rounds
-    # at the current N=114 (116 registered minus the 2 rows-only-by-design
+    # at the current N=117 (119 registered minus the 2 rows-only-by-design
     # entries, which yield their slots permanently: their driver rows
     # carry no value-hash signal; they are serial-reference/pytest
     # verified instead).  ALL entries additionally stay locally
