@@ -4759,6 +4759,151 @@ def _corr_lineitem_oracle_sql() -> str:
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier gate via Median Absolute Deviation
+    (stats.mad_outliers): the heavy-tail-safe sibling of the z-score
+    anomaly gate — a contaminated group can't shift its own threshold.
+    Two n_groups-row exact-percentile aggregates broadcast back
+    null-safely, map-only flag; no window, no sort.  Oracle replicates
+    the med→|x−med|→MAD chain with quantile_cont and the same 6-decimal
+    pre-rounding."""
+    from csv_etl_spark.operators.stats import mad_outliers
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return mad_outliers(e, "value", by=["event_type"]).select(
+        "event_id",
+        "event_type",
+        "value",
+        "value_med",
+        "value_mad",
+        "value_rz",
+        "is_outlier",
+    )
+
+
+_ORACLE_MAD_OUTLIERS = """
+    WITH e AS (SELECT event_id, event_type, value FROM events),
+    m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS value_med
+          FROM e GROUP BY event_type),
+    d AS (SELECT e.*, m.value_med FROM e JOIN m USING (event_type)),
+    md AS (SELECT event_type,
+                  round(quantile_cont(abs(value - value_med), 0.5), 6) AS value_mad
+           FROM d GROUP BY event_type),
+    f AS (SELECT d.*, md.value_mad FROM d JOIN md USING (event_type))
+    SELECT event_id, event_type, value, value_med, value_mad,
+           CASE WHEN value_mad <> 0
+                THEN round((value - value_med) / (1.4826 * value_mad), 6)
+           END AS value_rz,
+           CASE WHEN value IS NULL THEN NULL
+                WHEN value_mad = 0 THEN value <> value_med
+                ELSE abs(round((value - value_med) / (1.4826 * value_mad), 6)) > 3.5
+           END AS is_outlier
+    FROM f
+"""
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-occurring part pairs within orders
+    (affinity.top_cooccurrence): the 2-itemset support table of every
+    association-rule pipeline, fan-out-guarded against mega-baskets
+    (max_basket cap ahead of the basket-keyed self-equijoin — the
+    interval_overlap discipline) and top-k'd via TakeOrderedAndProject
+    with a deterministic (count DESC, item_a, item_b) tie-break."""
+    from csv_etl_spark.operators.affinity import top_cooccurrence
+
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
+    return top_cooccurrence(
+        li, "l_orderkey", "l_partkey", top_k=50, min_support=2
+    )
+
+
+_ORACLE_COPURCHASE_PAIRS = """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    sz AS (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 1000),
+    el AS (SELECT bi.* FROM bi JOIN sz USING (bk)),
+    p AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS pair_count
+          FROM el a JOIN el b ON a.bk = b.bk AND a.it < b.it
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT * FROM p ORDER BY pair_count DESC, item_a, item_b LIMIT 50
+"""
+
+
+def q_record_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution CLUSTERS: the blocked fuzzy string join
+    (PassJoin segments, joins.py:fuzzy_string_join) feeding the SAME
+    connected-components resolver the text/image dedup families use —
+    pair generators are modality-specific, cluster resolution is shared
+    (third consumer of dedup.resolve_duplicate_clusters).  Entities are
+    12-hex customer keys with TWO planted perturbation generations:
+    every 10th key gets a 'z'-prefixed copy, every 20th a 'z'-suffixed
+    copy — the two variants are edit-distance 2 APART and link only
+    through their shared original, so the check proves transitive
+    closure, not just pair recovery.  Oracle = naive all-pairs
+    levenshtein + recursive-CTE reachability (the image_dup_clusters
+    pattern)."""
+    from csv_etl_spark.operators import dedup
+    from csv_etl_spark.operators.joins import fuzzy_string_join
+
+    c = _t(spark, sf_dir, "customer", parallelize=True).select("c_custkey")
+    key12 = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12)
+    base = c.select(F.col("c_custkey").alias("id"), key12.alias("s"))
+    p1 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("id"),
+        F.concat(F.lit("z"), F.substring(key12, 2, 11)).alias("s"),
+    )
+    p2 = c.filter(F.col("c_custkey") % 20 == 0).select(
+        (F.col("c_custkey") + 2_000_000).alias("id"),
+        F.concat(F.substring(key12, 1, 11), F.lit("z")).alias("s"),
+    )
+    ents = base.unionByName(p1).unionByName(p2)
+    pairs = fuzzy_string_join(
+        ents.select(F.col("id").alias("lid"), "s"),
+        ents.select(F.col("id").alias("rid"), F.col("s").alias("t")),
+        "s",
+        "t",
+        "lid",
+        "rid",
+        max_dist=1,
+    ).filter(F.col("lid") < F.col("rid"))
+    return dedup.resolve_duplicate_clusters(pairs, id_a="lid", id_b="rid").select(
+        "id", "cluster_id"
+    )
+
+
+_ORACLE_RECORD_CLUSTERS = """
+    WITH RECURSIVE ents AS (
+      SELECT c_custkey AS id,
+             substring(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS s
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 1000000,
+             'z' || substring(md5(CAST(c_custkey AS VARCHAR)), 2, 11)
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000,
+             substring(md5(CAST(c_custkey AS VARCHAR)), 1, 11) || 'z'
+      FROM customer WHERE c_custkey % 20 = 0
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM ents a JOIN ents b ON a.id < b.id
+      WHERE levenshtein(a.s, b.s) <= 1
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 # Full train→score replication: same gopher labels, same md5-top-32-bit
 # feature hashing, same add-0.5 NB log-odds with 6-decimal pre-rounding,
 # same decimal micro-unit sum (HUGEINT, the dsir spelling).
@@ -4836,19 +4981,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of window position.
     #
     # Round-8 window under this policy (ages from CORRECTNESS_r01..r07):
-    #   * 7 never-checked: dsir_selection + corpus_report (added late in
-    #     r7 — the verdict's #1 item) and the five operators NEW in r8
+    #   * 10 never-checked: dsir_selection + corpus_report (added late in
+    #     r7 — the verdict's #1 item) and the EIGHT operators NEW in r8
     #     (apply_merges, quality_classifier, fuzzy_join, pct_rank_events,
-    #     corr_lineitem);
+    #     corr_lineitem, mad_outliers, copurchase_pairs,
+    #     record_clusters);
     #   * 9 last-green-r2, 2 r3, 2 r4, 25 r5 — the long tail the old
     #     keeper scheme starved (each re-verified by local oracle in the
     #     r7 judging session);
-    #   * 5 of the 22 r6-green returners (registry-list order).  The
-    #     remaining 17 r6 returners are the OLDEST entries after this
+    #   * 2 of the 22 r6-green returners (registry-list order).  The
+    #     remaining 20 r6 returners are the OLDEST entries after this
     #     round and therefore lead the r9 window, followed by the oldest
     #     r7-green entries; the transition to steady-state <=3-round age
     #     completes in r10.
-    # Update the counts (119 registered / 117 oracle-checkable) whenever
+    # Update the counts (122 registered / 120 oracle-checkable) whenever
     # the registry changes.
     return {
         # ---- window 1-4: never driver-checked (2 late-r7 + 2 new-r8) ----
@@ -4859,6 +5005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "pct_rank_events": q_pct_rank_events,
         "corr_lineitem": q_corr_lineitem,
+        "mad_outliers": q_mad_outliers,
+        "copurchase_pairs": q_copurchase_pairs,
+        "record_clusters": q_record_clusters,
         # ---- window 5-13: last driver row r2 ----
         "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
         "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
@@ -5077,6 +5226,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_join": _ORACLE_FUZZY_JOIN,
         "pct_rank_events": _ORACLE_PCT_RANK,
         "corr_lineitem": _corr_lineitem_oracle_sql(),
+        "mad_outliers": _ORACLE_MAD_OUTLIERS,
+        "copurchase_pairs": _ORACLE_COPURCHASE_PAIRS,
+        "record_clusters": _ORACLE_RECORD_CLUSTERS,
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

@@ -118,6 +118,9 @@ HEADLINE = [
     "fuzzy_join",
     "pct_rank_events",
     "corr_lineitem",
+    "mad_outliers",
+    "copurchase_pairs",
+    "record_clusters",
 ]
 
 

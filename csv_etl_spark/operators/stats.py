@@ -470,3 +470,73 @@ def percent_rank_transform(
     return df.join(ranked, cond, "left").drop(
         "_pk_v", *[f"_pk_{i}" for i in range(len(keys))]
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust per-group outlier gate via the Median Absolute Deviation —
+    the heavy-tail-safe sibling of the z-score gate (a single 1e9 sensor
+    glitch shifts a mean/stddev gate's own threshold; the median and MAD
+    barely move, which is why robust-statistics texts recommend the
+    modified z-score ``0.6745 (x − med) / MAD`` ≈ ``(x − med) /
+    (1.4826 MAD)`` for contaminated data).  Appends ``<value_col>_rz``
+    (the modified z-score, consistency-scaled so it reads in σ units for
+    Gaussian data) and boolean ``is_outlier`` (|rz| > k); rows keep every
+    input column and NULL values pass through un-flagged.
+
+    Plan shape — winsorize's discipline, twice: MAD needs the median of
+    ``|x − median|``, so this is two chained tiny aggregates (n_groups
+    rows each: exact interpolated ``percentile`` — the same
+    ``approx_percentile`` switch as winsorize applies at 100 TB),
+    each broadcast back null-safely for a map-only pass.  No window over
+    the data, no sort, two shuffles of aggregate-sized frames only.
+    Engine parity: med and mad round to 6 decimals BEFORE the ratio, the
+    ratio rounds to 6 after — identical doubles on any engine.
+    Degenerate groups (MAD = 0, i.e. > half the group sits exactly at
+    the median) get NULL ``rz`` and flag any value ≠ median — the
+    documented Iglewicz–Hoaglin fallback."""
+    keys = list(by or [])
+    v = F.col(value_col).cast("double")
+
+    def broadcast_back(frame: DataFrame, agg_col: Column, name: str) -> DataFrame:
+        if keys:
+            agg = frame.groupBy(*keys).agg(agg_col.alias(name)).select(
+                *[F.col(kc).alias(f"_mk_{i}") for i, kc in enumerate(keys)], name
+            )
+            cond = None
+            for i, kc in enumerate(keys):
+                c = F.col(kc).eqNullSafe(F.col(f"_mk_{i}"))
+                cond = c if cond is None else (cond & c)
+            return frame.join(F.broadcast(agg), cond).drop(
+                *[f"_mk_{i}" for i in range(len(keys))]
+            )
+        return frame.crossJoin(F.broadcast(frame.agg(agg_col.alias(name))))
+
+    med = F.round(F.percentile(v, F.lit(0.5)), 6)
+    with_med = broadcast_back(df, med, "_med")
+    absdev = F.abs(v - F.col("_med"))
+    mad = F.round(F.percentile(absdev, F.lit(0.5)), 6)
+    with_mad = broadcast_back(with_med, mad, "_mad")
+
+    rz = F.round(
+        (v - F.col("_med")) / (F.lit(float(consistency)) * F.col("_mad")), 6
+    )
+    degenerate = F.col("_mad") == 0.0
+    out = with_mad.withColumn(
+        f"{value_col}_rz", F.when(~degenerate, rz)
+    ).withColumn(
+        "is_outlier",
+        F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.when(degenerate, v != F.col("_med")).otherwise(
+                F.abs(rz) > F.lit(float(k))
+            )
+        ),
+    )
+    return out.withColumnRenamed("_med", f"{value_col}_med").withColumnRenamed(
+        "_mad", f"{value_col}_mad"
+    )

@@ -2848,3 +2848,91 @@ def test_dhash_band_arity_semantics(spark):
     # guard: arity-1 over a "saturated" corpus refuses up front
     with pytest.raises(ValueError, match="max_exact_media"):
         dhash_near_dup_pairs(df, band_arity=1, max_exact_media=2)
+
+
+# ---------------------------------------------------------------------------
+# round 8: MAD outlier gate, basket co-occurrence, record-linkage clusters
+
+
+def test_mad_outliers_flags_planted_spike_and_keeps_rows(spark):
+    from csv_etl_spark.operators.stats import mad_outliers
+
+    rows = [("a", float(i % 7)) for i in range(50)] + [("a", 1e6), ("a", None)]
+    rows += [("b", 5.0)] * 9 + [("b", 6.0)]  # MAD = 0 degenerate group
+    rows += [(None, float(i)) for i in range(10)]  # NULL group key
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "v", by=["g"]).collect()
+    assert len(out) == len(rows)  # row count preserved, NULLs included
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    # the spike is the only flagged row in group a; the NULL passes through
+    a_flagged = [r["v"] for r in by_g["a"] if r["is_outlier"]]
+    assert a_flagged == [1e6]
+    assert [r["is_outlier"] for r in by_g["a"] if r["v"] is None] == [None]
+    # degenerate group: MAD = 0, rz NULL, value != median flagged
+    b = by_g["b"]
+    assert all(r["v_mad"] == 0.0 for r in b)
+    assert all(r["v_rz"] is None for r in b)
+    assert sorted(r["is_outlier"] for r in b) == [False] * 9 + [True]
+    # NULL group key forms its own group with its own median
+    n = by_g[None]
+    assert all(r["v_med"] == 4.5 for r in n)
+
+
+def test_mad_outliers_global_no_groups(spark):
+    from csv_etl_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame([(float(i),) for i in range(11)], "v double")
+    out = mad_outliers(df, "v").collect()
+    assert len(out) == 11
+    assert all(r["v_med"] == 5.0 and r["v_mad"] == 3.0 for r in out)
+    assert not any(r["is_outlier"] for r in out)
+
+
+def test_cooccurrence_collapses_dups_and_guards_oversize(spark):
+    from csv_etl_spark.operators.affinity import cooccurrence_pairs
+
+    rows = [(1, "x"), (1, "y"), (1, "y"), (2, "x"), (2, "y"), (3, "x"),
+            (3, "y"), (3, "z"), (None, "x"), (1, None)]
+    df = spark.createDataFrame(rows, "b int, i string")
+    got = {(r["item_a"], r["item_b"]): r["pair_count"]
+           for r in cooccurrence_pairs(df, "b", "i", min_support=1).collect()}
+    # duplicate (1, y) counts once; NULL basket/item rows are ignored
+    assert got == {("x", "y"): 3, ("x", "z"): 1, ("y", "z"): 1}
+    # support threshold
+    got2 = {(r["item_a"], r["item_b"])
+            for r in cooccurrence_pairs(df, "b", "i", min_support=2).collect()}
+    assert got2 == {("x", "y")}
+    # oversize basket dropped by default...
+    big = df.union(spark.createDataFrame(
+        [(9, f"i{k}") for k in range(12)], "b int, i string"))
+    got3 = {(r["item_a"], r["item_b"])
+            for r in cooccurrence_pairs(big, "b", "i", min_support=1,
+                                        max_basket=10).collect()}
+    assert got3 == {("x", "y"), ("x", "z"), ("y", "z")}
+    # ...and loud under on_oversize="raise"
+    with pytest.raises(Exception, match="max_basket"):
+        cooccurrence_pairs(big, "b", "i", max_basket=10,
+                           on_oversize="raise").collect()
+
+
+def test_record_clusters_transitive_closure(spark):
+    """A–B and B–C at distance 1 with A–C at distance 2: one component
+    through the shared middle record — clusters, not just pairs."""
+    from csv_etl_spark.operators import dedup
+    from csv_etl_spark.operators.joins import fuzzy_string_join
+
+    ents = spark.createDataFrame(
+        [(1, "zbcdefgh"), (2, "abcdefgh"), (3, "abcdefgz"), (4, "qqqqqqqq")],
+        "id long, s string",
+    )
+    pairs = fuzzy_string_join(
+        ents.select(F.col("id").alias("lid"), "s"),
+        ents.select(F.col("id").alias("rid"), F.col("s").alias("t")),
+        "s", "t", "lid", "rid", max_dist=1,
+    ).filter(F.col("lid") < F.col("rid"))
+    out = {r["id"]: r["cluster_id"]
+           for r in dedup.resolve_duplicate_clusters(
+               pairs, id_a="lid", id_b="rid").collect()}
+    assert out == {1: 1, 2: 1, 3: 1}  # 4 is a singleton: not in the graph
