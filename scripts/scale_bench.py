@@ -93,6 +93,14 @@ QUERIES = {
     "apply_merges": "sf10",
     "quality_classifier": "sf10",
     "pct_rank_events": "sf10",
+    # late-r8 additions: mad_outliers runs on the events axis;
+    # copurchase_pairs (lineitem) and record_clusters (customer) read
+    # tables the doc/event-axis generators don't produce — like
+    # fuzzy_join/corr_lineitem their scale argument is the plan-shape
+    # note in ARCHITECTURE §3 (basket-keyed equijoin with C(max_basket,2)
+    # fan-out bound; PassJoin equijoin + iterative CC with per-round
+    # persist/unpersist)
+    "mad_outliers": "sf10",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),
