@@ -2936,3 +2936,63 @@ def test_record_clusters_transitive_closure(spark):
            for r in dedup.resolve_duplicate_clusters(
                pairs, id_a="lid", id_b="rid").collect()}
     assert out == {1: 1, 2: 1, 3: 1}  # 4 is a singleton: not in the graph
+
+
+def test_mad_outliers_plan_no_window_broadcast_bounds(spark):
+    """Same plan pin as winsorize for the MAD gate: BOTH percentile
+    stages must stay n_groups-row aggregates broadcast back — never a
+    Window over the data."""
+    from csv_etl_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(200)], ["id", "g", "v"]
+    )
+    plan = (
+        mad_outliers(df, "v", by=["g"])._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    plan0 = mad_outliers(df, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan0
+    assert "Broadcast" in plan0
+
+
+def test_cooccurrence_matches_serial_reference_fuzz(spark):
+    """Property check: random baskets vs an itertools ground truth —
+    pair counts, dup collapse, support filter, basket cap all at once."""
+    import itertools
+    import random as _random
+    from collections import Counter
+
+    from csv_etl_spark.operators.affinity import cooccurrence_pairs
+
+    rng = _random.Random(81)
+    for trial in range(3):
+        rows = [
+            (b, f"i{rng.randrange(8)}")
+            for b in range(30)
+            for _ in range(rng.randrange(7))
+        ]
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, "b int, i string")
+        max_basket, min_support = 4, 2
+        # serial reference
+        baskets: dict[int, set] = {}
+        for b, it in rows:
+            baskets.setdefault(b, set()).add(it)
+        want = Counter()
+        for items in baskets.values():
+            if len(items) > max_basket:
+                continue
+            for a, c in itertools.combinations(sorted(items), 2):
+                want[(a, c)] += 1
+        want = {k: v for k, v in want.items() if v >= min_support}
+        got = {
+            (r["item_a"], r["item_b"]): r["pair_count"]
+            for r in cooccurrence_pairs(
+                df, "b", "i", min_support=min_support, max_basket=max_basket
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
