@@ -4904,6 +4904,81 @@ _ORACLE_RECORD_CLUSTERS = """
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation composition (operators/urls.py): canonicalize →
+    domain-blocklist filter → URL-level dedup — the steps C4/RefinedWeb
+    run before any text operator.  Synthetic messy URLs derived
+    deterministically from (doc_id, source): scheme-case + www on every
+    3rd, .co.uk vs .com TLD split on every 4th (exercising the
+    multi-part-suffix branch of registered_domain), :443 default port on
+    every 5th, trailing slash on every 2nd, and tracking-only query
+    strings — ALL of which must normalize away so docs sharing
+    (source, tld-class, doc_id%300) collapse to one URL.  Blocklist
+    drops src7 entirely and src3's .com half only (registered-domain
+    semantics, broadcast anti-join).  The oracle replays the identical
+    normalization chain, generated from the same pattern constants
+    (urls.normalize_url_oracle_sql)."""
+    from csv_etl_spark.operators.urls import (
+        dedup_by_url,
+        domain_blocklist_filter,
+    )
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "source"
+    )
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://")),
+        F.col("source"),
+        F.when(did % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        (did % 300).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("?utm_source=feed&utm_medium=rss"))
+        .when(did % 3 == 1, F.lit("?ref=promo"))
+        .otherwise(F.lit("")),
+    )
+    docs = d.select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("src7.com",), ("src7.co.uk",), ("src3.com",)], ["domain"]
+    )
+    return dedup_by_url(domain_blocklist_filter(docs, "url", blocked), "url", "doc_id")
+
+
+def _url_dedup_oracle() -> str:
+    from csv_etl_spark.operators.urls import (
+        normalize_url_oracle_sql,
+        registered_domain_oracle_sql,
+    )
+
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END
+              || source
+              || CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END
+              || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+              || '/doc/' || CAST(doc_id % 300 AS VARCHAR)
+              || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+              || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss'
+                      WHEN doc_id % 3 = 1 THEN '?ref=promo' ELSE '' END
+             ) AS url
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, url FROM docs
+      WHERE {registered_domain_oracle_sql('url')}
+            NOT IN ('src7.com', 'src7.co.uk', 'src3.com')
+    )
+    SELECT {normalize_url_oracle_sql('url')} AS url_norm,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM kept
+    GROUP BY 1
+"""
+
+
 # Full train→score replication: same gopher labels, same md5-top-32-bit
 # feature hashing, same add-0.5 NB log-odds with 6-decimal pre-rounding,
 # same decimal micro-unit sum (HUGEINT, the dsir spelling).
@@ -4981,20 +5056,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of window position.
     #
     # Round-8 window under this policy (ages from CORRECTNESS_r01..r07):
-    #   * 10 never-checked: dsir_selection + corpus_report (added late in
-    #     r7 — the verdict's #1 item) and the EIGHT operators NEW in r8
+    #   * 11 never-checked: dsir_selection + corpus_report (added late in
+    #     r7 — the verdict's #1 item) and the NINE operators NEW in r8
     #     (apply_merges, quality_classifier, fuzzy_join, pct_rank_events,
-    #     corr_lineitem, mad_outliers, copurchase_pairs,
-    #     record_clusters);
+    #     corr_lineitem, mad_outliers, copurchase_pairs, record_clusters,
+    #     url_dedup);
     #   * 9 last-green-r2, 2 r3, 2 r4, 25 r5 — the long tail the old
     #     keeper scheme starved (each re-verified by local oracle in the
     #     r7 judging session);
-    #   * 2 of the 22 r6-green returners (registry-list order).  The
-    #     remaining 20 r6 returners are the OLDEST entries after this
+    #   * 1 of the 22 r6-green returners (registry-list order).  The
+    #     remaining 21 r6 returners are the OLDEST entries after this
     #     round and therefore lead the r9 window, followed by the oldest
     #     r7-green entries; the transition to steady-state <=3-round age
     #     completes in r10.
-    # Update the counts (122 registered / 120 oracle-checkable) whenever
+    # Update the counts (123 registered / 121 oracle-checkable) whenever
     # the registry changes.
     return {
         # ---- window 1-4: never driver-checked (2 late-r7 + 2 new-r8) ----
@@ -5008,7 +5083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "copurchase_pairs": q_copurchase_pairs,
         "record_clusters": q_record_clusters,
-        # ---- window 5-13: last driver row r2 ----
+        "url_dedup": q_url_dedup,
+        # ---- window: last driver row r2 ----
         "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
         "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
         "f3_in": _filter_query([{"field": "event_type", "operator": "in", "values": ["click", "view"]}]),
@@ -5229,6 +5305,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _ORACLE_MAD_OUTLIERS,
         "copurchase_pairs": _ORACLE_COPURCHASE_PAIRS,
         "record_clusters": _ORACLE_RECORD_CLUSTERS,
+        "url_dedup": _url_dedup_oracle(),
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

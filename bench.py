@@ -121,6 +121,7 @@ HEADLINE = [
     "mad_outliers",
     "copurchase_pairs",
     "record_clusters",
+    "url_dedup",
 ]
 
 

@@ -101,6 +101,7 @@ QUERIES = {
     # fan-out bound; PassJoin equijoin + iterative CC with per-round
     # persist/unpersist)
     "mad_outliers": "sf10",
+    "url_dedup": "sf10",  # doc-axis: map-only normalize + one url-keyed agg
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),

@@ -2996,3 +2996,59 @@ def test_cooccurrence_matches_serial_reference_fuzz(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_normalize_url_cases(spark):
+    from csv_etl_spark.operators.urls import normalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/?utm_source=x&id=1#frag",
+         "https://example.com/Path?id=1"),
+        ("http://example.co.uk:80/a/", "http://example.co.uk/a"),
+        ("https://example.org/?utm_a=1&utm_b=2", "https://example.org"),
+        ("https://example.net/p?a=1&gclid=z&b=2", "https://example.net/p?a=1&b=2"),
+        ("https://example.com/UPPER/Case", "https://example.com/UPPER/Case"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, c[0]) for i, c in enumerate(cases)], "i int, u string"
+    )
+    got = {r["i"]: r["n"] for r in
+           df.select("i", normalize_url(F.col("u")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_registered_domain_and_blocklist(spark):
+    from csv_etl_spark.operators.urls import (
+        domain_blocklist_filter,
+        registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "https://a.sub.spam.com/x"), (2, "https://shop.spam.co.uk/y"),
+         (3, "https://fine.org/z"), (4, "https://spammy.com/w")],
+        "id int, url string",
+    )
+    doms = {r["id"]: r["d"] for r in
+            df.select("id", registered_domain(F.col("url")).alias("d")).collect()}
+    assert doms == {1: "spam.com", 2: "spam.co.uk", 3: "fine.org", 4: "spammy.com"}
+    blocked = spark.createDataFrame([("spam.com",), ("spam.co.uk",)], ["domain"])
+    kept = sorted(r["id"] for r in
+                  domain_blocklist_filter(df, "url", blocked).collect())
+    assert kept == [3, 4]  # subdomains caught; "spammy.com" is NOT spam.com
+
+
+def test_dedup_by_url_collapses_variants(spark):
+    from csv_etl_spark.operators.urls import dedup_by_url
+
+    df = spark.createDataFrame(
+        [(1, "https://Example.com/a?utm_source=x"),
+         (2, "HTTPS://WWW.example.COM/a/"),
+         (3, "https://example.com:443/a"),
+         (4, "https://example.com/b")],
+        "id int, url string",
+    )
+    out = {r["url_norm"]: (r["keep_id"], r["n_copies"])
+           for r in dedup_by_url(df, "url", "id").collect()}
+    assert out == {"https://example.com/a": (1, 3), "https://example.com/b": (4, 1)}
