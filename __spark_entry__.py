@@ -4979,6 +4979,73 @@ def _url_dedup_oracle() -> str:
 """
 
 
+def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution-drift report (stats.distribution_drift):
+    PSI over 10 reference-decile bins between two deterministic halves
+    of the events table, with a 1.5x value scale-up planted in the
+    CURRENT half's 'click' type — click must clearly dominate the
+    unshifted types' split-half sampling noise.  Reference edges from one n_groups-row exact
+    percentile agg broadcast to both sides; bin assignment is map-only
+    size(filter(edges)); everything after the two count aggs rides
+    n_groups × n_bins rows.  Oracle replays the identical chain
+    (quantile_cont edges, eps clamp, contribution rounding, decimal
+    sum)."""
+    from csv_etl_spark.operators.stats import distribution_drift
+
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    ref = e.filter(F.col("event_id") % 2 == 0).select("event_type", "value")
+    cur = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_type",
+        (
+            F.col("value")
+            * F.when(F.col("event_type") == "click", 1.5).otherwise(1.0)
+        ).alias("value"),
+    )
+    return distribution_drift(ref, cur, "value", by=["event_type"])
+
+
+_ORACLE_EVENTS_DRIFT = f"""
+    WITH ref AS (SELECT event_type, value FROM events WHERE event_id % 2 = 0),
+    cur AS (SELECT event_type,
+            value * CASE WHEN event_type = 'click' THEN 1.5 ELSE 1.0 END AS value
+            FROM events WHERE event_id % 2 = 1),
+    edges AS (SELECT event_type,
+              list_transform(
+                quantile_cont(value, [{",".join(str(i / 10.0) for i in range(1, 10))}]),
+                e -> round(e, 6)) AS edges
+              FROM ref WHERE value IS NOT NULL GROUP BY event_type),
+    rb AS (SELECT r.event_type,
+                  len(list_filter(e.edges, x -> r.value > x)) AS bin,
+                  count(*) AS c_ref
+           FROM ref r JOIN edges e USING (event_type)
+           WHERE r.value IS NOT NULL GROUP BY 1, 2),
+    cb AS (SELECT c.event_type,
+                  len(list_filter(e.edges, x -> c.value > x)) AS bin,
+                  count(*) AS c_cur
+           FROM cur c JOIN edges e USING (event_type)
+           WHERE c.value IS NOT NULL GROUP BY 1, 2),
+    j AS (SELECT coalesce(rb.event_type, cb.event_type) AS event_type,
+                 coalesce(rb.bin, cb.bin) AS bin,
+                 coalesce(c_ref, 0) AS c_ref, coalesce(c_cur, 0) AS c_cur
+          FROM rb FULL OUTER JOIN cb
+          ON rb.event_type = cb.event_type AND rb.bin = cb.bin),
+    t AS (SELECT event_type, sum(c_ref) AS t_ref, sum(c_cur) AS t_cur
+          FROM j GROUP BY 1),
+    w AS (SELECT j.*, t.t_ref, t.t_cur FROM j JOIN t USING (event_type)
+          WHERE t_ref > 0 AND t_cur > 0),
+    s AS (SELECT event_type,
+                 greatest(round(c_ref / t_ref, 6), 1e-6) AS sr,
+                 greatest(round(c_cur / t_cur, 6), 1e-6) AS sc,
+                 t_ref, t_cur FROM w)
+    SELECT event_type,
+           round(CAST(sum(CAST(round((sc - sr) * ln(sc / sr), 8)
+                 AS DECIMAL(38,8))) AS DOUBLE), 4) AS psi,
+           CAST(max(t_ref) AS BIGINT) AS n_ref,
+           CAST(max(t_cur) AS BIGINT) AS n_cur
+    FROM s GROUP BY 1
+"""
+
+
 # Full train→score replication: same gopher labels, same md5-top-32-bit
 # feature hashing, same add-0.5 NB log-odds with 6-decimal pre-rounding,
 # same decimal micro-unit sum (HUGEINT, the dsir spelling).
@@ -5056,20 +5123,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of window position.
     #
     # Round-8 window under this policy (ages from CORRECTNESS_r01..r07):
-    #   * 11 never-checked: dsir_selection + corpus_report (added late in
-    #     r7 — the verdict's #1 item) and the NINE operators NEW in r8
+    #   * 12 never-checked: dsir_selection + corpus_report (added late in
+    #     r7 — the verdict's #1 item) and the TEN operators NEW in r8
     #     (apply_merges, quality_classifier, fuzzy_join, pct_rank_events,
     #     corr_lineitem, mad_outliers, copurchase_pairs, record_clusters,
-    #     url_dedup);
+    #     url_dedup, events_drift);
     #   * 9 last-green-r2, 2 r3, 2 r4, 25 r5 — the long tail the old
     #     keeper scheme starved (each re-verified by local oracle in the
-    #     r7 judging session);
-    #   * 1 of the 22 r6-green returners (registry-list order).  The
-    #     remaining 21 r6 returners are the OLDEST entries after this
-    #     round and therefore lead the r9 window, followed by the oldest
-    #     r7-green entries; the transition to steady-state <=3-round age
-    #     completes in r10.
-    # Update the counts (123 registered / 121 oracle-checkable) whenever
+    #     r7 judging session).  That fills all 50 slots; the 22 r6-green
+    #     returners are the OLDEST entries after this round and therefore
+    #     lead the r9 window, followed by the oldest r7-green entries;
+    #     the transition to steady-state <=3-round age completes in r10.
+    # Update the counts (124 registered / 122 oracle-checkable) whenever
     # the registry changes.
     return {
         # ---- window 1-4: never driver-checked (2 late-r7 + 2 new-r8) ----
@@ -5084,6 +5149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_pairs": q_copurchase_pairs,
         "record_clusters": q_record_clusters,
         "url_dedup": q_url_dedup,
+        "events_drift": q_events_drift,
         # ---- window: last driver row r2 ----
         "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
         "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
@@ -5306,6 +5372,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_pairs": _ORACLE_COPURCHASE_PAIRS,
         "record_clusters": _ORACLE_RECORD_CLUSTERS,
         "url_dedup": _url_dedup_oracle(),
+        "events_drift": _ORACLE_EVENTS_DRIFT,
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

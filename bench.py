@@ -122,6 +122,7 @@ HEADLINE = [
     "copurchase_pairs",
     "record_clusters",
     "url_dedup",
+    "events_drift",
 ]
 
 

@@ -540,3 +540,140 @@ def mad_outliers(
     return out.withColumnRenamed("_med", f"{value_col}_med").withColumnRenamed(
         "_mad", f"{value_col}_mad"
     )
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a REFERENCE snapshot and a
+    CURRENT snapshot of a numeric column, per group — the standard
+    distribution-drift monitor a production data pipeline runs between
+    corpus releases (industry convention: PSI < 0.1 stable, 0.1–0.25
+    moderate shift, > 0.25 action).  Returns one row per group present
+    in BOTH snapshots: ``(by…, psi, n_ref, n_cur)``.
+
+    PSI = Σ_bins (s_cur − s_ref) · ln(s_cur / s_ref) over ``n_bins``
+    reference-quantile bins (the decile convention at the default 10) —
+    binning on REFERENCE edges is what makes the score asymmetric-aware:
+    mass moving outside the reference's support lands in the edge bins.
+
+    Plan shape: one n_groups-row exact-percentile aggregate on the
+    reference (edges array; the winsorize approx_percentile switch
+    applies at 100 TB) broadcast to both sides; bin assignment is a
+    map-only ``size(filter(edges, e -> value > e))`` (no per-row
+    explode); per-side (group, bin) counts are map-side-combinable
+    aggregates of n_groups × n_bins rows; shares, the eps clamp and the
+    ln ride the tiny joined bin table.  Two input scans total, nothing
+    driver-side.  Engine parity: edges and shares round to 6 decimals,
+    per-bin contributions to 8, the decimal-summed PSI to 4 — the
+    established quantize→decimal-sum discipline.
+
+    Zero-count bins take the documented eps floor (the textbook PSI
+    guard: ln(0) otherwise).  NULL values are excluded on both sides;
+    NULL group keys form their own group (null-safe joins throughout).
+    """
+    keys = list(by or [])
+    v = F.col(value_col).cast("double")
+    probs = F.array(
+        *[F.lit(i / float(n_bins)) for i in range(1, int(n_bins))]
+    )
+    edges_agg = F.transform(
+        F.percentile(v, probs), lambda e: F.round(e, 6)
+    ).alias("_edges")
+
+    def keyed(frame: DataFrame, prefix: str) -> DataFrame:
+        # rename keys so downstream null-safe joins are unambiguous
+        return frame.select(
+            *[F.col(k).alias(f"{prefix}{i}") for i, k in enumerate(keys)],
+            *[c for c in frame.columns if c not in keys],
+        )
+
+    def null_safe_cond(left_pref: str, right_pref: str):
+        cond = F.lit(True)
+        for i in range(len(keys)):
+            cond = cond & F.col(f"{left_pref}{i}").eqNullSafe(
+                F.col(f"{right_pref}{i}")
+            )
+        return cond
+
+    if keys:
+        edges = keyed(ref.groupBy(*keys).agg(edges_agg), "_ek")
+    else:
+        edges = ref.agg(edges_agg)
+
+    def binned(frame: DataFrame, side: str) -> DataFrame:
+        f = frame.filter(v.isNotNull()).select(
+            *[F.col(k).alias(f"_bk{i}") for i, k in enumerate(keys)],
+            v.alias("_v"),
+        )
+        if keys:
+            j = f.join(F.broadcast(edges), null_safe_cond("_bk", "_ek"))
+        else:
+            j = f.crossJoin(F.broadcast(edges))
+        bin_ix = F.size(F.filter(F.col("_edges"), lambda e: F.col("_v") > e))
+        return (
+            j.select(
+                *[F.col(f"_bk{i}") for i in range(len(keys))],
+                bin_ix.alias("_bin"),
+            )
+            .groupBy(*[f"_bk{i}" for i in range(len(keys))], "_bin")
+            .agg(F.count(F.lit(1)).alias(f"_c_{side}"))
+        )
+
+    rc = binned(ref, "ref")
+    cc = binned(cur, "cur").select(
+        *[F.col(f"_bk{i}").alias(f"_ck{i}") for i in range(len(keys))],
+        F.col("_bin").alias("_cbin"),
+        "_c_cur",
+    )
+    joined = rc.join(
+        cc,
+        null_safe_cond("_bk", "_ck") & (F.col("_bin") == F.col("_cbin")),
+        "full_outer",
+    ).select(
+        *[
+            F.coalesce(F.col(f"_bk{i}"), F.col(f"_ck{i}")).alias(f"_gk{i}")
+            for i in range(len(keys))
+        ],
+        F.coalesce(F.col("_c_ref"), F.lit(0)).alias("_c_ref"),
+        F.coalesce(F.col("_c_cur"), F.lit(0)).alias("_c_cur"),
+    )
+    # group totals: n_groups-row agg joined back (no window)
+    tot = joined.groupBy(*[f"_gk{i}" for i in range(len(keys))]).agg(
+        F.sum("_c_ref").alias("_t_ref"), F.sum("_c_cur").alias("_t_cur")
+    ).select(
+        *[F.col(f"_gk{i}").alias(f"_tk{i}") for i in range(len(keys))],
+        "_t_ref",
+        "_t_cur",
+    )
+    if keys:
+        wt = joined.join(F.broadcast(tot), null_safe_cond("_gk", "_tk"))
+    else:
+        wt = joined.crossJoin(F.broadcast(tot))
+    # groups present on one side only (t = 0) are dropped: PSI needs both
+    wt = wt.filter((F.col("_t_ref") > 0) & (F.col("_t_cur") > 0))
+    s_ref = F.greatest(
+        F.round(F.col("_c_ref") / F.col("_t_ref"), 6), F.lit(float(eps))
+    )
+    s_cur = F.greatest(
+        F.round(F.col("_c_cur") / F.col("_t_cur"), 6), F.lit(float(eps))
+    )
+    contrib = F.round((s_cur - s_ref) * F.log(s_cur / s_ref), 8)
+    out = wt.groupBy(*[f"_gk{i}" for i in range(len(keys))]).agg(
+        F.round(
+            F.sum(contrib.cast("decimal(38,8)")).cast("double"), 4
+        ).alias("psi"),
+        F.max("_t_ref").alias("n_ref"),
+        F.max("_t_cur").alias("n_cur"),
+    )
+    return out.select(
+        *[F.col(f"_gk{i}").alias(k) for i, k in enumerate(keys)],
+        "psi",
+        "n_ref",
+        "n_cur",
+    )

@@ -102,6 +102,7 @@ QUERIES = {
     # persist/unpersist)
     "mad_outliers": "sf10",
     "url_dedup": "sf10",  # doc-axis: map-only normalize + one url-keyed agg
+    "events_drift": "sf10",  # event-axis: PSI edges broadcast, two count aggs
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),

@@ -3052,3 +3052,41 @@ def test_dedup_by_url_collapses_variants(spark):
     out = {r["url_norm"]: (r["keep_id"], r["n_copies"])
            for r in dedup_by_url(df, "url", "id").collect()}
     assert out == {"https://example.com/a": (1, 3), "https://example.com/b": (4, 1)}
+
+
+def test_distribution_drift_detects_planted_shift(spark):
+    from csv_etl_spark.operators.stats import distribution_drift
+
+    rows_ref = [("a", float(i % 100)) for i in range(500)]
+    rows_ref += [("b", float(i % 100)) for i in range(500)]
+    rows_ref += [("ref_only", 1.0)] * 20
+    # group a: current shifted by +30 (big drift); group b: identical
+    rows_cur = [("a", float(i % 100) + 30.0) for i in range(500)]
+    rows_cur += [("b", float((i * 7) % 100)) for i in range(500)]
+    rows_cur += [("cur_only", 1.0)] * 20
+    ref = spark.createDataFrame(rows_ref, "g string, v double")
+    cur = spark.createDataFrame(rows_cur, "g string, v double")
+    out = {r["g"]: r for r in
+           distribution_drift(ref, cur, "v", by=["g"]).collect()}
+    # one-sided groups are dropped: PSI needs both snapshots
+    assert set(out) == {"a", "b"}
+    assert out["a"]["psi"] > 0.25  # the planted shift crosses the action bar
+    assert out["b"]["psi"] < 0.05  # same distribution, near zero
+    assert out["a"]["n_ref"] == 500 and out["a"]["n_cur"] == 500
+
+
+def test_distribution_drift_plan_no_window(spark):
+    """The PSI chain must stay aggregate+broadcast shaped: no Window,
+    and no full-data sort."""
+    from csv_etl_spark.operators.stats import distribution_drift
+
+    ref = spark.createDataFrame(
+        [(f"g{i % 3}", float(i)) for i in range(300)], "g string, v double"
+    )
+    cur = ref
+    plan = (
+        distribution_drift(ref, cur, "v", by=["g"])._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
