@@ -4846,15 +4846,19 @@ def q_record_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv_etl_spark.operators import dedup
     from csv_etl_spark.operators.joins import fuzzy_string_join
 
+    # ids are custkey*4 + generation — disjoint by construction at EVERY
+    # scale factor (an additive +1M offset would collide with real
+    # custkeys once the table passes 1M rows, silently fusing unrelated
+    # components while the oracle replays the same bug)
     c = _t(spark, sf_dir, "customer", parallelize=True).select("c_custkey")
     key12 = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12)
-    base = c.select(F.col("c_custkey").alias("id"), key12.alias("s"))
+    base = c.select((F.col("c_custkey") * 4).alias("id"), key12.alias("s"))
     p1 = c.filter(F.col("c_custkey") % 10 == 0).select(
-        (F.col("c_custkey") + 1_000_000).alias("id"),
+        (F.col("c_custkey") * 4 + 1).alias("id"),
         F.concat(F.lit("z"), F.substring(key12, 2, 11)).alias("s"),
     )
     p2 = c.filter(F.col("c_custkey") % 20 == 0).select(
-        (F.col("c_custkey") + 2_000_000).alias("id"),
+        (F.col("c_custkey") * 4 + 2).alias("id"),
         F.concat(F.substring(key12, 1, 11), F.lit("z")).alias("s"),
     )
     ents = base.unionByName(p1).unionByName(p2)
@@ -4874,15 +4878,15 @@ def q_record_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_RECORD_CLUSTERS = """
     WITH RECURSIVE ents AS (
-      SELECT c_custkey AS id,
+      SELECT c_custkey * 4 AS id,
              substring(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS s
       FROM customer
       UNION ALL
-      SELECT c_custkey + 1000000,
+      SELECT c_custkey * 4 + 1,
              'z' || substring(md5(CAST(c_custkey AS VARCHAR)), 2, 11)
       FROM customer WHERE c_custkey % 10 = 0
       UNION ALL
-      SELECT c_custkey + 2000000,
+      SELECT c_custkey * 4 + 2,
              substring(md5(CAST(c_custkey AS VARCHAR)), 1, 11) || 'z'
       FROM customer WHERE c_custkey % 20 = 0
     ),
@@ -5115,7 +5119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with never-checked queries (including operators new this round)
     # first.  With N oracle-checkable entries this bounds every query's
     # driver-evidence age to ceil(N/50) rounds in steady state — 3 rounds
-    # at the current N=117 (119 registered minus the 2 rows-only-by-design
+    # at the current N=122 (124 registered minus the 2 rows-only-by-design
     # entries, which yield their slots permanently: their driver rows
     # carry no value-hash signal; they are serial-reference/pytest
     # verified instead).  ALL entries additionally stay locally
@@ -5137,7 +5141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Update the counts (124 registered / 122 oracle-checkable) whenever
     # the registry changes.
     return {
-        # ---- window 1-4: never driver-checked (2 late-r7 + 2 new-r8) ----
+        # ---- window 1-12: never driver-checked (2 late-r7 + 10 new-r8) ----
         "dsir_selection": q_dsir_selection,
         "corpus_report": q_corpus_report,
         "apply_merges": q_apply_merges,

@@ -172,6 +172,7 @@ def main() -> None:
         # the block manager (the suspected cause of r5's driver-run passes
         # getting SLOWER on exactly the cached operators).
         from csv_etl_spark.operators import classify as _classify
+        from csv_etl_spark.operators import affinity as _aff
         from csv_etl_spark.operators import dedup as _dedup
         from csv_etl_spark.operators import multimodal as _mm
         from csv_etl_spark.operators import packing as _pack
@@ -189,6 +190,8 @@ def main() -> None:
         _pack._CUMSUM_CACHE.invalidate(blocking=True)
         # r8 addition: the classifier's (doc, feature) pair cache
         _classify._FEAT_CACHE.invalidate(blocking=True)
+        # r8 addition: the co-occurrence basket-pair cache
+        _aff._BASKET_CACHE.invalidate(blocking=True)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {n: [] for n in HEADLINE if n in queries}

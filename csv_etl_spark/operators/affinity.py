@@ -24,6 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import BoundedPersistCache
+
+# (basket, item) distinct pairs are consumed by 2+ branches (size agg +
+# eligibility join; then BOTH sides of the pair self-join) — without the
+# persist cache the input scan and distinct shuffle re-execute per
+# consumer (the repo's multi-consumer rule).  Registered in bench.py's
+# and scripts/scale_bench.py's clear lists like every instance.
+_BASKET_CACHE = BoundedPersistCache(max_entries=4)
+
 
 def cooccurrence_pairs(
     df: DataFrame,
@@ -60,6 +69,7 @@ def cooccurrence_pairs(
         .filter(F.col("_bk").isNotNull() & F.col("_it").isNotNull())
         .distinct()
     )
+    bi = _BASKET_CACHE.get_or_persist(bi, "basket_items")
     sizes = bi.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bn"))
     if on_oversize == "raise":
         guard = F.assert_true(
@@ -74,7 +84,9 @@ def cooccurrence_pairs(
         # silence it
         sizes = sizes.withColumn("_bn", F.coalesce(guard.cast("long"), F.col("_bn")))
     kept = sizes.filter(F.col("_bn") <= F.lit(int(max_basket))).select("_bk")
-    eligible = bi.join(kept, "_bk")
+    eligible = _BASKET_CACHE.get_or_persist(
+        bi.join(kept, "_bk"), "eligible", int(max_basket), on_oversize
+    )
     a = eligible.select(F.col("_bk"), F.col("_it").alias("item_a"))
     b = eligible.select(F.col("_bk"), F.col("_it").alias("item_b"))
     pairs = a.join(b, "_bk").filter(F.col("item_a") < F.col("item_b"))

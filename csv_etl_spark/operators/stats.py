@@ -472,6 +472,31 @@ def percent_rank_transform(
     )
 
 
+def broadcast_group_agg(
+    frame: DataFrame, keys: list[str], aggs: list[Column], tag: str = "_bg"
+) -> DataFrame:
+    """``groupBy(keys).agg(aggs)`` (an n_groups-row frame) broadcast
+    back onto ``frame`` with NULL-SAFE key equality — the module's
+    no-window discipline (winsorize's join-back idiom) in one place, so
+    the NULL-group-key semantics the tests pin live in exactly one
+    implementation.  Empty ``keys`` → a global 1-row aggregate via
+    broadcast cross join."""
+    if not keys:
+        return frame.crossJoin(F.broadcast(frame.agg(*aggs)))
+    agg = frame.groupBy(*keys).agg(*aggs)
+    renamed = agg.select(
+        *[F.col(k).alias(f"{tag}{i}") for i, k in enumerate(keys)],
+        *[c for c in agg.columns if c not in keys],
+    )
+    cond = None
+    for i, k in enumerate(keys):
+        c = F.col(k).eqNullSafe(F.col(f"{tag}{i}"))
+        cond = c if cond is None else (cond & c)
+    return frame.join(F.broadcast(renamed), cond).drop(
+        *[f"{tag}{i}" for i in range(len(keys))]
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     value_col: str,
@@ -503,25 +528,11 @@ def mad_outliers(
     keys = list(by or [])
     v = F.col(value_col).cast("double")
 
-    def broadcast_back(frame: DataFrame, agg_col: Column, name: str) -> DataFrame:
-        if keys:
-            agg = frame.groupBy(*keys).agg(agg_col.alias(name)).select(
-                *[F.col(kc).alias(f"_mk_{i}") for i, kc in enumerate(keys)], name
-            )
-            cond = None
-            for i, kc in enumerate(keys):
-                c = F.col(kc).eqNullSafe(F.col(f"_mk_{i}"))
-                cond = c if cond is None else (cond & c)
-            return frame.join(F.broadcast(agg), cond).drop(
-                *[f"_mk_{i}" for i in range(len(keys))]
-            )
-        return frame.crossJoin(F.broadcast(frame.agg(agg_col.alias(name))))
-
     med = F.round(F.percentile(v, F.lit(0.5)), 6)
-    with_med = broadcast_back(df, med, "_med")
+    with_med = broadcast_group_agg(df, keys, [med.alias("_med")])
     absdev = F.abs(v - F.col("_med"))
     mad = F.round(F.percentile(absdev, F.lit(0.5)), 6)
-    with_mad = broadcast_back(with_med, mad, "_mad")
+    with_mad = broadcast_group_agg(with_med, keys, [mad.alias("_mad")])
 
     rz = F.round(
         (v - F.col("_med")) / (F.lit(float(consistency)) * F.col("_mad")), 6

@@ -40,13 +40,29 @@ _MULTIPART_RE = rf"[^.]+\.{_SUFFIX2_RE}"
 # regexp_replace(..., 'g'), so the two spellings cannot drift.  Every
 # pattern is Java-regex ∩ RE2 (no backrefs, no lookaround) and every
 # replacement is backref-free.
+#
+# Authority rules apply ONLY to the extracted scheme://authority prefix
+# — never to the whole URL — so path/query content that merely LOOKS
+# like an authority artifact ("/a:80/b", "?to=https://www.x.com") is
+# untouched (a whole-string ":80/" rule would silently collapse two
+# distinct documents into one url_norm).
 _P_PREFIX = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)"
+_AUTH_RULES: list[tuple[str, str]] = [
+    # userinfo never affects the resource: "user@spam.com" IS spam.com
+    # (and would otherwise bypass the domain blocklist)
+    (r"://[^/?#@]*@", "://"),
+    (r"(:80|:443)$", ""),  # default ports ($ = end of authority)
+    (r"\.$", ""),  # trailing-dot FQDN ("spam.com." IS spam.com)
+]
+# www-strip is guarded (applied only when the host has a further dotted
+# label, via _WWW_GUARD) so a host whose registrable domain IS
+# "www.<tld>" (www.com exists) survives.
+_WWW_GUARD = r"://www\.[^.]+\."
+_WWW_RULE: tuple[str, str] = (r"://www\.", "://")
+# rules over the reassembled URL (the prefix regex excludes /?#, so
+# these only ever touch path/query/fragment)
 _NORM_RULES: list[tuple[str, str]] = [
     (r"#.*$", ""),  # fragment never reaches the server; drop first
-    (r"://www\.", "://"),  # www. is a vanity alias
-    (r":80/", "/"),  # default ports (literal, no backref)
-    (r":443/", "/"),
-    (r"(:80|:443)$", ""),
     # tracking params, three backref-free cases: non-leading; leading
     # followed by a kept param (the '?' survives); leading and alone
     (rf"&(?:{TRACKING_PARAMS})=[^&#]*", ""),
@@ -71,12 +87,21 @@ def normalize_url(url: Column) -> Column:
     path/query CASE is preserved (paths are case-sensitive per RFC 3986;
     only scheme+authority fold), a lone trailing slash is equivalent to
     none, and a URL that was ONLY tracking params keeps no ``?``."""
-    u = F.trim(url)
-    # lowercase the scheme://authority prefix, preserve the rest:
-    # concat(lower(prefix), suffix) — no backref needed because the
-    # prefix regex is also how the suffix offset is computed.
-    prefix = F.regexp_extract(u, _P_PREFIX, 1)
-    u = F.concat(F.lower(prefix), F.substring(u, F.length(prefix) + 1, F.length(u)))
+    u0 = F.trim(url)
+    # split at the scheme://authority boundary: authority rules run on
+    # the lowercased prefix alone, rest rules on the reassembled URL —
+    # no backref needed because the prefix regex is also how the suffix
+    # offset is computed.
+    raw_pfx = F.regexp_extract(u0, _P_PREFIX, 1)
+    rest = F.substring(u0, F.length(raw_pfx) + 1, F.length(u0))
+    pfx = F.lower(raw_pfx)
+    pfx = F.regexp_replace(pfx, *_AUTH_RULES[0])  # userinfo first
+    pfx = F.when(
+        pfx.rlike(_WWW_GUARD), F.regexp_replace(pfx, *_WWW_RULE)
+    ).otherwise(pfx)
+    for pat, rep in _AUTH_RULES[1:]:
+        pfx = F.regexp_replace(pfx, pat, rep)
+    u = F.concat(pfx, rest)
     for pat, rep in _NORM_RULES:
         u = F.regexp_replace(u, pat, rep)
     return u
@@ -84,22 +109,43 @@ def normalize_url(url: Column) -> Column:
 
 def normalize_url_oracle_sql(url_expr: str) -> str:
     """DuckDB expression replicating ``normalize_url`` on ``url_expr`` —
-    generated from the SAME `_NORM_RULES` constants the Spark chain
-    applies (the moment_stats_oracle_sql discipline: one source of
-    truth, two engines).  Duplicated sub-expressions (trim, the prefix
-    extract) stand in for Spark's bound Column references."""
+    generated from the SAME `_AUTH_RULES`/`_WWW_RULE`/`_NORM_RULES`
+    constants the Spark chain applies (the moment_stats_oracle_sql
+    discipline: one source of truth, two engines).  Duplicated
+    sub-expressions (trim, the prefix extract, the www CASE operand)
+    stand in for Spark's bound Column references."""
     u0 = f"trim({url_expr})"
-    pfx = f"regexp_extract({u0}, '{_P_PREFIX}', 1)"
-    u = f"(lower({pfx}) || substring({u0}, length({pfx}) + 1, length({u0})))"
-    for pat, rep in _NORM_RULES:
-        u = f"regexp_replace({u}, '{pat}', '{rep}', 'g')"
+    raw_pfx = f"regexp_extract({u0}, '{_P_PREFIX}', 1)"
+    pfx = f"lower({raw_pfx})"
+    p, r = _AUTH_RULES[0]
+    pfx = f"regexp_replace({pfx}, '{p}', '{r}', 'g')"
+    wp, wr = _WWW_RULE
+    pfx = (
+        f"(CASE WHEN regexp_matches({pfx}, '{_WWW_GUARD}') "
+        f"THEN regexp_replace({pfx}, '{wp}', '{wr}', 'g') ELSE {pfx} END)"
+    )
+    for p, r in _AUTH_RULES[1:]:
+        pfx = f"regexp_replace({pfx}, '{p}', '{r}', 'g')"
+    u = f"({pfx} || substring({u0}, length({raw_pfx}) + 1, length({u0})))"
+    for p, r in _NORM_RULES:
+        u = f"regexp_replace({u}, '{p}', '{r}', 'g')"
     return u
 
 
+# host extraction: skip optional userinfo, then strip port + trailing
+# dot — shared with the oracle twin below
+_P_HOST = r"://(?:[^/?#@]*@)?([^/?#]+)"
+
+
 def url_host(url: Column) -> Column:
-    """Authority host of a (normalized or raw) URL, port stripped."""
-    host = F.regexp_extract(url, r"://([^/?#]+)", 1)
-    return F.lower(F.regexp_replace(host, r":[0-9]+$", ""))
+    """Authority host of a (normalized or raw) URL — userinfo skipped,
+    port and trailing-dot FQDN stripped (raw URLs get the same hygiene
+    normalize_url applies, so blocklist probes on raw URLs can't be
+    bypassed by ``user@`` or ``host.`` spellings)."""
+    host = F.regexp_extract(url, _P_HOST, 1)
+    return F.regexp_replace(
+        F.lower(F.regexp_replace(host, r":[0-9]+$", "")), r"\.$", ""
+    )
 
 
 def registered_domain(url: Column) -> Column:
@@ -147,11 +193,12 @@ def domain_blocklist_filter(
 
 
 def registered_domain_oracle_sql(url_expr: str) -> str:
-    """DuckDB twin of ``registered_domain`` (same shared suffix
+    """DuckDB twin of ``registered_domain`` (same shared host/suffix
     constants)."""
     host = (
-        f"lower(regexp_replace(regexp_extract({url_expr}, '://([^/?#]+)', 1),"
-        f" ':[0-9]+$', '', 'g'))"
+        f"regexp_replace(lower(regexp_replace("
+        f"regexp_extract({url_expr}, '{_P_HOST}', 1),"
+        f" ':[0-9]+$', '', 'g')), '\\.$', '', 'g')"
     )
     three = f"regexp_extract({host}, '([^.]+\\.{_SUFFIX2_RE})', 1)"
     two = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"

@@ -117,6 +117,7 @@ N_RUNS = 3
 
 
 def clear_caches() -> None:
+    from csv_etl_spark.operators import affinity as _aff
     from csv_etl_spark.operators import classify as _classify
     from csv_etl_spark.operators import dedup as _dedup
     from csv_etl_spark.operators import multimodal as _mm
@@ -133,6 +134,8 @@ def clear_caches() -> None:
     _pack._CUMSUM_CACHE.invalidate(blocking=True)
     # r8 addition: the classifier's (doc, feature) pair cache
     _classify._FEAT_CACHE.invalidate(blocking=True)
+    # r8 addition: the co-occurrence basket-pair cache
+    _aff._BASKET_CACHE.invalidate(blocking=True)
 
 
 def main() -> None:

@@ -3090,3 +3090,42 @@ def test_distribution_drift_plan_no_window(spark):
     )
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_url_rules_are_authority_scoped(spark):
+    """Round-8 review findings pinned: userinfo and trailing-dot hosts
+    cannot bypass the blocklist, and authority rewrite rules never touch
+    path/query content that merely looks like an authority artifact."""
+    from csv_etl_spark.operators.urls import (
+        domain_blocklist_filter,
+        normalize_url,
+        registered_domain,
+    )
+
+    cases = {
+        # userinfo / FQDN-dot bypasses
+        "https://user@spam.com/x": "https://spam.com/x",
+        "https://spam.com./x": "https://spam.com/x",
+        # authority rules must NOT rewrite path/query content
+        "http://example.com/a:80/b": "http://example.com/a:80/b",
+        "https://example.com/p?t=12:443/z": "https://example.com/p?t=12:443/z",
+        "https://e.com/r?to=https://www.o.com/x": "https://e.com/r?to=https://www.o.com/x",
+        # a host whose registrable domain IS www.<tld> survives www-strip
+        "https://www.com/x": "https://www.com/x",
+        "https://www.sub.example.com/x": "https://sub.example.com/x",
+    }
+    df = spark.createDataFrame(list(cases.items()), "u string, want string")
+    for r in df.select("u", "want", normalize_url(F.col("u")).alias("got")).collect():
+        assert r["got"] == r["want"], (r["u"], r["got"], r["want"])
+    # and the blocklist catches the disguised spellings on RAW urls too
+    probe = spark.createDataFrame(
+        [(1, "https://user@spam.com/x"), (2, "https://spam.com./x"),
+         (3, "https://ok.org/y")],
+        "id int, url string",
+    )
+    doms = {r["id"]: r["d"] for r in probe.select(
+        "id", registered_domain(F.col("url")).alias("d")).collect()}
+    assert doms == {1: "spam.com", 2: "spam.com", 3: "ok.org"}
+    blocked = spark.createDataFrame([("spam.com",)], ["domain"])
+    kept = [r["id"] for r in domain_blocklist_filter(probe, "url", blocked).collect()]
+    assert kept == [3]
