@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Scale-step bench: time the five heaviest document operators at
-5k (driver sf0.1), 50k, and 500k docs and report the observed scaling
-exponent per decade (t = c * n^alpha; alpha = log10(t_big/t_small) per
-10x step).  alpha ~ 1 is linear; alpha >> 1 means a super-linear shuffle
-or buffer is hiding somewhere and would bite at 100 TB.
+"""Scale-step bench: time the heavy document/event-axis operators at
+5k (driver sf0.1), 50k, 500k — and 5M for sf100-marked queries — docs
+(events: 100k/1M/10M) and report the observed scaling exponent per
+decade (t = c * n^alpha; alpha = log10(t_big/t_small) per 10x step).
+alpha ~ 1 is linear; alpha >> 1 means a super-linear shuffle or buffer
+is hiding somewhere and would bite at 100 TB.
 
 Writes the JSON named by --out at the repo root; --out is REQUIRED so a
 run can never silently clobber a previous round's scale-evidence file

@@ -3129,3 +3129,16 @@ def test_url_rules_are_authority_scoped(spark):
     blocked = spark.createDataFrame([("spam.com",)], ["domain"])
     kept = [r["id"] for r in domain_blocklist_filter(probe, "url", blocked).collect()]
     assert kept == [3]
+
+
+def test_distribution_drift_global_ungrouped(spark):
+    from csv_etl_spark.operators.stats import distribution_drift
+
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(400)], "v double")
+    cur = spark.createDataFrame([(float(i % 50) + 25.0,) for i in range(400)], "v double")
+    out = distribution_drift(ref, cur, "v").collect()
+    assert len(out) == 1
+    assert out[0]["psi"] > 0.25 and out[0]["n_ref"] == 400 and out[0]["n_cur"] == 400
+    # identical snapshots → PSI exactly 0.0
+    same = distribution_drift(ref, ref, "v").collect()
+    assert same[0]["psi"] == 0.0
