@@ -5050,6 +5050,42 @@ _ORACLE_EVENTS_DRIFT = f"""
 """
 
 
+def q_key_skew_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (profile.key_skew_report) over a
+    PLANTED hot key: every 4th event collapses onto key 0 (25% of the
+    table on one key — the classic pre-shuffle hazard), the rest keep
+    their uniform user_id.  The report must surface key 0 with
+    skew_ratio ≈ n_keys/4 while the uniform tail scores ~single-digit
+    ratios — the evidence that routes a job to salted_agg / AQE skew
+    split.  One count aggregate (the same shuffle the diagnosed job
+    would run), scalar totals broadcast onto a TakeOrderedAndProject
+    top-20."""
+    from csv_etl_spark.operators.profile import key_skew_report
+
+    e = _events(spark, sf_dir).select(
+        F.when(F.col("event_id") % 4 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("join_key")
+    )
+    return key_skew_report(e, ["join_key"], top_k=20)
+
+
+_ORACLE_KEY_SKEW = """
+    WITH k AS (SELECT CASE WHEN event_id % 4 = 0 THEN 0 ELSE user_id END
+               AS join_key FROM events),
+    c AS (SELECT join_key, count(*) AS cnt FROM k GROUP BY 1),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 count(*) AS n_keys FROM c),
+    top AS (SELECT * FROM c ORDER BY cnt DESC, join_key LIMIT 20)
+    SELECT join_key, cnt,
+           round(cnt / n_rows, 6) AS share,
+           n_rows, n_keys,
+           round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_cnt,
+           round(cnt / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew_ratio
+    FROM top CROSS JOIN t
+"""
+
+
 # Full train→score replication: same gopher labels, same md5-top-32-bit
 # feature hashing, same add-0.5 NB log-odds with 6-decimal pre-rounding,
 # same decimal micro-unit sum (HUGEINT, the dsir spelling).
@@ -5119,7 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with never-checked queries (including operators new this round)
     # first.  With N oracle-checkable entries this bounds every query's
     # driver-evidence age to ceil(N/50) rounds in steady state — 3 rounds
-    # at the current N=122 (124 registered minus the 2 rows-only-by-design
+    # at the current N=123 (125 registered minus the 2 rows-only-by-design
     # entries, which yield their slots permanently: their driver rows
     # carry no value-hash signal; they are serial-reference/pytest
     # verified instead).  ALL entries additionally stay locally
@@ -5127,21 +5163,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of window position.
     #
     # Round-8 window under this policy (ages from CORRECTNESS_r01..r07):
-    #   * 12 never-checked: dsir_selection + corpus_report (added late in
-    #     r7 — the verdict's #1 item) and the TEN operators NEW in r8
+    #   * 13 never-checked: dsir_selection + corpus_report (added late in
+    #     r7 — the verdict's #1 item) and the ELEVEN operators NEW in r8
     #     (apply_merges, quality_classifier, fuzzy_join, pct_rank_events,
     #     corr_lineitem, mad_outliers, copurchase_pairs, record_clusters,
-    #     url_dedup, events_drift);
-    #   * 9 last-green-r2, 2 r3, 2 r4, 25 r5 — the long tail the old
-    #     keeper scheme starved (each re-verified by local oracle in the
-    #     r7 judging session).  That fills all 50 slots; the 22 r6-green
-    #     returners are the OLDEST entries after this round and therefore
-    #     lead the r9 window, followed by the oldest r7-green entries;
-    #     the transition to steady-state <=3-round age completes in r10.
-    # Update the counts (124 registered / 122 oracle-checkable) whenever
+    #     url_dedup, events_drift, key_skew_events);
+    #   * 9 last-green-r2, 2 r3, 2 r4, and the first 24 of the 25 r5
+    #     entries — the long tail the old keeper scheme starved (each
+    #     re-verified by local oracle in the r7 judging session).  That
+    #     fills all 50 slots; the ONE remaining r5 entry plus the 22
+    #     r6-green returners are the OLDEST entries after this round and
+    #     therefore lead the r9 window, followed by the oldest r7-green
+    #     entries; the transition to steady-state <=3-round age completes
+    #     in r10.
+    # Update the counts (125 registered / 123 oracle-checkable) whenever
     # the registry changes.
     return {
-        # ---- window 1-12: never driver-checked (2 late-r7 + 10 new-r8) ----
+        # ---- window 1-13: never driver-checked (2 late-r7 + 11 new-r8) ----
         "dsir_selection": q_dsir_selection,
         "corpus_report": q_corpus_report,
         "apply_merges": q_apply_merges,
@@ -5154,6 +5192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_clusters": q_record_clusters,
         "url_dedup": q_url_dedup,
         "events_drift": q_events_drift,
+        "key_skew_events": q_key_skew_events,
         # ---- window: last driver row r2 ----
         "f1_equals": _filter_query([{"field": "event_type", "operator": "equals", "value": "error"}]),
         "f2_not_equals": _filter_query([{"field": "event_type", "operator": "not_equals", "value": "error"}]),
@@ -5377,6 +5416,7 @@ def oracle_sql() -> dict[str, str]:
         "record_clusters": _ORACLE_RECORD_CLUSTERS,
         "url_dedup": _url_dedup_oracle(),
         "events_drift": _ORACLE_EVENTS_DRIFT,
+        "key_skew_events": _ORACLE_KEY_SKEW,
         "contamination_report": _ORACLE_CONTAMINATION_REPORT,
         "source_cap": _ORACLE_SOURCE_CAP,
         # bloom pre-filter is exact-result-preserving: same oracle verbatim

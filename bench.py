@@ -123,6 +123,7 @@ HEADLINE = [
     "record_clusters",
     "url_dedup",
     "events_drift",
+    "key_skew_events",
 ]
 
 

@@ -125,3 +125,47 @@ def profile_oracle_sql(table: str, schema: list[tuple[str, str, str]]) -> str:
     return f"WITH agg AS (SELECT {', '.join(aggs)} FROM {table})\n" + "\nUNION ALL\n".join(
         branches
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str], top_k: int = 20
+) -> DataFrame:
+    """Join/aggregation-key SKEW diagnostic — the check to run BEFORE
+    keying a 100 TB shuffle on a column: one hot key pins one reducer
+    regardless of cluster size, and the time to find that out is before
+    the job, not at hour three of a hung stage.  Returns the ``top_k``
+    heaviest keys with their row counts and shares plus the table-level
+    context: ``(key…, cnt, share, n_rows, n_keys, avg_cnt, skew_ratio)``
+    where ``skew_ratio = cnt / avg_cnt`` (a perfectly uniform key space
+    scores ~1.0 on every row; the classic salting rule of thumb is to
+    act when the top key's ratio reaches the partition count).  This is
+    the evidence that chooses between a plain groupBy, the two-phase
+    salted aggregate (``partitioning.salted_agg``), and AQE's skew-join
+    split.
+
+    Plan shape: ONE map-side-combinable count aggregate on the key
+    (the same shuffle the diagnosed job would run, so the report costs
+    what one pass of the real job costs — there is no cheaper honest
+    answer); table-level totals are a second aggregate over the
+    keyspace-sized COUNT TABLE (not the data — map-side partials make it
+    scalar-cheap), broadcast back onto the ``top_k`` rows; the top-k is
+    TakeOrderedAndProject (per-task k-row heaps, never a full sort),
+    deterministically tie-broken by (cnt DESC, key…).  NULL keys count
+    as a real key (SQL GROUP BY semantics)."""
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), *keys).limit(int(top_k))
+    out = top.crossJoin(F.broadcast(tot))
+    avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    return out.select(
+        *keys,
+        "cnt",
+        F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+        "n_rows",
+        "n_keys",
+        F.round(avg, 6).alias("avg_cnt"),
+        F.round(F.col("cnt") / avg, 6).alias("skew_ratio"),
+    )

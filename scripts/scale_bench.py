@@ -104,6 +104,7 @@ QUERIES = {
     "mad_outliers": "sf10",
     "url_dedup": "sf10",  # doc-axis: map-only normalize + one url-keyed agg
     "events_drift": "sf10",  # event-axis: PSI edges broadcast, two count aggs
+    "key_skew_events": "sf10",  # event-axis: one count agg + scalar totals
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),

@@ -3142,3 +3142,21 @@ def test_distribution_drift_global_ungrouped(spark):
     # identical snapshots → PSI exactly 0.0
     same = distribution_drift(ref, ref, "v").collect()
     assert same[0]["psi"] == 0.0
+
+
+def test_key_skew_report_surfaces_hot_key(spark):
+    from csv_etl_spark.operators.profile import key_skew_report
+
+    # 300 rows on key "hot", 10 uniform keys with 10 rows each, 5 NULLs
+    rows = [("hot",)] * 300 + [(f"k{i}",) for i in range(10) for _ in range(10)]
+    rows += [(None,)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, ["k"], top_k=3).collect()
+    assert len(out) == 3
+    top = out[0]
+    assert top["k"] == "hot" and top["cnt"] == 300
+    assert top["n_rows"] == 405 and top["n_keys"] == 12  # NULL is a key
+    assert abs(top["share"] - round(300 / 405, 6)) < 1e-9
+    assert top["skew_ratio"] > 8  # 300 / (405/12) ≈ 8.9
+    # deterministic tie-break among the uniform keys
+    assert [r["k"] for r in out[1:]] == ["k0", "k1"]
