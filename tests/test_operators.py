@@ -3160,3 +3160,38 @@ def test_key_skew_report_surfaces_hot_key(spark):
     assert top["skew_ratio"] > 8  # 300 / (405/12) ≈ 8.9
     # deterministic tie-break among the uniform keys
     assert [r["k"] for r in out[1:]] == ["k0", "k1"]
+
+
+def test_url_host_matches_urllib_reference_fuzz(spark):
+    """Differential check: url_host against urllib.parse.urlsplit's
+    hostname over 200 seeded component-generated URLs (userinfo, ports,
+    mixed case, trailing dots, deep paths, queries, fragments).  IPv6
+    literals are out of scope (crawl URLs are overwhelmingly named
+    hosts); the trailing-dot FQDN strip is ours by design, so the
+    reference is normalized the same way before comparing."""
+    import random as _random
+    from urllib.parse import urlsplit
+
+    from csv_etl_spark.operators.urls import url_host
+
+    rng = _random.Random(1812)
+    urls = []
+    for _ in range(200):
+        scheme = rng.choice(["http", "https", "HTTPS", "ftp"])
+        user = rng.choice(["", "", "", "alice@", "a.b%40c@"])
+        labels = ".".join(
+            rng.choice(["Example", "ex", "WWW", "shop", "x9"])
+            for _ in range(rng.randrange(1, 4))
+        )
+        tld = rng.choice(["com", "co.uk", "org", "net."])
+        port = rng.choice(["", "", ":80", ":443", ":8080"])
+        path = rng.choice(["", "/", "/a/b", "/A:80/c", "/p%20q"])
+        query = rng.choice(["", "?a=1", "?utm_source=x&b=2", "?t=a@b"])
+        frag = rng.choice(["", "#f", "#a/b?c"])
+        urls.append(f"{scheme}://{user}{labels}.{tld}{port}{path}{query}{frag}")
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, u string")
+    got = {r["i"]: r["h"] for r in
+           df.select("i", url_host(F.col("u")).alias("h")).collect()}
+    for i, u in enumerate(urls):
+        want = (urlsplit(u).hostname or "").rstrip(".")
+        assert got[i] == want, (u, got[i], want)
