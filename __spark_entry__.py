@@ -3209,7 +3209,7 @@ def q_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(d.select("doc_id", "text", "source")).unionByName(
         documents_as_media(tweaked)
     )
-    return dhash_near_dup_pairs(image_dhash(media), max_hamming=4)
+    return dhash_near_dup_pairs(image_dhash(media), max_hamming=4, allow_recall_gap=True)
 
 
 def _dhash_pairs_oracle() -> str:
@@ -3261,7 +3261,7 @@ def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(d.select("doc_id", "text", "source")).unionByName(
         documents_as_media(tweaked)
     )
-    pairs = dhash_near_dup_pairs(image_dhash(media), max_hamming=4)
+    pairs = dhash_near_dup_pairs(image_dhash(media), max_hamming=4, allow_recall_gap=True)
     return dedup.resolve_duplicate_clusters(pairs).select("id", "cluster_id")
 
 
@@ -4908,6 +4908,14 @@ _ORACLE_RECORD_CLUSTERS = """
 """
 
 
+# url_dedup's synthetic corpus treats ?ref= as tracking — extend the
+# default utm/click-id set (bare "ref" is opt-in since r9: it is often
+# a functional parameter and stripping it loses documents)
+from csv_etl_spark.operators.urls import TRACKING_PARAMS as _TRACKING_DEFAULT
+
+_TRACKING_WITH_REF = _TRACKING_DEFAULT + "|ref"
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL curation composition (operators/urls.py): canonicalize →
     domain-blocklist filter → URL-level dedup — the steps C4/RefinedWeb
@@ -4947,7 +4955,15 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = spark.createDataFrame(
         [("src7.com",), ("src7.co.uk",), ("src3.com",)], ["domain"]
     )
-    return dedup_by_url(domain_blocklist_filter(docs, "url", blocked), "url", "doc_id")
+    # this corpus uses ?ref= as a tracking key, so the query extends the
+    # default utm/click-id set explicitly (bare "ref" is opt-in since r9
+    # — it is often functional; see urls.TRACKING_PARAMS)
+    return dedup_by_url(
+        domain_blocklist_filter(docs, "url", blocked),
+        "url",
+        "doc_id",
+        tracking_params=_TRACKING_WITH_REF,
+    )
 
 
 def _url_dedup_oracle() -> str:
@@ -4975,7 +4991,7 @@ def _url_dedup_oracle() -> str:
       WHERE {registered_domain_oracle_sql('url')}
             NOT IN ('src7.com', 'src7.co.uk', 'src3.com')
     )
-    SELECT {normalize_url_oracle_sql('url')} AS url_norm,
+    SELECT {normalize_url_oracle_sql('url', _TRACKING_WITH_REF)} AS url_norm,
            min(doc_id) AS keep_id,
            count(*) AS n_copies
     FROM kept
@@ -5076,7 +5092,7 @@ _ORACLE_KEY_SKEW = """
     c AS (SELECT join_key, count(*) AS cnt FROM k GROUP BY 1),
     t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
                  count(*) AS n_keys FROM c),
-    top AS (SELECT * FROM c ORDER BY cnt DESC, join_key LIMIT 20)
+    top AS (SELECT * FROM c ORDER BY cnt DESC, join_key NULLS LAST LIMIT 20)
     SELECT join_key, cnt,
            round(cnt / n_rows, 6) AS share,
            n_rows, n_keys,

@@ -299,6 +299,7 @@ def dhash_near_dup_pairs(
     id_col: str = "media_id",
     band_arity: int = 2,
     max_exact_media: int | None = 1_000_000,
+    allow_recall_gap: bool = False,
 ) -> DataFrame:
     """Image near-dup candidate pairs from dHash: band-equijoin, then an
     exact Hamming verify JVM-side (conv/xor/bit_count — no UDF).
@@ -334,6 +335,20 @@ def dhash_near_dup_pairs(
 
     if band_arity not in (1, 2):
         raise ValueError("band_arity must be 1 or 2")
+    if band_arity == 2 and max_hamming > 2 and not allow_recall_gap:
+        # Pigeonhole over 4 bands guarantees a >=2-band agreement only
+        # for hamming <= 2; at max_hamming 3-4 a pair whose bit errors
+        # land in 3+ distinct bands is silently missed under arity 2
+        # (the single-band keys would have found it).  Make that recall
+        # gap an explicit opt-in instead of a silent default.
+        raise ValueError(
+            f"band_arity=2 guarantees recall only for max_hamming<=2 "
+            f"(pigeonhole over 4 bands); max_hamming={max_hamming} pairs "
+            "whose bit errors spread across 3+ bands are missed. Pass "
+            "allow_recall_gap=True to accept candidate semantics of "
+            "'>=2 shared bands', or band_arity=1 (guarded quadratic-risk "
+            "path) for the pigeonhole guarantee at max_hamming<=3."
+        )
     if band_arity == 1 and max_exact_media is not None:
         n_media = hashes.select(id_col).count()
         if n_media > max_exact_media:

@@ -150,14 +150,20 @@ def key_skew_report(
     keyspace-sized COUNT TABLE (not the data — map-side partials make it
     scalar-cheap), broadcast back onto the ``top_k`` rows; the top-k is
     TakeOrderedAndProject (per-task k-row heaps, never a full sort),
-    deterministically tie-broken by (cnt DESC, key…).  NULL keys count
-    as a real key (SQL GROUP BY semantics)."""
+    deterministically tie-broken by (cnt DESC, key… ASC NULLS LAST).
+    NULL keys count as a real key (SQL GROUP BY semantics) — and because
+    they do, the tie-break pins null placement EXPLICITLY (Spark's
+    ascending default is NULLS FIRST, DuckDB's is NULLS LAST; an
+    unpinned sort would let a NULL key tying at the top_k boundary pick
+    different rows per engine)."""
     keys = list(key_cols)
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     tot = counts.agg(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )
-    top = counts.orderBy(F.col("cnt").desc(), *keys).limit(int(top_k))
+    top = counts.orderBy(
+        F.col("cnt").desc(), *[F.col(k).asc_nulls_last() for k in keys]
+    ).limit(int(top_k))
     out = top.crossJoin(F.broadcast(tot))
     avg = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
     return out.select(
