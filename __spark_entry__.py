@@ -1694,6 +1694,22 @@ def q_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF (similarity.ivf_two_level_topk) at exhaustive
+    routing (nprobe_coarse = nprobe_fine = None): the coarse codebook is
+    a broadcast literal, the fine codebook a broadcast-joined TABLE —
+    the codebook tier past kmeans_centroids' 4096-literal cap — and with
+    every bucket routed the result must EQUAL brute force, so it shares
+    the brute-force oracle (the ann_ivf_exact discipline; the >4096-cell
+    scale claim itself is pinned by test_ivf_two_level_past_literal_cap)."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = similarity.make_probes(e, n=10)
+    return similarity.ivf_two_level_topk(
+        e, probes, k=5, n_coarse=4, n_fine_per_cell=4,
+        nprobe_coarse=None, nprobe_fine=None,
+    ).select("probe_id", "neighbor_id", "cosine", "rank")
+
+
 def q_ann_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF at nprobe=2 (the scale path) with REAL centroids: sampled
     Lloyd k-means (md5 hash-sample at 50%, 2 iterations, means rounded to
@@ -5195,6 +5211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Update the counts (125 registered / 123 oracle-checkable) whenever
     # the registry changes.
     return {
+        # ---- never driver-checked: new in r9 ----
+        "ann_ivf_two_level": q_ann_ivf_two_level,
         # ---- window 1-13: never driver-checked (2 late-r7 + 11 new-r8) ----
         "dsir_selection": q_dsir_selection,
         "corpus_report": q_corpus_report,
@@ -5399,6 +5417,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semdedup_oracle_sql(),
         "ann_bruteforce": _ORACLE_ANN_BRUTE,
         "ann_ivf_exact": _ORACLE_ANN_BRUTE,  # nprobe=all ⇒ exact ⇒ same oracle
+        "ann_ivf_two_level": _ORACLE_ANN_BRUTE,  # exhaustive routing ⇒ brute force
         "ann_ivf_approx": _ivf_oracle_sql(),  # deterministic IVF replicated in SQL
         "text_metrics": _ORACLE_TEXT_METRICS,
         "text_top_tokens": _ORACLE_TOP_TOKENS,

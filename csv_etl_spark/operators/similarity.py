@@ -235,7 +235,8 @@ def kmeans_centroids(
         raise ValueError(
             f"n_centroids={n_centroids} exceeds 4096: the broadcast-literal "
             "centroid array is an O(n_centroids x dim) expression tree; use "
-            "a two-level IVF for larger codebooks"
+            "ivf_two_level_topk (coarse literal + fine broadcast TABLE) for "
+            "larger codebooks"
         )
 
     sample = vectors.select(F.col(id_col), F.col(vec_col))
@@ -484,6 +485,189 @@ def ivf_topk(
     joined = assigned.join(F.broadcast(probe_routes), "cluster").filter(
         F.col(id_col) != F.col("probe_id")
     )
+    scored = joined.select(
+        "probe_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("probe_vec")), 6).alias("cosine"),
+    )
+    return topk_per_probe(scored, k, "probe_id")
+
+
+def fine_centroid_table(
+    vectors: DataFrame,
+    coarse: DataFrame,
+    n_fine_per_cell: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fine-centroid table for the two-level IVF: within each coarse
+    cell, the ``n_fine_per_cell`` smallest-id member vectors become that
+    cell's fine centroids — the same deterministic convention as
+    ``ivf_topk``'s default centroids, which keeps the whole index
+    engine-portable (a SQL oracle can rebuild it) and makes the
+    exact-routing path provably equal to brute force.
+
+    Returns ``(coarse_id, fine_id, fine_vec)`` with fine_id dense 0..m-1
+    per cell.  This is a TABLE, not a broadcast literal — which is the
+    entire point: total centroids = n_coarse × n_fine_per_cell can go
+    far past the 4096-literal Catalyst cap (kmeans_centroids' documented
+    limit); only the n_coarse COARSE codebook rides the expression tree.
+
+    Cost shape: coarse assignment is map-only (broadcast-literal
+    argmax); the per-cell top-n is ONE shuffle of (id, vec, cluster) on
+    the coarse key — index-BUILD cost, paid once and amortized over
+    every probe batch, exactly like training any IVF index.  At 100 TB
+    build the index from a hash_sample of the corpus instead of the
+    full set (sampling changes which vectors act as centroids, not the
+    operator's shape)."""
+    assigned = assign_to_centroids(vectors, coarse, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cluster").orderBy(id_col)
+    return (
+        assigned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_fine_per_cell)
+        .select(
+            F.col("cluster").alias("coarse_id"),
+            (F.col("_rk") - 1).cast("int").alias("fine_id"),
+            F.col(vec_col).alias("fine_vec"),
+        )
+    )
+
+
+def assign_two_level(
+    vectors: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its (coarse_id, fine_id) bucket.  Coarse:
+    the broadcast-literal argmax of ``assign_to_centroids``.  Fine: the
+    fine table is rolled up to ONE ROW PER COARSE CELL (an array of
+    fine structs), broadcast-hash-joined on coarse_id, then the same
+    array-argmax — so the fine step is also map-only: no row
+    multiplication (a plain vectors×fine join would emit n_fine rows
+    per vector before the argmax) and no corpus shuffle.  Ties break on
+    the lowest fine_id via array_sort + first-max, mirroring
+    assign_to_centroids.  Returns (id_col, vec_col, coarse_id,
+    fine_id)."""
+    cells = fine.groupBy("coarse_id").agg(
+        F.array_sort(F.collect_list(F.struct("fine_id", "fine_vec"))).alias("_fines")
+    )
+    a = assign_to_centroids(vectors, coarse, id_col=id_col, vec_col=vec_col).select(
+        id_col, vec_col, F.col("cluster").alias("coarse_id")
+    )
+    sims = F.transform(
+        F.col("_fines"), lambda c: cosine(F.col(vec_col), c.getField("fine_vec"))
+    )
+    return (
+        a.join(F.broadcast(cells), "coarse_id")
+        .withColumn("_sims", sims)
+        .withColumn("_best", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
+        .select(
+            id_col,
+            vec_col,
+            "coarse_id",
+            F.element_at(F.col("_fines"), F.col("_best").cast("int"))
+            .getField("fine_id")
+            .alias("fine_id"),
+        )
+    )
+
+
+def ivf_two_level_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_coarse: int = 8,
+    n_fine_per_cell: int = 8,
+    nprobe_coarse: int | None = 2,
+    nprobe_fine: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse: DataFrame | None = None,
+    fine: DataFrame | None = None,
+) -> DataFrame:
+    """Two-level IVF ANN — the codebook scale tier past kmeans_centroids'
+    4096-literal cap (similarity.py's documented 100 TB gap): a coarse
+    codebook small enough to ride the broadcast-literal argmax routes
+    into a FINE codebook that lives as a broadcast-joined table, so
+    total cells = n_coarse × n_fine_per_cell reach the ≥64k a 100 TB
+    embedding corpus wants (√N cells at N≈10⁹ vectors) while no Catalyst
+    expression tree ever exceeds n_coarse literals.
+
+    Defaults are deterministic (coarse = first n_coarse vectors by id,
+    fine = first n_fine members per cell — fine_centroid_table); pass
+    data-adapted frames (e.g. kmeans_centroids per level) for recall.
+    ``nprobe_coarse=None`` / ``nprobe_fine=None`` mean "all" — with both
+    None the scan covers every bucket and the result EQUALS brute force
+    (the ann_ivf_exact oracle discipline).
+
+    Plan shape: probe routing is two broadcast joins over list-sized
+    frames (probes×coarse, routed×fine) with per-probe row_number ranks
+    — never over the corpus; the corpus-side work is the map-only
+    two-level assignment plus ONE keyed equijoin on (coarse_id, fine_id)
+    against the broadcast routed buckets, then TakeOrderedAndProject
+    top-k.  Zero corpus shuffles beyond the index build."""
+    if coarse is None:
+        coarse = (
+            vectors.orderBy(id_col)
+            .limit(n_coarse)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+        )
+    if fine is None:
+        fine = fine_centroid_table(
+            vectors, coarse, n_fine_per_cell, id_col=id_col, vec_col=vec_col
+        )
+
+    assigned = assign_two_level(vectors, coarse, fine, id_col=id_col, vec_col=vec_col)
+
+    # level-1 routing: nprobe_coarse nearest coarse cells per probe
+    c_sim = cosine(F.col("probe_vec"), F.col("centroid_vec"))
+    c_routes = probes.crossJoin(F.broadcast(coarse)).select(
+        "probe_id", "probe_vec", F.col("centroid_id").alias("coarse_id"),
+        c_sim.alias("_csim"),
+    )
+    if nprobe_coarse is not None:
+        c_routes = (
+            c_routes.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("probe_id").orderBy(
+                        F.col("_csim").desc(), F.col("coarse_id")
+                    )
+                ),
+            )
+            .filter(F.col("_rk") <= nprobe_coarse)
+            .drop("_rk")
+        )
+    c_routes = c_routes.drop("_csim")
+
+    # level-2 routing: nprobe_fine nearest fine cells within routed coarse
+    f_sim = cosine(F.col("probe_vec"), F.col("fine_vec"))
+    f_routes = c_routes.join(F.broadcast(fine), "coarse_id").select(
+        "probe_id", "probe_vec", "coarse_id", "fine_id", f_sim.alias("_fsim")
+    )
+    if nprobe_fine is not None:
+        f_routes = (
+            f_routes.withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("probe_id").orderBy(
+                        F.col("_fsim").desc(), F.col("coarse_id"), F.col("fine_id")
+                    )
+                ),
+            )
+            .filter(F.col("_rk") <= nprobe_fine)
+            .drop("_rk")
+        )
+    f_routes = f_routes.drop("_fsim")
+
+    joined = assigned.join(
+        F.broadcast(f_routes), ["coarse_id", "fine_id"]
+    ).filter(F.col(id_col) != F.col("probe_id"))
     scored = joined.select(
         "probe_id",
         F.col(id_col).alias("neighbor_id"),

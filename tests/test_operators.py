@@ -3313,3 +3313,79 @@ def test_dhash_band_arity_recall_gap_is_opt_in(spark):
     # and the opt-in path still verifies exact hamming
     got = dhash_near_dup_pairs(df, max_hamming=4, allow_recall_gap=True).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [("a", "b", 1)]
+
+
+def _toy_embeddings(spark, n=300, dim=8, seed=7):
+    import random as _random
+
+    rng = _random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_ivf_two_level_exhaustive_equals_brute_force(spark):
+    """nprobe_coarse=nprobe_fine=None scans every bucket — results must
+    be identical to brute_force_topk (the ann_ivf_exact discipline)."""
+    from csv_etl_spark.operators import similarity
+
+    e = _toy_embeddings(spark)
+    probes = similarity.make_probes(e, n=5)
+    brute = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in
+             similarity.brute_force_topk(e, probes, k=4).collect()}
+    two = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in
+           similarity.ivf_two_level_topk(
+               e, probes, k=4, n_coarse=5, n_fine_per_cell=3,
+               nprobe_coarse=None, nprobe_fine=None).collect()}
+    assert two == brute
+
+
+def test_ivf_two_level_past_literal_cap(spark):
+    """The point of the two-level index: total cells can exceed the 4096
+    broadcast-literal cap that kmeans_centroids enforces.  128 coarse ×
+    40 fine = 5120 cells must build and answer; the single-level
+    codebook builder refuses the same cell count."""
+    import pytest as _pytest
+
+    from csv_etl_spark.operators import similarity
+
+    e = _toy_embeddings(spark, n=400)
+    with _pytest.raises(ValueError, match="two-level"):
+        similarity.kmeans_centroids(e, n_centroids=5120)
+    probes = similarity.make_probes(e, n=3)
+    out = similarity.ivf_two_level_topk(
+        e, probes, k=3, n_coarse=128, n_fine_per_cell=40,
+        nprobe_coarse=None, nprobe_fine=None,
+    ).collect()
+    # with more cells than vectors every cell holds <=1 vector, but the
+    # exhaustive route still recovers exact brute force
+    brute = {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in
+             similarity.brute_force_topk(e, probes, k=3).collect()}
+    assert {(r["probe_id"], r["rank"]): r["neighbor_id"] for r in out} == brute
+
+
+def test_ivf_two_level_routed_recall_and_plan(spark):
+    """The approximate path (nprobe_coarse=3, nprobe_fine=8) must (a)
+    return k ranked rows per probe with decent recall vs brute force and
+    (b) keep the corpus side shuffle-free past the index build: the
+    probe-routing joins and the bucket scan join are all broadcast."""
+    from csv_etl_spark.operators import similarity
+
+    e = _toy_embeddings(spark, n=500)
+    probes = similarity.make_probes(e, n=5)
+    out = similarity.ivf_two_level_topk(
+        e, probes, k=5, n_coarse=8, n_fine_per_cell=4,
+        nprobe_coarse=3, nprobe_fine=8,
+    )
+    rows = out.collect()
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    assert all(len(v) == 5 for v in per_probe.values())
+    brute = {}
+    for r in similarity.brute_force_topk(e, probes, k=5).collect():
+        brute.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(per_probe[p] & brute[p]) for p in brute)
+    assert hits >= 0.5 * sum(len(v) for v in brute.values()), hits
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
