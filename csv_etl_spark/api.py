@@ -6,6 +6,8 @@ stays out of scope (SURVEY §7); everything a dashboard client calls is here:
 | endpoint | reference | engine |
 |---|---|---|
 | GET  /api/specs/sources,destinations  | app.py spec lists | SpecStore |
+| POST/PUT/DELETE /api/specs/{sources,destinations}[/<id>] | app.py:244-332 spec CRUD (+ directory/template side-effect, app.py:715-747) | SpecStore.save_*/delete_* + sinks.write_template_csv |
+| GET  /api/{sources,destinations}/<id>/columns | app.py:461-481 | FileSpec.columns |
 | GET/DELETE /api/mappings[/<id>]       | app.py:392-399 CRUD | SpecStore |
 | POST /api/mappings/<id>/save          | app.py:424-448 visual save | SpecStore.save_mapping |
 | GET  /api/preview/<src>/<file>        | app.py:515-575 | read_spec_csv + validate |
@@ -29,8 +31,8 @@ from pyspark.sql import SparkSession
 from csv_etl_spark.plans import transform, validate
 from csv_etl_spark.sources.csv_source import LINE_COL, read_spec_csv, with_line_numbers
 from csv_etl_spark.sources.edits import update_csv_row
-from csv_etl_spark.sources.sinks import write_single_csv_file
-from csv_etl_spark.specs import FieldMapping, SpecStore, TransformType
+from csv_etl_spark.sources.sinks import write_single_csv_file, write_template_csv
+from csv_etl_spark.specs import FieldMapping, FileSpec, SpecStore, TransformType
 
 
 # Collect caps: the reference UI shows at most 50 errors (app.py:221) and
@@ -93,6 +95,92 @@ def create_app(
     @app.get("/api/specs/destinations")
     def list_destinations():
         return jsonify({k: v.to_dict() for k, v in store.destinations().items()})
+
+    # spec CRUD (reference app.py:244-332).  Reference semantics kept:
+    # the spec id defaults to a name slug; create AND update materialize
+    # the spec's directory plus a one-row ``_template_<id>.csv`` typed
+    # per column (app.py:715-747) — sources under the input root,
+    # destinations under the output root.
+
+    def _spec_from_payload(data: dict, spec_id: str | None = None):
+        if spec_id is not None:
+            data = {**data, "id": spec_id}
+        elif not data.get("id"):
+            data = {**data, "id": data.get("name", "").lower().replace(" ", "_")}
+        if not data["id"]:
+            raise ValueError("Spec needs an id or a name")
+        return FileSpec.from_dict(data)
+
+    def _materialize_spec(spec: FileSpec, root: Path) -> None:
+        # side-effect of spec save, not a data path: directory + template
+        # so the user's next upload has a landing spot and a header model
+        if not spec.default_directory:
+            return
+        d = root / spec.default_directory
+        d.mkdir(parents=True, exist_ok=True)
+        if spec.columns:
+            write_template_csv(spark, spec, str(d))
+
+    def _spec_crud(kind: str, getter, saver, deleter, root: Path):
+        def create():
+            try:
+                spec = _spec_from_payload(request.get_json() or {})
+            except (ValueError, KeyError, TypeError) as exc:
+                return jsonify({"error": f"Invalid spec payload: {exc}"}), 400
+            saver(spec)
+            _materialize_spec(spec, root)
+            return jsonify({"success": True, "id": spec.id}), 201
+
+        def update(spec_id: str):
+            if not getter(spec_id):
+                return jsonify({"error": f"{kind} not found"}), 404
+            try:
+                # id pinned from the URL (reference edit_source: updated.id
+                # = spec_id), so a payload can't rename-by-accident
+                spec = _spec_from_payload(request.get_json() or {}, spec_id)
+            except (ValueError, KeyError, TypeError) as exc:
+                return jsonify({"error": f"Invalid spec payload: {exc}"}), 400
+            saver(spec)
+            _materialize_spec(spec, root)
+            return jsonify({"success": True, "id": spec.id})
+
+        def delete(spec_id: str):
+            if not deleter(spec_id):
+                return jsonify({"error": f"{kind} not found"}), 404
+            return jsonify({"success": True})
+
+        def columns(spec_id: str):
+            spec = getter(spec_id)
+            if not spec:
+                return jsonify({"error": f"{kind} not found"}), 404
+            return jsonify([c.to_dict() for c in spec.columns])
+
+        return create, update, delete, columns
+
+    _src_create, _src_update, _src_delete, _src_columns = _spec_crud(
+        "Source", store.get_source, store.save_source, store.delete_source, in_root
+    )
+    app.post("/api/specs/sources", endpoint="create_source")(_src_create)
+    app.put("/api/specs/sources/<spec_id>", endpoint="update_source")(_src_update)
+    app.delete("/api/specs/sources/<spec_id>", endpoint="delete_source")(_src_delete)
+    # columns under the reference's own path shape (app.py:461-481)
+    app.get("/api/sources/<spec_id>/columns", endpoint="source_columns")(_src_columns)
+
+    _dst_create, _dst_update, _dst_delete, _dst_columns = _spec_crud(
+        "Destination",
+        store.get_destination,
+        store.save_destination,
+        store.delete_destination,
+        out_root,
+    )
+    app.post("/api/specs/destinations", endpoint="create_destination")(_dst_create)
+    app.put("/api/specs/destinations/<spec_id>", endpoint="update_destination")(_dst_update)
+    app.delete(
+        "/api/specs/destinations/<spec_id>", endpoint="delete_destination"
+    )(_dst_delete)
+    app.get(
+        "/api/destinations/<spec_id>/columns", endpoint="destination_columns"
+    )(_dst_columns)
 
     @app.get("/api/mappings")
     def list_mappings():

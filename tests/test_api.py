@@ -191,3 +191,96 @@ def test_mapping_crud(env):
     # spec listings still served
     assert "src1" in client.get("/api/specs/sources").get_json()
     assert "dst1" in client.get("/api/specs/destinations").get_json()
+
+
+def test_source_spec_create_columns_template_delete(env):
+    """Reference app.py:244-281 + 715-747 round trip: POST creates the
+    spec, its directory and a typed template CSV under the INPUT root;
+    GET columns serves the column dicts; DELETE removes the spec."""
+    client, tmp_path, cfg = env
+    payload = {
+        "name": "New Feed", "default_directory": "feed",
+        "columns": [
+            {"name": "When", "type": "datetime"},
+            {"name": "Amount", "type": "money"},
+            {"name": "Note", "type": "string"},
+        ],
+    }
+    r = client.post("/api/specs/sources", json=payload)
+    assert r.status_code == 201 and r.get_json()["id"] == "new_feed"
+    # persisted through the store (fresh read from disk)
+    assert SpecStore(str(cfg)).get_source("new_feed").name == "New Feed"
+    # directory + template side-effect, under the INPUT root
+    tpl = tmp_path / "in" / "feed" / "_template_new_feed.csv"
+    assert tpl.exists()
+    lines = tpl.read_text().strip().splitlines()
+    assert lines[0] == "When,Amount,Note" and len(lines) == 2
+
+    r = client.get("/api/sources/new_feed/columns")
+    assert r.status_code == 200
+    assert [c["name"] for c in r.get_json()] == ["When", "Amount", "Note"]
+
+    assert client.delete("/api/specs/sources/new_feed").status_code == 200
+    assert client.get("/api/sources/new_feed/columns").status_code == 404
+    assert SpecStore(str(cfg)).get_source("new_feed") is None
+
+
+def test_destination_spec_crud_and_update_pins_id(env):
+    """Destination twin under the OUTPUT root; PUT updates in place and
+    pins the id from the URL (reference edit_destination semantics)."""
+    client, tmp_path, cfg = env
+    r = client.post("/api/specs/destinations", json={
+        "id": "dst2", "name": "Dest 2", "default_directory": "d2",
+        "columns": [{"name": "out", "type": "string"}],
+    })
+    assert r.status_code == 201 and r.get_json()["id"] == "dst2"
+    assert (tmp_path / "out" / "d2" / "_template_dst2.csv").exists()
+
+    # update: payload id is ignored, URL id wins; template regenerated
+    r = client.put("/api/specs/destinations/dst2", json={
+        "id": "evil_rename", "name": "Dest 2 v2", "default_directory": "d2",
+        "columns": [{"name": "out", "type": "string"},
+                    {"name": "extra", "type": "integer"}],
+    })
+    assert r.status_code == 200 and r.get_json()["id"] == "dst2"
+    store = SpecStore(str(cfg))
+    assert store.get_destination("evil_rename") is None
+    spec = store.get_destination("dst2")
+    assert spec.name == "Dest 2 v2" and len(spec.columns) == 2
+    tpl = (tmp_path / "out" / "d2" / "_template_dst2.csv").read_text()
+    assert tpl.strip().splitlines()[0] == "out,extra"
+
+    r = client.get("/api/destinations/dst2/columns")
+    assert [c["type"] for c in r.get_json()] == ["string", "integer"]
+    assert client.delete("/api/specs/destinations/dst2").status_code == 200
+
+
+def test_spec_crud_error_paths(env):
+    """400 on unusable payloads, 404 on unknown ids — errors stay JSON."""
+    client, _, _ = env
+    assert client.post("/api/specs/sources", json={}).status_code == 400
+    assert client.post(
+        "/api/specs/sources",
+        json={"name": "X", "columns": [{"name": "a", "type": "no_such_type"}]},
+    ).status_code == 400
+    assert client.put("/api/specs/sources/nope", json={"name": "n"}).status_code == 404
+    assert client.delete("/api/specs/sources/nope").status_code == 404
+    assert client.get("/api/sources/nope/columns").status_code == 404
+    assert client.get("/api/destinations/nope/columns").status_code == 404
+
+
+def test_created_source_spec_is_immediately_usable(env):
+    """The created spec is a real engine object: upload a CSV into its
+    directory and preview it through the normal read path."""
+    client, tmp_path, _ = env
+    client.post("/api/specs/sources", json={
+        "name": "Feed2", "default_directory": "feed2",
+        "columns": [{"name": "A", "type": "string"},
+                    {"name": "B", "type": "integer"}],
+    })
+    (tmp_path / "in" / "feed2" / "x.csv").write_text("A,B\nhello,1\nworld,2\n")
+    r = client.get("/api/preview/feed2/x.csv")
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["columns"] == ["A", "B"] and body["total"] == 2
+    assert body["rows"][0]["A"] == "hello"
