@@ -179,8 +179,14 @@ def _bloom_bitmap(b_sh: DataFrame, m: int, k: int) -> list[int]:
 
 def _bloom_might_contain(col: Column, words: list[int], m: int, k: int) -> Column:
     """JVM-side Bloom probe: every one of the k xxhash64-derived bits must
-    be set in the bitmap literal.  Pure expression — no UDF, no join."""
-    bits = F.lit(words)
+    be set in the bitmap literal.  Pure expression — no UDF, no join.
+
+    The literal is PINNED to array<bigint>: F.lit infers array<int> when
+    every word of a small bitmap happens to fit in 32 bits, and bit_get
+    on an int rejects positions >= 32 — the bitmap was built as 64-bit
+    words, so the probe must read 64-bit words regardless of the values
+    they hold (surfaced by the first tiny-corpus streaming increment)."""
+    bits = F.lit(words).cast("array<bigint>")
     checks = []
     for s in range(k):
         i = F.pmod(F.xxhash64(col, F.lit(s)), F.lit(m))

@@ -173,3 +173,74 @@ def test_gopher_gate_on_stream_matches_batch(spark, tmp_path):
                spark.read.schema(schema).parquet(src),
                min_words=50, min_stopword_hits=1).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_crawl_ingest_stream_matches_batch_twin(spark, tmp_path):
+    """End-to-end crawl-ingest composition (streaming/crawl.py): URL
+    blocklist → normalize → Gopher gate → incremental dedup against the
+    ACCUMULATING corpus, under the gated foreachBatch sink.  A live
+    availableNow stream over 3 one-file micro-batches must converge to
+    the same curated corpus as the batch twin applying curate_increment
+    sequentially per file — cross-batch dedup only works if each batch
+    really sees the corpus the previous batches wrote."""
+    from pyspark.sql import types as T
+
+    from csv_etl_spark.streaming.crawl import crawl_ingest_stream, curate_increment
+
+    good = ("the quick brown fox jumps over the lazy dog today " * 8).strip()  # 80 words, mean len 4, stopwords present
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    batches = [
+        # batch 0: two keepers (one pair of within-batch dups), one
+        # blocked domain, one too-short doc
+        [(1, "https://a.example.com/x?utm_source=f", good + " alpha"),
+         (2, "https://b.example.com/y", good + " alpha"),        # dup of 1 in-batch
+         (3, "https://spam.bad.com/z", good + " beta"),           # blocked
+         (4, "https://c.example.com/w", "too short")],            # fails gate
+        # batch 1: one new keeper, one cross-batch dup of doc 1
+        [(10, "https://d.example.com/p", good + " gamma"),
+         (11, "https://e.example.com/q", good + " alpha")],       # dup vs corpus
+        # batch 2: re-offer of batch-1 text plus a new keeper
+        [(20, "https://f.example.com/r", good + " gamma"),        # dup vs corpus
+         (21, "https://g.example.com/s", good + " delta")],
+    ]
+    src = tmp_path / "crawl_in"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}.parquet")
+        )
+    blocked = spark.createDataFrame([("bad.com",)], ["domain"])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    corpus_dir = str(tmp_path / "corpus")
+    q = crawl_ingest_stream(
+        stream, blocked, corpus_dir, str(tmp_path / "ckpt"),
+        min_words=50, min_stopword_hits=1,
+    )
+    q.awaitTermination(180)
+
+    got = {(r["doc_id"], r["url_norm"]) for r in
+           spark.read.parquet(corpus_dir).collect()}
+
+    # batch twin: same curate_increment sequentially, corpus as plain DF
+    corpus = None
+    for rows in batches:
+        inc = curate_increment(
+            spark.createDataFrame(rows, schema), blocked, corpus,
+            min_words=50, min_stopword_hits=1,
+        )
+        corpus = inc if corpus is None else corpus.unionByName(inc)
+    exp = {(r["doc_id"], r["url_norm"]) for r in corpus.collect()}
+
+    assert got == exp
+    assert {d for d, _ in got} == {1, 10, 21}
+    # normalization reached the stored url (tracking param stripped)
+    assert ("https://a.example.com/x" in {u for _, u in got})
