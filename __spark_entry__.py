@@ -5015,6 +5015,102 @@ def _url_dedup_oracle() -> str:
 """
 
 
+def q_url_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSL-table registered-domain resolution (urls.registered_domain_psl,
+    new in r9): synthetic hosts exercising every rule kind — a
+    private-section suffix (github.io), a ccTLD second-level (co.jp), a
+    WILDCARD ccTLD (*.ck), the !www.ck EXCEPTION, an unlisted suffix
+    (default rule), and plain .com/.co.uk — resolved via the per-depth
+    broadcast longest-match joins, then a registered-domain frequency
+    rollup.  The oracle replays the publicsuffix.org algorithm in SQL
+    over a VALUES copy of the SAME PSL_HEAD_RULES constant (generated,
+    so the two rule sets cannot drift)."""
+    from csv_etl_spark.operators.urls import psl_frame, registered_domain_psl
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "source")
+    did = F.col("doc_id")
+    host = (
+        F.when(did % 7 == 0, F.concat(F.col("source"), F.lit(".github.io")))
+        .when(did % 7 == 1, F.concat(F.lit("shop."), F.col("source"), F.lit(".co.jp")))
+        .when(did % 7 == 2, F.concat(F.lit("x"), (did % 5).cast("string"),
+                                     F.lit("."), F.col("source"), F.lit(".ck")))
+        .when(did % 7 == 3, F.lit("www.ck"))
+        .when(did % 7 == 4, F.concat(F.col("source"), F.lit(".example")))
+        .when(did % 7 == 5, F.concat(F.lit("sub."), F.col("source"), F.lit(".com")))
+        .otherwise(F.concat(F.col("source"), F.lit(".co.uk")))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"), (did % 50).cast("string")).alias("url"),
+    )
+    tagged = registered_domain_psl(urls, "url", psl_frame(spark))
+    return tagged.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+def _url_registered_domain_oracle() -> str:
+    from csv_etl_spark.operators.urls import PSL_HEAD_RULES
+
+    vals = []
+    for r in PSL_HEAD_RULES:
+        r = r.strip().lower()
+        if r.startswith("!"):
+            kind, sfx = "exception", r[1:]
+        elif r.startswith("*."):
+            kind, sfx = "wildcard", r[2:]
+        else:
+            kind, sfx = "normal", r
+        vals.append(f"('{sfx}', '{kind}', {sfx.count('.') + 1})")
+    values = ",\n      ".join(vals)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+        CASE doc_id % 7
+          WHEN 0 THEN source || '.github.io'
+          WHEN 1 THEN 'shop.' || source || '.co.jp'
+          WHEN 2 THEN 'x' || CAST(doc_id % 5 AS VARCHAR) || '.' || source || '.ck'
+          WHEN 3 THEN 'www.ck'
+          WHEN 4 THEN source || '.example'
+          WHEN 5 THEN 'sub.' || source || '.com'
+          ELSE source || '.co.uk'
+        END AS host
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(host, '.') AS l FROM docs),
+    psl(suffix, kind, nlab) AS (VALUES
+      {values}
+    ),
+    cand AS (
+      SELECT doc_id, k,
+             array_to_string(l[len(l) - k + 1 : len(l)], '.') AS cand
+      FROM ls, range(1, 6) t(k)
+      WHERE len(l) >= k
+    ),
+    m AS (
+      SELECT c.doc_id,
+             max(CASE WHEN p.kind = 'normal' THEN p.nlab
+                      WHEN p.kind = 'wildcard' THEN p.nlab + 1 END) AS imp,
+             max(CASE WHEN p.kind = 'exception' THEN p.nlab - 1 END) AS exc
+      FROM cand c JOIN psl p ON c.cand = p.suffix
+      GROUP BY c.doc_id
+    ),
+    r AS (
+      SELECT ls.doc_id,
+             CASE WHEN len(l) > ps
+                  THEN array_to_string(l[len(l) - ps : len(l)], '.') END
+             AS registered_domain
+      FROM (
+        SELECT ls.doc_id, ls.l,
+               coalesce(m.exc, greatest(coalesce(m.imp, 1), 1)) AS ps
+        FROM ls LEFT JOIN m ON ls.doc_id = m.doc_id
+      ) ls
+    )
+    SELECT registered_domain, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM r GROUP BY 1
+"""
+
+
 def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type distribution-drift report (stats.distribution_drift):
     PSI over 10 reference-decile bins between two deterministic halves
@@ -5178,6 +5274,147 @@ _ORACLE_QUALITY_CLASSIFIER = f"""
 # ---------------------------------------------------------------------------
 
 
+# The COMPLETE driver schedule under the age-based round-robin policy
+# (see queries() docstring): position IS the schedule — the driver
+# checks the first 50, and next round's window is 'shift the list'.
+# Regenerate by sorting on (last driver-green round, registry order);
+# never-checked entries first, the 2 rows-only entries pinned last.
+_R9_ORDER = [
+    # ==== r9 driver window (50): 2 never-checked r9 ops, 1 r5-green,
+    # 22 r6-green returners, 25 oldest r7-green ====
+    "ann_ivf_two_level",
+    "url_registered_domain",
+    "text_filter_lines",
+    "events_rolling",
+    "dedup_incremental",
+    "asof_join_purchase_click",
+    "doc_length_histogram",
+    "unigram_logprob",
+    "text_strip_html",
+    "gopher_quality",
+    "mixture_resample",
+    "image_dhash_pairs",
+    "window_funcs_orders",
+    "dedup_doc_lines",
+    "join_full_outer",
+    "tokens_to_ids",
+    "corpus_shuffle",
+    "dedup_representatives",
+    "text_top_bigrams",
+    "length_outliers",
+    "ann_quantized",
+    "image_dhash",
+    "tfidf_terms",
+    "corpus_decontaminate",
+    "sample_by_quality",
+    "etl_dynamic_mapping",
+    "etl_lookup_table",
+    "etl_aggregate_mapping",
+    "spec_validation",
+    "typed_stocks_pipeline",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "dedup_paragraphs",
+    "range_join_buckets",
+    "pack_sequences",
+    "semantic_dedup",
+    "dedup_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "ann_bruteforce",
+    "ann_ivf_approx",
+    "text_metrics",
+    "text_top_tokens",
+    "corpus_curation",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "dedup_incremental_bloom",
+    "chunk_documents",
+    "salted_agg_events",
+    # ==== past the 50-query window: r7 remainder (due r10), then
+    # the 50 r8-green (due r10/r11), then rows-only ====
+    "web_curation",
+    "events_rolling_time",
+    "stats_moments",
+    "training_mix",
+    "scd2_history",
+    "retention_cohorts",
+    "bigram_logprob",
+    "snapshot_diff",
+    "funnel_steps",
+    "image_dup_clusters",
+    "profile_events",
+    "asof_join_forward",
+    "value_histogram",
+    "events_anomalies",
+    "sample_weighted",
+    "bm25_terms",
+    "perplexity_buckets",
+    "boilerplate_lines",
+    "token_budget_mix",
+    "duplicate_spans",
+    "contamination_report",
+    "source_cap",
+    "events_winsorized",
+    "interval_overlap",
+    "remove_dup_spans",
+    "dsir_selection",
+    "corpus_report",
+    "apply_merges",
+    "quality_classifier",
+    "fuzzy_join",
+    "pct_rank_events",
+    "corr_lineitem",
+    "mad_outliers",
+    "copurchase_pairs",
+    "record_clusters",
+    "url_dedup",
+    "events_drift",
+    "key_skew_events",
+    "f1_equals",
+    "f2_not_equals",
+    "f3_in",
+    "f6_is_not_empty",
+    "f7_contains",
+    "cube_orders",
+    "grouping_sets_orders",
+    "dedup_jaccard_capped",
+    "ann_ivf_exact",
+    "sample_stratified",
+    "dedup_normalized",
+    "semi_join_parts",
+    "union_distinct_nations",
+    "etl_chained_mappings",
+    "merge_upsert_orders",
+    "t7_formula",
+    "typed_crypto_pipeline",
+    "window_top_orders",
+    "rollup_orders",
+    "anti_join_customers",
+    "sample_deterministic",
+    "json_extract_props",
+    "value_percentiles",
+    "dedup_exact",
+    "dedup_simhash",
+    "multimodal_features",
+    "f4_not_in",
+    "f5_is_empty",
+    "t3_date_format",
+    "t4_lookup",
+    "join_left_outer",
+    "topk_revenue_orders",
+    "pivot_orders",
+    "unpivot_customer",
+    "distinct_users",
+    "text_repetition",
+    "text_pii_scrub",
+    # rows-only by design (no hash signal): permanently out-of-window
+    "distinct_users_approx",
+    "bpe_merges",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION POLICY (round 8, explicit — the round-7 verdict flagged
     # that 114+ queries no longer fit the old "driver row at most two
@@ -5194,25 +5431,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-verified every round via scripts/check_oracle.py regardless
     # of window position.
     #
-    # Round-8 window under this policy (ages from CORRECTNESS_r01..r07):
-    #   * 13 never-checked: dsir_selection + corpus_report (added late in
-    #     r7 — the verdict's #1 item) and the ELEVEN operators NEW in r8
-    #     (apply_merges, quality_classifier, fuzzy_join, pct_rank_events,
-    #     corr_lineitem, mad_outliers, copurchase_pairs, record_clusters,
-    #     url_dedup, events_drift, key_skew_events);
-    #   * 9 last-green-r2, 2 r3, 2 r4, and the first 24 of the 25 r5
-    #     entries — the long tail the old keeper scheme starved (each
-    #     re-verified by local oracle in the r7 judging session).  That
-    #     fills all 50 slots; the ONE remaining r5 entry plus the 22
-    #     r6-green returners are the OLDEST entries after this round and
-    #     therefore lead the r9 window, followed by the oldest r7-green
-    #     entries; the transition to steady-state <=3-round age completes
-    #     in r10.
-    # Update the counts (125 registered / 123 oracle-checkable) whenever
+    # Since round 9 the schedule is MATERIALIZED as _R9_ORDER (above):
+    # the dict literal below keeps its historical grouping for diff
+    # hygiene, and the return reorders it through the list, asserting
+    # set-equality so nothing falls out of rotation.  Round-9 window,
+    # exactly as the r8 plan called: 2 never-checked r9 ops
+    # (ann_ivf_two_level, url_registered_domain), the 1 r5-green
+    # straggler (text_filter_lines, position 51 in r8), the 22 r6-green
+    # returners, and the 25 oldest r7-green entries
+    # (etl_dynamic_mapping … salted_agg_events).  After this round the
+    # oldest evidence is r7 (web_curation … remove_dup_spans lead r10)
+    # and the steady-state ≤3-round age bound is reached.
+    # Counts: 127 registered / 125 oracle-checkable — update whenever
     # the registry changes.
-    return {
+    base = {
         # ---- never driver-checked: new in r9 ----
         "ann_ivf_two_level": q_ann_ivf_two_level,
+        "url_registered_domain": q_url_registered_domain,
         # ---- window 1-13: never driver-checked (2 late-r7 + 11 new-r8) ----
         "dsir_selection": q_dsir_selection,
         "corpus_report": q_corpus_report,
@@ -5355,6 +5590,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_approx": q_distinct_users_approx,
         "bpe_merges": q_bpe_merges,
     }
+    # dict-literal order above is historical grouping; the SCHEDULE is
+    # _R9_ORDER (asserted complete so a new query cannot be silently
+    # left out of the rotation)
+    assert set(base) == set(_R9_ORDER), sorted(set(base) ^ set(_R9_ORDER))
+    return {k: base[k] for k in _R9_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5418,6 +5658,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _ORACLE_ANN_BRUTE,
         "ann_ivf_exact": _ORACLE_ANN_BRUTE,  # nprobe=all ⇒ exact ⇒ same oracle
         "ann_ivf_two_level": _ORACLE_ANN_BRUTE,  # exhaustive routing ⇒ brute force
+        "url_registered_domain": _url_registered_domain_oracle(),
         "ann_ivf_approx": _ivf_oracle_sql(),  # deterministic IVF replicated in SQL
         "text_metrics": _ORACLE_TEXT_METRICS,
         "text_top_tokens": _ORACLE_TOP_TOKENS,
