@@ -124,6 +124,10 @@ HEADLINE = [
     "url_dedup",
     "events_drift",
     "key_skew_events",
+    # round 9 additions: two-level IVF (exhaustive routing), PSL-table
+    # registered-domain rollup
+    "ann_ivf_two_level",
+    "url_registered_domain",
 ]
 
 
@@ -195,9 +199,15 @@ def main() -> None:
         _aff._BASKET_CACHE.invalidate(blocking=True)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    runs: dict[str, list[float]] = {n: [] for n in HEADLINE if n in queries}
+    # optional subset (comma-separated names): regression re-timing runs
+    # a few queries at higher n_runs without paying for the full matrix
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in only.split(",")] if only else HEADLINE
+    )
+    runs: dict[str, list[float]] = {n: [] for n in headline if n in queries}
     for _ in range(n_runs):
-        for name in HEADLINE:
+        for name in headline:
             fn = queries.get(name)
             if fn is None:
                 continue

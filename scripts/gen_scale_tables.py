@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Generate scaled-up `customer` and `lineitem` tables for the
+scale-step bench — the third data axis after documents
+(gen_scale_docs.py) and events (gen_scale_events.py).
+
+These feed the round-8 operators whose scale evidence was previously a
+plan-shape note only: fuzzy_join / record_clusters read
+``customer.c_custkey`` (they synthesize their match strings from the key
+via md5), and copurchase_pairs reads ``lineitem(l_orderkey,
+l_partkey)``.  Shape is measured from /root/testdata/sf0.1: customer
+keys stay dense 0..N-1; lineitem draws lines-per-order from the
+EMPIRICAL sf0.1 distribution (mean ≈ 4.07, max 17) and scales the order
+AND part keyspaces together (the TPC-H growth mode — basket sizes stay
+constant, the co-occurrence matrix gets sparser, exactly how a real
+catalog grows).
+
+Only the columns the scale-bench queries read are generated — the other
+lineitem columns would cost gigabytes without adding evidence.
+
+Usage: python scripts/gen_scale_tables.py [sf1 sf10]   (default both)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT_ROOT = Path(__file__).resolve().parent / "scale"
+BASE = "/root/testdata/sf0.1"
+# sf0.1 measured: 15,000 customers; 147,236 orders / 20,000 parts /
+# 600,000 lines
+SCALES = {"sf1": 10, "sf10": 100}
+BASE_CUSTOMERS = 15_000
+BASE_ORDERS = 150_000
+BASE_PARTS = 20_000
+SEED = 44
+CHUNK_ORDERS = 2_000_000
+
+
+def lines_per_order_distribution() -> tuple[np.ndarray, np.ndarray]:
+    rows = duckdb.sql(
+        f"SELECT n, count(*) AS c FROM (SELECT l_orderkey, count(*) AS n "
+        f"FROM '{BASE}/lineitem.parquet' GROUP BY 1) GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ns = np.array([r[0] for r in rows], dtype="int64")
+    ws = np.array([r[1] for r in rows], dtype="float64")
+    return ns, ws / ws.sum()
+
+
+def main() -> None:
+    import sys
+
+    wanted = sys.argv[1:] or list(SCALES)
+    unknown = [w for w in wanted if w not in SCALES]
+    if unknown:
+        raise SystemExit(f"unknown sizes {unknown}; choose from {list(SCALES)}")
+    ns, probs = lines_per_order_distribution()
+    rng = np.random.RandomState(SEED)
+    for name in wanted:
+        scale = SCALES[name]
+        out = OUT_ROOT / name
+        out.mkdir(parents=True, exist_ok=True)
+
+        n_cust = BASE_CUSTOMERS * scale
+        pq.write_table(
+            pa.table({"c_custkey": pa.array(np.arange(n_cust, dtype="int64"))}),
+            out / "customer.parquet",
+            row_group_size=1_000_000,
+        )
+
+        n_orders = BASE_ORDERS * scale
+        n_parts = BASE_PARTS * scale
+        writer = None
+        for start in range(0, n_orders, CHUNK_ORDERS):
+            n = min(CHUNK_ORDERS, n_orders - start)
+            per = rng.choice(ns, size=n, p=probs)
+            ok = np.repeat(np.arange(start, start + n, dtype="int64"), per)
+            pk = rng.randint(0, n_parts, size=len(ok)).astype("int64")
+            tbl = pa.table({"l_orderkey": pa.array(ok), "l_partkey": pa.array(pk)})
+            if writer is None:
+                writer = pq.ParquetWriter(out / "lineitem.parquet", tbl.schema)
+            writer.write_table(tbl, row_group_size=1_000_000)
+        writer.close()
+        print(
+            f"{name}: {n_cust} customers; {n_orders} orders x "
+            f"~{float(np.dot(ns, probs)):.2f} lines -> {out}"
+        )
+
+
+if __name__ == "__main__":
+    main()

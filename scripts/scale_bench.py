@@ -91,9 +91,11 @@ QUERIES = {
     # corr_lineitem read customer/lineitem, which the doc/event-axis
     # generators don't produce — their scale argument is the plan shape
     # note in ARCHITECTURE §3; everything else gets a measured point)
-    "apply_merges": "sf10",
-    "quality_classifier": "sf10",
-    "pct_rank_events": "sf10",
+    # r9: third decade for the r8 ops (VERDICT r8 item #5) — doc axis to
+    # 5M docs, event axis to 100M events (gen_scale_events.py sf100)
+    "apply_merges": "sf100",
+    "quality_classifier": "sf100",
+    "pct_rank_events": "sf100",
     # late-r8 additions: mad_outliers runs on the events axis;
     # copurchase_pairs (lineitem) and record_clusters (customer) read
     # tables the doc/event-axis generators don't produce — like
@@ -101,10 +103,22 @@ QUERIES = {
     # note in ARCHITECTURE §3 (basket-keyed equijoin with C(max_basket,2)
     # fan-out bound; PassJoin equijoin + iterative CC with per-round
     # persist/unpersist)
-    "mad_outliers": "sf10",
-    "url_dedup": "sf10",  # doc-axis: map-only normalize + one url-keyed agg
-    "events_drift": "sf10",  # event-axis: PSI edges broadcast, two count aggs
-    "key_skew_events": "sf10",  # event-axis: one count agg + scalar totals
+    "mad_outliers": "sf100",
+    "url_dedup": "sf100",  # doc-axis: map-only normalize + one url-keyed agg
+    "events_drift": "sf100",  # event-axis: PSI edges broadcast, two count aggs
+    "key_skew_events": "sf100",  # event-axis: one count agg + scalar totals
+    # r9: the customer/lineitem axis finally has scale tables
+    # (gen_scale_tables.py) — the three ops whose evidence was previously
+    # a plan-shape note get measured decades: customer 15k→150k→1.5M,
+    # lineitem 600k→6M→60M (order+part keyspaces scale together, basket
+    # size distribution pinned to the measured sf0.1 empirical)
+    "fuzzy_join": "sf10",
+    "record_clusters": "sf10",
+    "copurchase_pairs": "sf10",
+    # r9 operators (ann_ivf_two_level reads embeddings, which have no
+    # scale-axis generator — its scale argument is the broadcast-only
+    # plan assertion in test_ivf_two_level_routed_recall_and_plan)
+    "url_registered_domain": "sf100",  # doc-axis: map-only broadcast joins + one agg
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),
@@ -212,7 +226,14 @@ def main() -> None:
             ),
             "doc_counts": {s: n for s, _d, n in STEPS},
             "event_counts": {
-                "sf0.1": 100_000, "sf1": 1_000_000, "sf10": 10_000_000
+                "sf0.1": 100_000, "sf1": 1_000_000, "sf10": 10_000_000,
+                "sf100": 100_000_000,
+            },
+            "customer_counts": {
+                "sf0.1": 15_000, "sf1": 150_000, "sf10": 1_500_000
+            },
+            "lineitem_counts": {
+                "sf0.1": 600_000, "sf1": 6_000_000, "sf10": 60_000_000
             },
             "median_sec": results,
             "result_rows": rows_out,
