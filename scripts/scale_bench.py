@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -177,6 +178,11 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
 
+    # the sf100 step (5M docs / 100M events) needs real heap: local mode
+    # is one JVM for driver+executors, and the 8g service default OOM'd
+    # mid-matrix at 100M rows (r9).  48g on the 128 GiB box unless the
+    # caller pinned it.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("csv-etl-spark-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()

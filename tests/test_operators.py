@@ -3389,3 +3389,64 @@ def test_ivf_two_level_routed_recall_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_registered_domain_psl_matches_serial_reference_fuzz(spark):
+    """Differential fuzz: the broadcast-join PSL resolver vs an
+    independent serial implementation of the publicsuffix.org algorithm
+    (longest rule wins, wildcard adds a label, exception overrides) over
+    200 generated hosts mixing every rule kind, depths 1-5, and
+    unlisted suffixes."""
+    import random as _random
+
+    from csv_etl_spark.operators.urls import (
+        PSL_HEAD_RULES,
+        psl_frame,
+        registered_domain_psl,
+    )
+
+    normals, wilds, excs = set(), set(), set()
+    for r in PSL_HEAD_RULES:
+        r = r.strip().lower()
+        if r.startswith("!"):
+            excs.add(r[1:])
+        elif r.startswith("*."):
+            wilds.add(r[2:])
+        else:
+            normals.add(r)
+
+    def serial_registered(host):
+        labels = host.split(".")
+        ps = 1  # default rule "*"
+        for k in range(1, len(labels) + 1):
+            cand = ".".join(labels[-k:])
+            if cand in excs:
+                return ".".join(labels[-k:]) if len(labels) >= k else None
+            if cand in normals:
+                ps = max(ps, k)
+            if cand in wilds:
+                ps = max(ps, k + 1)
+        return ".".join(labels[-(ps + 1):]) if len(labels) > ps else None
+
+    rng = _random.Random(77)
+    suffix_pool = (
+        ["co.uk", "co.jp", "com.au", "github.io", "blogspot.com", "ck",
+         "x.ck", "www.ck", "com", "org", "example", "np", "a.np"]
+        + list(rng.sample(sorted(normals), 10))
+    )
+    hosts = []
+    for _ in range(200):
+        sfx = rng.choice(suffix_pool)
+        depth = rng.randrange(0, 4)
+        labs = [rng.choice(["a", "bb", "shop", "x9", "deep"])
+                for _ in range(depth)]
+        hosts.append(".".join(labs + [sfx]))
+    df = spark.createDataFrame(
+        [(i, f"https://{h}/p") for i, h in enumerate(hosts)],
+        "id int, url string",
+    )
+    got = {r["id"]: r["registered_domain"] for r in
+           registered_domain_psl(df, "url", psl_frame(spark)).collect()}
+    for i, h in enumerate(hosts):
+        want = serial_registered(h)
+        assert got[i] == want, (h, got[i], want)
