@@ -4821,10 +4821,13 @@ _ORACLE_MAD_OUTLIERS = """
 def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 co-occurring part pairs within orders
     (affinity.top_cooccurrence): the 2-itemset support table of every
-    association-rule pipeline, fan-out-guarded against mega-baskets
-    (max_basket cap ahead of the basket-keyed self-equijoin — the
-    interval_overlap discipline) and top-k'd via TakeOrderedAndProject
-    with a deterministic (count DESC, item_a, item_b) tie-break."""
+    association-rule pipeline.  Baskets collapse to sorted distinct-item
+    arrays in ONE basket-key shuffle and pairs are generated MAP-SIDE
+    from the array (no self-join, no sort — the r9 fix for the measured
+    α=1.09 super-linearity of the join formulation at 60M lineitems),
+    fan-out-guarded against mega-baskets (max_basket cap BEFORE any pair
+    is emitted) and top-k'd via TakeOrderedAndProject with a
+    deterministic (count DESC, item_a, item_b) tie-break."""
     from csv_etl_spark.operators.affinity import top_cooccurrence
 
     li = _t(spark, sf_dir, "lineitem", parallelize=True)

@@ -177,8 +177,8 @@ def main() -> None:
         # the block manager (the suspected cause of r5's driver-run passes
         # getting SLOWER on exactly the cached operators).
         from csv_etl_spark.operators import classify as _classify
-        from csv_etl_spark.operators import affinity as _aff
         from csv_etl_spark.operators import dedup as _dedup
+        from csv_etl_spark.operators import graph as _graph
         from csv_etl_spark.operators import multimodal as _mm
         from csv_etl_spark.operators import packing as _pack
         from csv_etl_spark.operators import similarity as _sim
@@ -195,8 +195,10 @@ def main() -> None:
         _pack._CUMSUM_CACHE.invalidate(blocking=True)
         # r8 addition: the classifier's (doc, feature) pair cache
         _classify._FEAT_CACHE.invalidate(blocking=True)
-        # r8 addition: the co-occurrence basket-pair cache
-        _aff._BASKET_CACHE.invalidate(blocking=True)
+        # (r9: affinity's _BASKET_CACHE removed — the array formulation
+        # has a single consumer chain, so there is no cache to clear)
+        # r9 addition: pagerank's persisted link table
+        _graph._LINKS_CACHE.invalidate(blocking=True)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # optional subset (comma-separated names): regression re-timing runs

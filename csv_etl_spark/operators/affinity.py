@@ -6,32 +6,29 @@ first stage of every association-rule / recommendation pipeline
 in a training-data context, the "documents that cite both X and Y"
 signal used for topic balancing.
 
-Scale shape: the naive formulation is a basket-keyed self-join, which is
-fine EXCEPT for pathological baskets — one 100k-item basket alone emits
-5×10⁹ pairs.  So the operator is fan-out-guarded the same way
-interval_overlap_join is: basket sizes are counted first (one map-side
-combinable aggregate), baskets above ``max_basket`` are either dropped
-(default, with the drop count available via the returned frame's
-companion) or the call refuses loudly — silent truncation is the one
-thing this module never does.  Surviving baskets feed ONE
-basket-co-partitioned equijoin (never a cross join); pair counting is a
-map-side-combinable groupBy on the (item_a, item_b) key; the optional
-top-k is a global TakeOrderedAndProject (k rows to the driver, no full
-sort)."""
+Scale shape: the naive formulation is a basket-keyed self-join, but on
+short-basket data (TPC-H orders hold ≤7 lineitems) that pays two full
+sort-merge sides for a fan-out of at most C(7,2)=21 rows per basket —
+measured mildly SUPER-linear (α=1.09/decade) at 60M lineitems because
+the sort cost is n·log n while the useful work is linear (r9 scale
+matrix, bench_records/BENCHNOTES_r9_sf1.json).  So the operator instead
+aggregates each basket to a sorted distinct-item array (ONE shuffle on
+the basket key, ObjectHashAggregate with map-side partials) and
+generates pairs MAP-SIDE from the array with ``transform``/``slice`` —
+no join, no sort, and the whole pipeline is two shuffles total (basket
+key, then the map-side-combinable pair-count key).
+
+Fan-out is still guarded: one 100k-item basket alone would emit 5×10⁹
+pairs, so baskets above ``max_basket`` distinct items are either dropped
+(default — a mega-basket is almost always a data bug) or the call
+refuses loudly BEFORE any pair is generated; silent truncation is the
+one thing this module never does.  The optional top-k is a global
+TakeOrderedAndProject (k rows to the driver, no full sort)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from ._cache import BoundedPersistCache
-
-# (basket, item) distinct pairs are consumed by 2+ branches (size agg +
-# eligibility join; then BOTH sides of the pair self-join) — without the
-# persist cache the input scan and distinct shuffle re-execute per
-# consumer (the repo's multi-consumer rule).  Registered in bench.py's
-# and scripts/scale_bench.py's clear lists like every instance.
-_BASKET_CACHE = BoundedPersistCache(max_entries=4)
 
 
 def cooccurrence_pairs(
@@ -54,42 +51,48 @@ def cooccurrence_pairs(
     basket a loud failure (assert_true riding the size frame, so the
     check cannot be pruned away).
 
-    Plan: distinct (basket, item) → basket-size agg (n_baskets rows,
-    map-side combined) → size filter joined back on the basket key →
-    self-equijoin on basket with ``item_a < item_b`` (C(b,2) fan-out per
-    basket, bounded by the guard at C(max_basket, 2)) → one
-    map-side-combinable count agg → support filter.  Two shuffles on the
-    basket key + one on the pair key; nothing driver-side."""
+    Plan: one groupBy on the basket key collapsing each basket to a
+    sorted distinct-item array (``collect_set`` dedups in the partial
+    aggregate, map-side) → size guard on the array → map-side pair
+    generation with ``transform``/``slice`` over the sorted array
+    (C(b,2) rows per basket, bounded by the guard at C(max_basket, 2);
+    ``item_a < item_b`` falls out of the sort order for free) → one
+    map-side-combinable count agg → support filter.  One shuffle on the
+    basket key + one on the pair key; no join, no sort, nothing
+    driver-side."""
     if on_oversize not in ("drop", "raise"):
         raise ValueError("on_oversize must be 'drop' or 'raise'")
-    bi = (
+    baskets = (
         df.select(
             F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
         )
         .filter(F.col("_bk").isNotNull() & F.col("_it").isNotNull())
-        .distinct()
+        .groupBy("_bk")
+        .agg(F.sort_array(F.collect_set("_it")).alias("_items"))
     )
-    bi = _BASKET_CACHE.get_or_persist(bi, "basket_items")
-    sizes = bi.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bn"))
+    bn = F.size(F.col("_items"))
     if on_oversize == "raise":
         guard = F.assert_true(
-            F.col("_bn") <= F.lit(int(max_basket)),
+            bn <= F.lit(int(max_basket)),
             F.concat(
                 F.lit(f"cooccurrence_pairs: basket over max_basket={max_basket}: "),
                 F.col("_bk").cast("string"),
             ),
         )
         # the established guard idiom (stats.py): coalesce(assert, value)
-        # keeps the assert riding the consumed column so pruning can't
-        # silence it
-        sizes = sizes.withColumn("_bn", F.coalesce(guard.cast("long"), F.col("_bn")))
-    kept = sizes.filter(F.col("_bn") <= F.lit(int(max_basket))).select("_bk")
-    eligible = _BASKET_CACHE.get_or_persist(
-        bi.join(kept, "_bk"), "eligible", int(max_basket), on_oversize
-    )
-    a = eligible.select(F.col("_bk"), F.col("_it").alias("item_a"))
-    b = eligible.select(F.col("_bk"), F.col("_it").alias("item_b"))
-    pairs = a.join(b, "_bk").filter(F.col("item_a") < F.col("item_b"))
+        # keeps the assert riding the consumed expression so pruning
+        # can't silence it
+        bn = F.coalesce(guard.cast("int"), bn)
+    kept = baskets.filter(bn <= F.lit(int(max_basket)))
+    pairs = kept.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_items, (x, i) -> "
+                "transform(slice(_items, i + 2, size(_items) - i - 1), "
+                "y -> struct(x AS item_a, y AS item_b))))"
+            )
+        ).alias("_p")
+    ).select("_p.item_a", "_p.item_b")
     counted = pairs.groupBy("item_a", "item_b").agg(
         F.count(F.lit(1)).alias("pair_count")
     )

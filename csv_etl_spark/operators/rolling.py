@@ -102,3 +102,62 @@ def rolling_time_metrics(
         .cast("bigint")
         .alias("secs_since_prev"),
     )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    partition_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based batch sessionization — the batch twin of
+    ``streaming.events.sessionize`` (same 30-min-default gap semantic the
+    reference-era analytics stack expects): consecutive events of one
+    entity belong to one session while the gap between them is
+    ≤ ``gap_seconds``; a larger gap (or the first event) starts a new
+    session.  Returns one row per SESSION:
+
+    ``(partition_col, session_seq, session_start, session_end, n_events,
+    duration_secs)`` with ``session_seq`` 1-based in time order per
+    entity and timestamps as epoch seconds (bigint — engine-portable,
+    no timezone ambiguity in the compare).
+
+    Classic two-window spelling: ``lag`` marks session starts, a running
+    ``sum`` of the start flags numbers the sessions, then one groupBy
+    collapses events to sessions.  Ordering is made total with
+    ``tiebreak_col`` so equal timestamps sessionize deterministically.
+
+    Scale shape: ONE shuffle on the per-entity key (both windows and the
+    groupBy share the (partition_col, session_seq) prefix, so Catalyst
+    reuses the exchange); per-row window state is O(1) (lag + running
+    sum).  The session agg is map-side combinable.  Same 100 TB posture
+    as ``rolling_metrics`` — per-entity partitions, never a global
+    window."""
+    epoch = F.unix_timestamp(F.col(ts_col)).alias("_epoch")
+    d = df.select(F.col(partition_col), F.col(tiebreak_col), epoch)
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col("_epoch").asc(), F.col(tiebreak_col).asc()
+    )
+    new_sess = (
+        F.coalesce(
+            (F.col("_epoch") - F.lag("_epoch", 1).over(w))
+            > F.lit(int(gap_seconds)),
+            F.lit(True),
+        )
+    ).cast("bigint")
+    numbered = d.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        numbered.groupBy(partition_col, "session_seq")
+        .agg(
+            F.min("_epoch").alias("session_start"),
+            F.max("_epoch").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "duration_secs", F.col("session_end") - F.col("session_start")
+        )
+    )

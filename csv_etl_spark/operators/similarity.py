@@ -493,6 +493,91 @@ def ivf_topk(
     return topk_per_probe(scored, k, "probe_id")
 
 
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int | None = 2,
+    left_id_col: str = "probe_id",
+    left_vec_col: str = "probe_vec",
+    right_id_col: str = "vec_id",
+    right_vec_col: str = "embedding",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """k-nearest-neighbor JOIN between two LARGE vector tables — the
+    co-partitioned sibling of ``ivf_topk``.  Every existing ANN path here
+    broadcasts the probe set, which is right when probes are a handful of
+    queries; building a k-NN GRAPH (SemDeDup's ε-graph over the whole
+    corpus, kNN-LM retrieval sets, link-based curation) makes the probe
+    side the SAME size as the corpus, and a broadcast is exactly the
+    wrong plan.  Here NEITHER side is broadcast — only the centroid
+    codebook is:
+
+    * right side: map-only argmax assignment to its nearest cell
+      (``assign_to_centroids`` — broadcast-literal codebook);
+    * left side: map-only routing to its ``nprobe`` nearest cells via an
+      in-row ``array_sort``/``slice`` over the codebook array (NO window,
+      NO shuffle — cardinality fan-out is exactly nprobe);
+    * ONE shuffle equijoin on the cell key co-partitions both big sides
+      (Catalyst/AQE pick SMJ or shuffled-hash; at test scale AQE may
+      legally downgrade to broadcast — the PLAN property that matters is
+      no cartesian and no full cross-cell fan-out);
+    * per-probe exact top-k via the two-stage ``topk_per_probe``.
+
+    ``nprobe=None`` routes every cell — the result is then provably
+    EQUAL to brute force (each (left, right) pair scored exactly once
+    since a right row lives in exactly one cell), which is the oracle
+    discipline for the exact twin.  Ties break (cosine DESC, neighbor_id
+    ASC) everywhere.  Returns (probe_id, neighbor_id, cosine, rank).
+
+    100 TB shape: cost ≈ |left| × nprobe/n_cells × |right| pair scores,
+    spread over cells; skewed cells are AQE-splittable because the join
+    is a plain shuffle equijoin.  The codebook stays ≤4096 literal cells
+    — for larger codebooks compose with the two-level assignment
+    (``assign_two_level``) exactly as ``ivf_two_level_topk`` does."""
+    cent_arr = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "centroid_vec"))
+        ).alias("_cents")
+    )
+    ranked = F.array_sort(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-cosine(F.col(left_vec_col), c.getField("centroid_vec"))).alias(
+                    "_ns"
+                ),
+                c.getField("centroid_id").alias("_cid"),
+            ),
+        )
+    )
+    routed = (
+        left.crossJoin(F.broadcast(cent_arr))
+        .withColumn(
+            "_take",
+            F.slice(ranked, 1, int(nprobe)) if nprobe is not None else ranked,
+        )
+        .select(
+            F.col(left_id_col).alias("probe_id"),
+            F.col(left_vec_col).alias("_pvec"),
+            F.explode(F.col("_take").getField("_cid")).alias("cluster"),
+        )
+    )
+    assigned = assign_to_centroids(
+        right, centroids, id_col=right_id_col, vec_col=right_vec_col
+    )
+    joined = assigned.join(routed, "cluster")
+    if exclude_same_id:
+        joined = joined.filter(F.col(right_id_col) != F.col("probe_id"))
+    scored = joined.select(
+        "probe_id",
+        F.col(right_id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(right_vec_col), F.col("_pvec")), 6).alias("cosine"),
+    )
+    return topk_per_probe(scored, k, "probe_id")
+
+
 def fine_centroid_table(
     vectors: DataFrame,
     coarse: DataFrame,

@@ -134,8 +134,8 @@ N_RUNS = 3
 
 
 def clear_caches() -> None:
-    from csv_etl_spark.operators import affinity as _aff
     from csv_etl_spark.operators import classify as _classify
+    from csv_etl_spark.operators import graph as _graph
     from csv_etl_spark.operators import dedup as _dedup
     from csv_etl_spark.operators import multimodal as _mm
     from csv_etl_spark.operators import packing as _pack
@@ -151,8 +151,9 @@ def clear_caches() -> None:
     _pack._CUMSUM_CACHE.invalidate(blocking=True)
     # r8 addition: the classifier's (doc, feature) pair cache
     _classify._FEAT_CACHE.invalidate(blocking=True)
-    # r8 addition: the co-occurrence basket-pair cache
-    _aff._BASKET_CACHE.invalidate(blocking=True)
+    # (r9: affinity's _BASKET_CACHE removed with the array formulation)
+    # r9 addition: pagerank's persisted link table
+    _graph._LINKS_CACHE.invalidate(blocking=True)
 
 
 def main() -> None:
@@ -250,9 +251,25 @@ def main() -> None:
                 "dominates at this size"
             ),
         }
+        # MERGE with an existing --out file per query-key: a subset run
+        # extends the matrix instead of clobbering it (r9: a subset
+        # re-run of one fixed operator silently dropped the other 10
+        # queries' decades from the round's evidence file)
+        path = REPO / out_name
+        if path.exists():
+            try:
+                prev = json.loads(path.read_text())
+            except (OSError, json.JSONDecodeError):
+                prev = {}
+            for section in (
+                "median_sec", "result_rows", "scaling_exponent_per_decade"
+            ):
+                merged = dict(prev.get(section, {}))
+                merged.update(out[section])
+                out[section] = merged
         # written after EVERY (step, query) so a killed run keeps its
         # partial evidence (r8: a 50-min timeout once ate a whole matrix)
-        (REPO / out_name).write_text(json.dumps(out, indent=1))
+        path.write_text(json.dumps(out, indent=1))
         return out
 
     for step_name, sf_dir, _n in STEPS:

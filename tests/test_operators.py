@@ -3450,3 +3450,153 @@ def test_registered_domain_psl_matches_serial_reference_fuzz(spark):
     for i, h in enumerate(hosts):
         want = serial_registered(h)
         assert got[i] == want, (h, got[i], want)
+
+
+def test_sessionize_batch_gap_and_ties(spark):
+    """Gap semantics: ≤ gap merges, > gap splits, first event opens a
+    session; equal timestamps order by the tiebreak column so the split
+    is deterministic."""
+    from datetime import datetime
+
+    from csv_etl_spark.operators.rolling import sessionize_batch
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(secs):
+        return datetime.fromtimestamp(t0.timestamp() + secs)
+
+    rows = [
+        # user 1: [0, 100, 1900] gap=1800 → 1900-100=1800 merges (≤ gap)
+        (1, 1, at(0)), (2, 1, at(100)), (3, 1, at(1900)),
+        # then 3701 → 3701-1900=1801 splits (> gap)
+        (4, 1, at(3701)),
+        # user 2: single event
+        (5, 2, at(50)),
+        # user 3: two events at the SAME second (tie), then far later
+        (6, 3, at(0)), (7, 3, at(0)), (8, 3, at(5000)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["session_seq"]): (
+            r["n_events"], r["duration_secs"]
+        )
+        for r in sessionize_batch(df, gap_seconds=1800).collect()
+    }
+    base = int(t0.timestamp())
+    assert got == {
+        (1, 1): (3, 1900),
+        (1, 2): (1, 0),
+        (2, 1): (1, 0),
+        (3, 1): (2, 0),
+        (3, 2): (1, 0),
+    }
+    # session bounds are epoch seconds
+    one = {
+        r["session_seq"]: (r["session_start"], r["session_end"])
+        for r in sessionize_batch(df, gap_seconds=1800)
+        .filter(F.col("user_id") == 1).collect()
+    }
+    assert one == {1: (base, base + 1900), 2: (base + 3701, base + 3701)}
+
+
+def test_knn_join_exact_equals_bruteforce(spark):
+    """nprobe=None (route every cell) must reproduce brute force row for
+    row — every (left, right) pair is scored exactly once because a
+    right vector lives in exactly one cell."""
+    import random as _random
+
+    rng = _random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = (
+        e.orderBy("vec_id").limit(4)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    got = similarity.knn_join(
+        probes, e, cents, k=3, nprobe=None, exclude_same_id=True
+    )
+    want = similarity.brute_force_topk(e, probes, k=3)
+    gs = {(r["probe_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+          for r in got.collect()}
+    ws = {(r["probe_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+          for r in want.collect()}
+    assert gs == ws and len(gs) == 60 * 3
+
+
+def test_knn_join_nprobe_plan_and_recall(spark):
+    """nprobe=2 routes only 2 cells per probe: results are a subset of
+    the scored universe with full k per probe on clustered data, and the
+    plan has no cartesian product (the cell equijoin is the only join of
+    the two big sides)."""
+    import random as _random
+
+    rng = _random.Random(11)
+    # 3 well-separated clusters so nprobe=1 would already recall ~all
+    base = {0: [5.0] * 8, 1: [-5.0] * 8, 2: [5.0, -5.0] * 4}
+    rows = [
+        (i, [b + rng.uniform(-0.1, 0.1) for b in base[i % 3]])
+        for i in range(90)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = (
+        e.orderBy("vec_id").limit(3)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = similarity.knn_join(
+        probes, e, cents, k=3, nprobe=2, exclude_same_id=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rowsout = out.collect()
+    assert len(rowsout) == 90 * 3
+    # same-cluster neighbors (cosine ≈ 1) must win over cross-cluster
+    for r in rowsout:
+        assert r["cosine"] > 0.9
+        assert r["neighbor_id"] % 3 == r["probe_id"] % 3
+
+
+def test_pagerank_matches_serial_reference(spark):
+    """Exact-match differential vs an independent serial power iteration
+    with the same quantization discipline (round-8 contributions,
+    decimal-exact sum, round-6 ranks) on a graph mixing a hub, a chain,
+    a sink, and parallel/duplicate edges."""
+    from decimal import Decimal
+
+    from csv_etl_spark.operators.graph import pagerank
+
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (3, 1), (4, 3), (5, 3), (1, 2),
+    ]  # node 5 has no in-edges; node 3 is a hub; duplicate (1,2)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node_id"]: r["pagerank"]
+           for r in pagerank(df, iters=4, damping=0.85).collect()}
+
+    dedup_edges = sorted(set(edges))
+    nodes = sorted({u for e in dedup_edges for u in e})
+    outdeg = {}
+    for s, _ in dedup_edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    pr = {v: round(1.0 / n, 6) for v in nodes}
+    for _ in range(4):
+        acc = {v: Decimal(0) for v in nodes}
+        for s, t in dedup_edges:
+            acc[t] += Decimal(str(round(pr[s] / outdeg[s], 8)))
+        pr = {
+            v: round(0.15 / n + 0.85 * float(acc[v]), 6) for v in nodes
+        }
+    assert got == pr
