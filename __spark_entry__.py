@@ -5272,6 +5272,192 @@ _ORACLE_QUALITY_CLASSIFIER = f"""
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based BATCH sessionization (rolling.sessionize_batch) — the
+    batch twin of streaming.events.sessionize: one session row per
+    (user, burst of events ≤30 min apart).  Two windows sharing ONE
+    per-user shuffle (lag marks session starts, a running sum numbers
+    them) and a map-side-combinable groupBy collapses events to
+    sessions; epochs stay bigint seconds for engine-portable compares."""
+    from csv_etl_spark.operators.rolling import sessionize_batch
+
+    e = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    return sessionize_batch(
+        e, partition_col="user_id", ts_col="ts",
+        tiebreak_col="event_id", gap_seconds=1800,
+    )
+
+
+_ORACLE_SESSIONIZE_BATCH = """
+    WITH e AS (
+      -- floor, not round: Spark's unix_timestamp TRUNCATES fractional
+      -- seconds while a bare CAST(DOUBLE AS BIGINT) rounds-to-nearest
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ep,
+             CASE WHEN lag(ep) OVER w IS NULL
+                       OR ep - lag(ep) OVER w > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+    ),
+    n AS (
+      SELECT user_id, ep,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ep, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq
+      FROM m
+    )
+    SELECT user_id, session_seq,
+           min(ep) AS session_start, max(ep) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ep) - min(ep) AS duration_secs
+    FROM n GROUP BY 1, 2
+"""
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH over the whole embeddings table via similarity.knn_join
+    — the co-partitioned ANN path where the probe side IS the corpus
+    (SemDeDup ε-graphs, kNN-LM retrieval sets), so NEITHER side is
+    broadcast: right vectors hash to their nearest cell (map-only literal
+    argmax), every probe routes to its nprobe=2 nearest cells via an
+    in-row array_sort/slice (no window, no shuffle), and one cell-keyed
+    equijoin co-partitions both big sides before the two-stage per-probe
+    top-3.  Deterministic first-8 centroids keep the routing replicable
+    in SQL — the oracle replays the FULL pipeline, not a rows-only
+    check."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = (
+        e.orderBy("vec_id").limit(8)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return similarity.knn_join(
+        probes, e, cents, k=3, nprobe=2, exclude_same_id=True
+    ).select("probe_id", "neighbor_id", "cosine", "rank")
+
+
+def _knn_graph_oracle_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 3) -> str:
+    cos_ec = _cos_sql("e.embedding", "c.centroid_vec")
+    cos_pc = _cos_sql("p.probe_vec", "c.centroid_vec")
+    cos_ap = _cos_sql("a.embedding", "r.probe_vec")
+    return f"""
+    WITH cents AS (
+      SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS centroid_vec
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.centroid_id ASC)
+                 AS rk
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rk = 1
+    ),
+    routes AS (
+      SELECT probe_id, probe_vec, centroid_id AS cluster FROM (
+        SELECT p.probe_id, p.probe_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {cos_pc} DESC, c.centroid_id ASC)
+                 AS rk
+        FROM (SELECT vec_id AS probe_id, embedding AS probe_vec
+              FROM embeddings) p
+        CROSS JOIN cents c)
+      WHERE rk <= {nprobe}
+    )
+    SELECT probe_id, neighbor_id, cosine, rank FROM (
+      SELECT r.probe_id, a.vec_id AS neighbor_id,
+             round({cos_ap}, 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY r.probe_id
+               ORDER BY {cos_ap} DESC, a.vec_id ASC) AS rank
+      FROM assigned a JOIN routes r ON a.cluster = r.cluster
+      WHERE a.vec_id <> r.probe_id
+    ) WHERE rank <= {k}
+    """
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (graph.pagerank, 3 power iterations, d=0.85)
+    over the part↔supplier co-supply graph — the crawl-frontier
+    prioritization shape (Common Crawl ranks its domain graph by exactly
+    such link centrality before fetching).  Edges are the distinct
+    (l_partkey, l_suppkey) pairs of lineitem in BOTH directions
+    (suppliers offset to their own id space); contributions are
+    quantized round-8 → DECIMAL(38,8) before summation so the ranks are
+    bit-identical across engines, and the top-100 rides a
+    TakeOrderedAndProject."""
+    from csv_etl_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
+    fwd = li.select(
+        F.col("l_partkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1000000000)).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.orderBy(F.col("pagerank").desc(), F.col("node_id")).limit(100)
+
+
+_ORACLE_PART_PAGERANK = """
+    WITH fwd AS (
+      SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000 AS dst
+      FROM lineitem
+    ),
+    e AS (SELECT src, dst FROM fwd
+          UNION SELECT dst AS src, src AS dst FROM fwd),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node_id FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM (SELECT DISTINCT node_id FROM nodes)),
+    pr0 AS (SELECT node_id, round(1.0 / nn.n, 6) AS pagerank
+            FROM nodes CROSS JOIN nn),
+    it1 AS (
+      SELECT n.node_id,
+             round(0.15 / nn.n + 0.85 * coalesce(c.s, 0.0), 6) AS pagerank
+      FROM nodes n CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node_id,
+               CAST(sum(CAST(round(p.pagerank / d.outdeg, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS s
+        FROM e JOIN deg d ON e.src = d.src JOIN pr0 p ON e.src = p.node_id
+        GROUP BY e.dst) c ON n.node_id = c.node_id
+    ),
+    it2 AS (
+      SELECT n.node_id,
+             round(0.15 / nn.n + 0.85 * coalesce(c.s, 0.0), 6) AS pagerank
+      FROM nodes n CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node_id,
+               CAST(sum(CAST(round(p.pagerank / d.outdeg, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS s
+        FROM e JOIN deg d ON e.src = d.src JOIN it1 p ON e.src = p.node_id
+        GROUP BY e.dst) c ON n.node_id = c.node_id
+    ),
+    it3 AS (
+      SELECT n.node_id,
+             round(0.15 / nn.n + 0.85 * coalesce(c.s, 0.0), 6) AS pagerank
+      FROM nodes n CROSS JOIN nn LEFT JOIN (
+        SELECT e.dst AS node_id,
+               CAST(sum(CAST(round(p.pagerank / d.outdeg, 8)
+                             AS DECIMAL(38,8))) AS DOUBLE) AS s
+        FROM e JOIN deg d ON e.src = d.src JOIN it2 p ON e.src = p.node_id
+        GROUP BY e.dst) c ON n.node_id = c.node_id
+    )
+    SELECT node_id, pagerank FROM it3
+    ORDER BY pagerank DESC, node_id LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5283,10 +5469,15 @@ _ORACLE_QUALITY_CLASSIFIER = f"""
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
 _R9_ORDER = [
-    # ==== r9 driver window (50): 2 never-checked r9 ops, 1 r5-green,
-    # 22 r6-green returners, 25 oldest r7-green ====
+    # ==== r9 driver window (50): 5 never-checked r9 ops, 1 r5-green,
+    # 22 r6-green returners, 22 oldest r7-green (the 3 r7 entries the
+    # late-r9 ops displaced — dedup_incremental_bloom, chunk_documents,
+    # salted_agg_events — lead the post-window r7 remainder, due r10) ====
     "ann_ivf_two_level",
     "url_registered_domain",
+    "sessionize_events",
+    "knn_graph",
+    "part_pagerank",
     "text_filter_lines",
     "events_rolling",
     "dedup_incremental",
@@ -5332,11 +5523,11 @@ _R9_ORDER = [
     "corpus_curation",
     "stream_hourly_counts",
     "stream_sessionize",
+    # ==== past the 50-query window: r7 remainder (due r10), then
+    # the 50 r8-green (due r10/r11), then rows-only ====
     "dedup_incremental_bloom",
     "chunk_documents",
     "salted_agg_events",
-    # ==== past the 50-query window: r7 remainder (due r10), then
-    # the 50 r8-green (due r10/r11), then rows-only ====
     "web_curation",
     "events_rolling_time",
     "stats_moments",
@@ -5461,6 +5652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lineitem": q_corr_lineitem,
         "mad_outliers": q_mad_outliers,
         "copurchase_pairs": q_copurchase_pairs,
+        "sessionize_events": q_sessionize_events,
+        "knn_graph": q_knn_graph,
+        "part_pagerank": q_part_pagerank,
         "record_clusters": q_record_clusters,
         "url_dedup": q_url_dedup,
         "events_drift": q_events_drift,
@@ -5692,6 +5886,9 @@ def oracle_sql() -> dict[str, str]:
         "corr_lineitem": _corr_lineitem_oracle_sql(),
         "mad_outliers": _ORACLE_MAD_OUTLIERS,
         "copurchase_pairs": _ORACLE_COPURCHASE_PAIRS,
+        "sessionize_events": _ORACLE_SESSIONIZE_BATCH,
+        "knn_graph": _knn_graph_oracle_sql(),  # full routing replicated in SQL
+        "part_pagerank": _ORACLE_PART_PAGERANK,
         "record_clusters": _ORACLE_RECORD_CLUSTERS,
         "url_dedup": _url_dedup_oracle(),
         "events_drift": _ORACLE_EVENTS_DRIFT,

@@ -75,10 +75,16 @@ def pagerank(
     links = _LINKS_CACHE.get_or_persist(
         e.join(deg, "src"), "pagerank_links"
     )
-    nodes = (
-        e.select(F.col("src").alias("node_id"))
-        .unionByName(e.select(F.col("dst").alias("node_id")))
-        .distinct()
+    # nodes derives from the PERSISTED link table (every edge's src is in
+    # deg by construction, so links ≡ e + outdeg) and is itself persisted:
+    # it feeds the init frame plus every iteration's left join — without
+    # the cache each iteration re-runs the raw edge scan + distinct
+    # (observed as lineitem×36 dup scans in the r9 plan audit)
+    nodes = _LINKS_CACHE.get_or_persist(
+        links.select(F.col("src").alias("node_id"))
+        .unionByName(links.select(F.col("dst").alias("node_id")))
+        .distinct(),
+        "pagerank_nodes",
     )
     n_frame = nodes.agg(F.count(F.lit(1)).alias("_n"))
     pr = nodes.crossJoin(F.broadcast(n_frame)).select(

@@ -120,6 +120,14 @@ QUERIES = {
     # scale-axis generator — its scale argument is the broadcast-only
     # plan assertion in test_ivf_two_level_routed_recall_and_plan)
     "url_registered_domain": "sf100",  # doc-axis: map-only broadcast joins + one agg
+    # late-r9 operators: batch sessionization scales the event axis
+    # (per-user windows — state keys grow with users); pagerank scales
+    # the lineitem axis (3 fixed join+agg iterations over the edge
+    # table).  knn_graph reads embeddings (no scale-axis generator) —
+    # its scale argument is the no-cartesian cell-equijoin plan pin in
+    # test_knn_join_nprobe_plan_and_recall.
+    "sessionize_events": "sf100",
+    "part_pagerank": "sf10",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),

@@ -3349,7 +3349,7 @@ def test_ivf_two_level_past_literal_cap(spark):
     from csv_etl_spark.operators import similarity
 
     e = _toy_embeddings(spark, n=400)
-    with _pytest.raises(ValueError, match="two-level"):
+    with _pytest.raises(ValueError, match="ivf_two_level_topk"):
         similarity.kmeans_centroids(e, n_centroids=5120)
     probes = similarity.make_probes(e, n=3)
     out = similarity.ivf_two_level_topk(
