@@ -5458,6 +5458,136 @@ _ORACLE_PART_PAGERANK = """
 """
 
 
+def q_salted_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-SALTED fact×dim equijoin (joins.salted_skew_join) over a
+    PLANTED hot key: every 4th event collapses onto customer 0 (25% of
+    the fact side on one join key — the shuffle shape key_skew_events
+    diagnoses), detection finds it with one count agg, the fact side
+    salts it across 8 partitions and the dim side replicates its one hot
+    row ×8.  The salted result must equal the PLAIN join — that equality
+    IS the oracle (the salted_agg_events discipline applied to joins).
+    Double sums rounded to 6: salted merge and DuckDB add in different
+    orders."""
+    from csv_etl_spark.operators.joins import salted_skew_join
+
+    ev = _events(spark, sf_dir).select(
+        F.when(F.col("event_id") % 4 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("c_custkey"),
+        "value",
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_skew_join(ev, cust, "c_custkey", n_salts=8, min_share=0.05)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_ORACLE_SALTED_JOIN = """
+    WITH f AS (
+      SELECT CASE WHEN event_id % 4 = 0 THEN 0 ELSE user_id END AS c_custkey,
+             value
+      FROM events
+    ),
+    j AS (SELECT f.c_custkey, f.value, c.c_mktsegment
+          FROM f JOIN customer c USING (c_custkey))
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           round(sum(value), 6) AS sum_value
+    FROM j GROUP BY 1
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (sampling.temperature_resample,
+    the mT5/XLM-R alpha-sampling rule at alpha=0.5) over the documents
+    language mix: keep rates ∝ count^(alpha-1) normalized so the
+    smallest language keeps 100% — one count agg, one scalar max
+    broadcast, map-only deterministic md5 keep.  Output is the per-lang
+    post-mix census (kept docs, the rounded keep rate, surviving
+    chars)."""
+    from csv_etl_spark.operators.sampling import temperature_resample
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = temperature_resample(d, "lang", "doc_id", alpha=0.5)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("keep_rate").alias("keep_rate"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+_ORACLE_TEMPERATURE_MIX = """
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+    w AS (SELECT lang, pow(CAST(cnt AS DOUBLE), -0.5) AS w FROM c),
+    mx AS (SELECT max(w) AS wmax FROM w),
+    r AS (SELECT lang, round(w / wmax, 6) AS keep_rate
+          FROM w CROSS JOIN mx),
+    k AS (
+      SELECT d.doc_id, d.lang, d.n_chars, r.keep_rate
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) / 4294967296.0 < r.keep_rate
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           max(keep_rate) AS keep_rate,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM k GROUP BY 1
+"""
+
+
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embeddings table
+    (similarity.standardize_embeddings): ONE aggregate computes all 128
+    per-dimension decimal moments as array-indexed column expressions —
+    no explode, no window, no Python — then the 1-row stats frame
+    broadcasts back and a map-only in-row transform emits the z-scores.
+    The comparison frame is exploded to (vec_id, dim_idx, z) scalars;
+    the oracle replays the identical rounded-decimal moment chain."""
+    from csv_etl_spark.operators.similarity import standardize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = standardize_embeddings(e, dim=64)
+    return out.select(
+        "vec_id", F.posexplode("standardized").alias("dim_idx", "z")
+    ).select("vec_id", F.col("dim_idx").cast("int").alias("dim_idx"), "z")
+
+
+_ORACLE_EMBEDDING_STANDARDIZE = """
+    WITH x AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim_idx,
+             round(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT dim_idx, count(*) AS n,
+             sum(CAST(v AS DECIMAL(18,6))) AS sm,
+             sum(CAST(v AS DECIMAL(18,6)) * CAST(v AS DECIMAL(18,6))) AS sq
+      FROM x GROUP BY 1
+    ),
+    m AS (
+      SELECT dim_idx,
+             round(CAST(sm AS DOUBLE) / n, 6) AS mean,
+             round(sqrt(greatest(
+               CAST(sq AS DOUBLE) / n
+                 - round(CAST(sm AS DOUBLE) / n, 6)
+                   * round(CAST(sm AS DOUBLE) / n, 6),
+               0.0)), 6) AS std
+      FROM s
+    )
+    SELECT x.vec_id, x.dim_idx,
+           CASE WHEN m.std = 0.0 THEN 0.0
+                ELSE round((x.v - m.mean) / m.std, 6) END AS z
+    FROM x JOIN m USING (dim_idx)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5469,15 +5599,19 @@ _ORACLE_PART_PAGERANK = """
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
 _R9_ORDER = [
-    # ==== r9 driver window (50): 5 never-checked r9 ops, 1 r5-green,
-    # 22 r6-green returners, 22 oldest r7-green (the 3 r7 entries the
-    # late-r9 ops displaced — dedup_incremental_bloom, chunk_documents,
+    # ==== r9 driver window (50): 8 never-checked r9 ops, 1 r5-green,
+    # 22 r6-green returners, 19 oldest r7-green (the 6 r7 entries the
+    # late-r9 ops displaced — corpus_curation, stream_hourly_counts,
+    # stream_sessionize, dedup_incremental_bloom, chunk_documents,
     # salted_agg_events — lead the post-window r7 remainder, due r10) ====
     "ann_ivf_two_level",
     "url_registered_domain",
     "sessionize_events",
     "knn_graph",
     "part_pagerank",
+    "salted_join_customers",
+    "temperature_mix",
+    "embedding_standardize",
     "text_filter_lines",
     "events_rolling",
     "dedup_incremental",
@@ -5520,11 +5654,11 @@ _R9_ORDER = [
     "ann_ivf_approx",
     "text_metrics",
     "text_top_tokens",
+    # ==== past the 50-query window: r7 remainder (due r10), then
+    # the 50 r8-green (due r10/r11), then rows-only ====
     "corpus_curation",
     "stream_hourly_counts",
     "stream_sessionize",
-    # ==== past the 50-query window: r7 remainder (due r10), then
-    # the 50 r8-green (due r10/r11), then rows-only ====
     "dedup_incremental_bloom",
     "chunk_documents",
     "salted_agg_events",
@@ -5655,6 +5789,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "knn_graph": q_knn_graph,
         "part_pagerank": q_part_pagerank,
+        "salted_join_customers": q_salted_join_customers,
+        "temperature_mix": q_temperature_mix,
+        "embedding_standardize": q_embedding_standardize,
         "record_clusters": q_record_clusters,
         "url_dedup": q_url_dedup,
         "events_drift": q_events_drift,
@@ -5889,6 +6026,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _ORACLE_SESSIONIZE_BATCH,
         "knn_graph": _knn_graph_oracle_sql(),  # full routing replicated in SQL
         "part_pagerank": _ORACLE_PART_PAGERANK,
+        "salted_join_customers": _ORACLE_SALTED_JOIN,
+        "temperature_mix": _ORACLE_TEMPERATURE_MIX,
+        "embedding_standardize": _ORACLE_EMBEDDING_STANDARDIZE,
         "record_clusters": _ORACLE_RECORD_CLUSTERS,
         "url_dedup": _url_dedup_oracle(),
         "events_drift": _ORACLE_EVENTS_DRIFT,

@@ -125,9 +125,15 @@ HEADLINE = [
     "events_drift",
     "key_skew_events",
     # round 9 additions: two-level IVF (exhaustive routing), PSL-table
-    # registered-domain rollup
+    # registered-domain rollup, batch sessions, kNN graph, PageRank
     "ann_ivf_two_level",
     "url_registered_domain",
+    "sessionize_events",
+    "knn_graph",
+    "part_pagerank",
+    "salted_join_customers",
+    "temperature_mix",
+    "embedding_standardize",
 ]
 
 

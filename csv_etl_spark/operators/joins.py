@@ -336,3 +336,88 @@ def fuzzy_string_join(
             dist.cast("int").alias("dist"),
         )
     )
+
+
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    hot_keys: list | None = None,
+    min_share: float = 0.01,
+    max_hot_keys: int = 10_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-SALTED equijoin — result-identical to ``fact.join(dim, on,
+    how)`` but the shuffle spreads each HOT key over ``n_salts``
+    partitions, the classic fix for the 100 TB join whose single hottest
+    key would otherwise pin one reducer (the reference has no joins at
+    all; this extends SURVEY §2.6's join family with the skew tier).
+
+    Mechanics: hot keys (given, or detected by one map-side-combinable
+    count over the fact side — the same shuffle the diagnosed join would
+    run, cf. profile.key_skew_report) are the only keys treated
+    specially.  Fact rows on a hot key get a deterministic salt
+    ``xxhash64(row) % n_salts``; dim rows on a hot key are REPLICATED
+    once per salt via an in-row sequence+explode (cold keys carry salt 0,
+    no replication), and the join key becomes ``(key, salt)``.  Inner
+    and left joins preserve exact multiset semantics — each fact row
+    still meets every dim partner for its key exactly once, since the
+    dim side holds one replica per salt value.
+
+    Scale notes: dim inflation is |hot| x n_salts rows — hot sets are by
+    definition tiny (the detector caps at ``max_hot_keys`` and raises
+    rather than silently truncate), so the blow-up is bounded and the
+    hot-key literal rides the task closure, never a shuffle.  Spark's
+    AQE skew split solves the same problem at runtime for sort-merge
+    plans; this operator is for when the layout must be committed up
+    front (grouped shuffles, bucketed writes, AQE off) and as the
+    explicit, testable spelling of the pattern.  NULL keys never match
+    (standard SQL) and are excluded from hot detection."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_skew_join supports how='inner'|'left'")
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    if hot_keys is None:
+        counts = (
+            fact.filter(F.col(on).isNotNull())
+            .groupBy(on)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        total = counts.agg(
+            F.sum("_cnt").alias("_n"), F.count(F.lit(1)).alias("_k")
+        )
+        hot_rows = (
+            counts.crossJoin(F.broadcast(total))
+            .filter(F.col("_cnt") >= F.col("_n") * F.lit(float(min_share)))
+            .select(on)
+            .limit(max_hot_keys + 1)
+            .collect()  # bounded: <= max_hot_keys + 1 rows by the limit
+        )
+        if len(hot_rows) > max_hot_keys:
+            raise ValueError(
+                f"salted_skew_join: > {max_hot_keys} keys exceed "
+                f"min_share={min_share}; raise min_share or max_hot_keys"
+            )
+        hot_keys = [r[0] for r in hot_rows]
+    if not hot_keys:  # nothing hot: degenerate to the plain join
+        return fact.join(dim, on, how)
+
+    hot = F.array([F.lit(k) for k in hot_keys])
+    is_hot_f = F.array_contains(hot, F.col(on)) & F.col(on).isNotNull()
+    f = fact.withColumn(
+        "_salt",
+        F.when(
+            is_hot_f,
+            F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), n_salts),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    is_hot_d = F.array_contains(hot, F.col(on)) & F.col(on).isNotNull()
+    d = dim.withColumn(
+        "_salts",
+        F.when(is_hot_d, F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        .otherwise(F.array(F.lit(0))),
+    ).select(*dim.columns, F.explode("_salts").alias("_salt"))
+    return f.join(d, [on, "_salt"], how).drop("_salt")

@@ -290,3 +290,39 @@ def split_train_holdout(
     t = F.lit(fraction_threshold_hex(holdout_fraction))
     bucket = hash_bucket_hex(F.col(key_col))
     return df.filter(bucket >= t), df.filter(bucket < t)
+
+
+def temperature_resample(
+    df: DataFrame, group_col: str, key_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the mT5 / XLM-R "alpha
+    sampling" rule): resample so group shares follow p^alpha instead of
+    p — alpha < 1 flattens the mixture toward the small groups (the
+    standard fix for a web corpus that is 90% English), alpha = 1 is a
+    no-op, alpha = 0 targets the uniform mixture.
+
+    Per-group keep rate is p_s^(alpha-1) normalized so the
+    highest-rate group keeps 100% (downsample-only — upsampling is
+    duplication, which a dedup pipeline just spent effort undoing; run
+    epochs over the small groups instead).  The group-size prior
+    cancels, so rates reduce to pow(count, alpha-1) / max over groups.
+
+    Plan shape: one map-side-combinable count agg (n_groups rows) → one
+    scalar max broadcast back → rates broadcast-joined onto the data →
+    map-only deterministic keep via key_uniform(key) < rate.  Two input
+    scans (count + join), no window, no sort; rates rounded to 6
+    decimals so the md5-uniform comparison is engine-exact."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = counts.select(
+        group_col,
+        F.pow(F.col("_cnt").cast("double"), F.lit(float(alpha) - 1.0)).alias("_w"),
+    )
+    wmax = w.agg(F.max("_w").alias("_wmax"))
+    rates = w.crossJoin(F.broadcast(wmax)).select(
+        group_col, F.round(F.col("_w") / F.col("_wmax"), 6).alias("keep_rate")
+    )
+    return df.join(F.broadcast(rates), group_col).filter(
+        key_uniform(F.col(key_col)) < F.col("keep_rate")
+    )

@@ -878,3 +878,75 @@ def embedding_dup_pairs(
         pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def standardize_embeddings(
+    df: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-DIMENSION z-score standardization of an embedding column —
+    the feature-normalization step before distance-based ops whose
+    metric is not scale-invariant (euclidean k-means, IVF residuals,
+    whitened LSH; cosine does not need it).  Adds ``standardized``:
+    element i becomes (x_i - mean_i) / std_i (population std;
+    zero-variance dimensions map to 0.0 rather than NaN).
+
+    Plan shape: ONE map-side-combinable aggregate computes all 2·dim
+    per-dimension moments as column expressions over the array — no
+    explode (a 100 TB corpus would otherwise shuffle dim× its row
+    count), no window, no Python.  The 1-row stats frame broadcasts
+    back via crossJoin and the z-transform is a map-only in-row
+    ``transform`` over the array.
+
+    Engine-parity discipline (the stats.py moment rules): elements are
+    rounded to 6 decimals and summed as DECIMAL(38,6)/(38,12) so the
+    moments are bit-identical on any partitioning and any engine;
+    means/stds/z-scores are all rounded to 6.  Variance uses the
+    ROUNDED mean (deterministic everywhere; the O(1e-6) bias is far
+    below embedding noise)."""
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+
+    # decimal(18,6): the square's product type is decimal(37,12) — exact
+    # in BOTH Spark and DuckDB (a (38,6) square would overflow 38 digits
+    # and silently rescale); 18 digits is 1e12 headroom over any unit-ish
+    # embedding element
+    def x6(i: int):
+        return F.round(F.col(vec_col)[i].cast("double"), 6).cast("decimal(18,6)")
+
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.sum(x6(i)).alias(f"_s{i}"))
+        aggs.append(F.sum(x6(i) * x6(i)).alias(f"_q{i}"))
+    stats = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+
+    mean_i = [
+        F.round(F.col(f"_s{i}").cast("double") / F.col("_n"), 6) for i in range(dim)
+    ]
+    var_i = [
+        F.col(f"_q{i}").cast("double") / F.col("_n") - mean_i[i] * mean_i[i]
+        for i in range(dim)
+    ]
+    std_i = [
+        F.round(F.sqrt(F.greatest(var_i[i], F.lit(0.0))), 6) for i in range(dim)
+    ]
+    stats = stats.select(
+        F.array(*mean_i).alias("_means"), F.array(*std_i).alias("_stds")
+    )
+
+    z = F.transform(
+        F.col(vec_col),
+        lambda e, i: F.when(
+            F.element_at("_stds", i + 1) == 0.0, F.lit(0.0)
+        ).otherwise(
+            F.round(
+                (F.round(e.cast("double"), 6) - F.element_at("_means", i + 1))
+                / F.element_at("_stds", i + 1),
+                6,
+            )
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("standardized", z)
+        .drop("_means", "_stds")
+    )

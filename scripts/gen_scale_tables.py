@@ -37,6 +37,7 @@ SCALES = {"sf1": 10, "sf10": 100}
 BASE_CUSTOMERS = 15_000
 BASE_ORDERS = 150_000
 BASE_PARTS = 20_000
+BASE_SUPPLIERS = 1_000
 SEED = 44
 CHUNK_ORDERS = 2_000_000
 
@@ -74,13 +75,24 @@ def main() -> None:
 
         n_orders = BASE_ORDERS * scale
         n_parts = BASE_PARTS * scale
+        n_supp = BASE_SUPPLIERS * scale
         writer = None
         for start in range(0, n_orders, CHUNK_ORDERS):
             n = min(CHUNK_ORDERS, n_orders - start)
             per = rng.choice(ns, size=n, p=probs)
             ok = np.repeat(np.arange(start, start + n, dtype="int64"), per)
             pk = rng.randint(0, n_parts, size=len(ok)).astype("int64")
-            tbl = pa.table({"l_orderkey": pa.array(ok), "l_partkey": pa.array(pk)})
+            # suppkey drawn AFTER ok/pk so adding it (r9, part_pagerank's
+            # co-supply axis) left the earlier columns bit-identical to
+            # the r8 corpora copurchase_pairs was measured on
+            sk = rng.randint(0, n_supp, size=len(ok)).astype("int64")
+            tbl = pa.table(
+                {
+                    "l_orderkey": pa.array(ok),
+                    "l_partkey": pa.array(pk),
+                    "l_suppkey": pa.array(sk),
+                }
+            )
             if writer is None:
                 writer = pq.ParquetWriter(out / "lineitem.parquet", tbl.schema)
             writer.write_table(tbl, row_group_size=1_000_000)

@@ -128,6 +128,9 @@ QUERIES = {
     # test_knn_join_nprobe_plan_and_recall.
     "sessionize_events": "sf100",
     "part_pagerank": "sf10",
+    # fact side scales the event axis; the planted hot key keeps 25% of
+    # rows on one join key at every size — the salting is what's measured
+    "salted_join_customers": "sf10",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),

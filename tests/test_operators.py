@@ -3600,3 +3600,145 @@ def test_pagerank_matches_serial_reference(spark):
             v: round(0.15 / n + 0.85 * float(acc[v]), 6) for v in nodes
         }
     assert got == pr
+
+
+# ---------------------------------------------------------------------------
+# salted_skew_join (r9)
+# ---------------------------------------------------------------------------
+
+
+def _skew_frames(spark):
+    # key 7 is hot: 60 of 100 fact rows; dim is 1:1 on keys 0..9 plus a
+    # duplicate (1:2) entry for key 3 to exercise multiset semantics
+    fact = spark.range(0, 100).select(
+        F.when(F.col("id") % 5 < 3, F.lit(7))
+        .otherwise(F.col("id") % 10)
+        .alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("attr")
+    )
+    dim = dim.unionByName(
+        spark.createDataFrame([(3, 999)], "k long, attr long")
+    )
+    return fact, dim
+
+
+def test_salted_skew_join_matches_plain_join(spark):
+    from csv_etl_spark.operators.joins import salted_skew_join
+
+    fact, dim = _skew_frames(spark)
+    for how in ("inner", "left"):
+        got = salted_skew_join(fact, dim, "k", n_salts=4, how=how)
+        want = fact.join(dim, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
+def test_salted_skew_join_null_keys_and_detection(spark):
+    from csv_etl_spark.operators.joins import salted_skew_join
+
+    fact, dim = _skew_frames(spark)
+    fact = fact.unionByName(
+        spark.createDataFrame([(None, -1), (None, -2)], "k long, fact_id long")
+    )
+    # detector: key 7 holds 60% of rows -> hot at min_share=0.5; NULLs
+    # excluded from detection and never match
+    inner = salted_skew_join(fact, dim, "k", n_salts=4, min_share=0.5)
+    assert inner.filter(F.col("k").isNull()).count() == 0
+    left = salted_skew_join(fact, dim, "k", n_salts=4, min_share=0.5, how="left")
+    nulls = left.filter(F.col("k").isNull()).collect()
+    assert len(nulls) == 2 and all(r["attr"] is None for r in nulls)
+    with pytest.raises(ValueError, match="inner"):
+        salted_skew_join(fact, dim, "k", how="full")
+    with pytest.raises(ValueError, match="max_hot_keys"):
+        # every key is "hot" at share 0 but the cap is 1 -> must raise
+        salted_skew_join(fact, dim, "k", min_share=0.0, max_hot_keys=1)
+
+
+def test_salted_skew_join_plan_salts_the_shuffle(spark):
+    """Under SMJ (broadcast off) the join keys must include the salt —
+    the whole point: the hot key's rows hash to n_salts partitions."""
+    import io
+    from contextlib import redirect_stdout
+
+    from csv_etl_spark.operators.joins import salted_skew_join
+
+    fact, dim = _skew_frames(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_skew_join(fact, dim, "k", n_salts=4, hot_keys=[7])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        import re as _re
+
+        lk = _re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+        rk = _re.search(r"Right keys \[\d+\]: \[([^\]]*)\]", plan)
+        assert lk and "_salt" in lk.group(1), plan
+        assert rk and "_salt" in rk.group(1), plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+# ---------------------------------------------------------------------------
+# temperature_resample / standardize_embeddings (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_resample_flattens_mixture(spark):
+    from csv_etl_spark.operators.sampling import temperature_resample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, F.lit("en")).otherwise(F.lit("sw")).alias("lang"),
+    )
+    out = temperature_resample(df, "lang", "doc_id", alpha=0.3)
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # smallest group keeps 100%; the 9x-larger group is downsampled to
+    # pow(9, alpha-1) = 9^-0.7 ~ 0.2146 of its rows (within sampling noise)
+    assert by["sw"] == 100
+    assert 0.15 * 900 < by["en"] < 0.28 * 900
+    # alpha=1 is a no-op
+    assert temperature_resample(df, "lang", "doc_id", alpha=1.0).count() == 1000
+    # deterministic: same rows every run
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in temperature_resample(df, "lang", "doc_id", alpha=0.3).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, "lang", "doc_id", alpha=-0.1)
+
+
+def test_standardize_embeddings_moments_and_plan(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from csv_etl_spark.operators.similarity import standardize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 2.0 * i + 1.0, 5.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = standardize_embeddings(df, dim=3)
+    rows = {r["vec_id"]: r["standardized"] for r in out.collect()}
+    zs = [rows[i][0] for i in range(8)]
+    # z-scores: mean 0, population std 1 (up to the 6-decimal rounding)
+    assert abs(sum(zs)) < 1e-4
+    assert abs(sum(z * z for z in zs) / 8 - 1.0) < 1e-4
+    # dimension 1 is an affine map of dimension 0 -> identical z-scores
+    assert all(abs(rows[i][1] - rows[i][0]) < 1e-5 for i in range(8))
+    # constant dimension -> 0.0, not NaN
+    assert all(rows[i][2] == 0.0 for i in range(8))
+    # plan: no explode/window/python — one agg + broadcast crossJoin
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Generate" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
