@@ -5588,6 +5588,80 @@ _ORACLE_EMBEDDING_STANDARDIZE = """
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split (sampling.grouped_split over
+    near-dup clusters): resolve the exact-jaccard duplicate components
+    (the dedup_clusters pipeline), group every document by its cluster
+    id (singletons by their own id), and split 80/10/10 on the md5 of
+    the GROUP — so no near-duplicate pair can straddle train and test,
+    the contamination a row-level split silently creates.  Split
+    assignment is map-only; the only shuffles are the cluster
+    resolution's own."""
+    from csv_etl_spark.operators.sampling import grouped_split
+
+    d = _t(spark, sf_dir, "documents")
+    # max_exact_docs=None: guard pytest-covered; see dedup_jaccard_pairs
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.35, n=3, freq_cap=None, max_exact_docs=None
+    )
+    labels = dedup.resolve_duplicate_clusters(pairs)
+    g = d.select("doc_id").join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_key"),
+    )
+    return grouped_split(
+        g, "group_key", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def _leakage_split_oracle_sql() -> str:
+    from csv_etl_spark.operators.sampling import fraction_threshold_hex
+
+    t_train = fraction_threshold_hex(0.8)
+    t_val = fraction_threshold_hex(0.9)
+    return f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ) AS shingles
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS id, min(v) AS cluster_id FROM reach GROUP BY u),
+    g AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 8)
+                     < '{t_train}' THEN 'train'
+                WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 8)
+                     < '{t_val}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5599,11 +5673,12 @@ _ORACLE_EMBEDDING_STANDARDIZE = """
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
 _R9_ORDER = [
-    # ==== r9 driver window (50): 8 never-checked r9 ops, 1 r5-green,
-    # 22 r6-green returners, 19 oldest r7-green (the 6 r7 entries the
-    # late-r9 ops displaced — corpus_curation, stream_hourly_counts,
-    # stream_sessionize, dedup_incremental_bloom, chunk_documents,
-    # salted_agg_events — lead the post-window r7 remainder, due r10) ====
+    # ==== r9 driver window (50): 9 never-checked r9 ops, 1 r5-green,
+    # 22 r6-green returners, 18 oldest r7-green (the 7 r7 entries the
+    # late-r9 ops displaced — text_top_tokens, corpus_curation,
+    # stream_hourly_counts, stream_sessionize, dedup_incremental_bloom,
+    # chunk_documents, salted_agg_events — lead the post-window r7
+    # remainder, due r10) ====
     "ann_ivf_two_level",
     "url_registered_domain",
     "sessionize_events",
@@ -5612,6 +5687,7 @@ _R9_ORDER = [
     "salted_join_customers",
     "temperature_mix",
     "embedding_standardize",
+    "leakage_safe_split",
     "text_filter_lines",
     "events_rolling",
     "dedup_incremental",
@@ -5653,9 +5729,9 @@ _R9_ORDER = [
     "ann_bruteforce",
     "ann_ivf_approx",
     "text_metrics",
-    "text_top_tokens",
     # ==== past the 50-query window: r7 remainder (due r10), then
     # the 50 r8-green (due r10/r11), then rows-only ====
+    "text_top_tokens",
     "corpus_curation",
     "stream_hourly_counts",
     "stream_sessionize",
@@ -5792,6 +5868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_customers": q_salted_join_customers,
         "temperature_mix": q_temperature_mix,
         "embedding_standardize": q_embedding_standardize,
+        "leakage_safe_split": q_leakage_safe_split,
         "record_clusters": q_record_clusters,
         "url_dedup": q_url_dedup,
         "events_drift": q_events_drift,
@@ -6029,6 +6106,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_customers": _ORACLE_SALTED_JOIN,
         "temperature_mix": _ORACLE_TEMPERATURE_MIX,
         "embedding_standardize": _ORACLE_EMBEDDING_STANDARDIZE,
+        "leakage_safe_split": _leakage_split_oracle_sql(),
         "record_clusters": _ORACLE_RECORD_CLUSTERS,
         "url_dedup": _url_dedup_oracle(),
         "events_drift": _ORACLE_EVENTS_DRIFT,

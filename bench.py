@@ -134,6 +134,7 @@ HEADLINE = [
     "salted_join_customers",
     "temperature_mix",
     "embedding_standardize",
+    "leakage_safe_split",
 ]
 
 

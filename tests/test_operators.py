@@ -3742,3 +3742,31 @@ def test_standardize_embeddings_moments_and_plan(spark):
     assert "Generate" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_grouped_split_keeps_groups_together(spark):
+    from csv_etl_spark.operators.sampling import grouped_split
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 300).alias("grp")
+    )
+    out = grouped_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # leakage invariant: each group maps to exactly one split
+    assert (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert 0.7 * 3000 < by["train"] < 0.9 * 3000
+    # deterministic across runs
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, grouped_split(df, "grp", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="sum to 1"):
+        grouped_split(df, "grp", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="at least one"):
+        grouped_split(df, "grp", {})
