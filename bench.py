@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-compact JSON line on stdout (printed LAST, so a tail capture always gets
-it): {"metric": ..., "value": <total sec>, "unit": "sec",
-"queries": {name: median sec}, "n_runs": N, "sf": <sf>}.
-Raw per-run timings and max-min spread go to STDERR as a separate JSON
-line — in round 5 they lived on the stdout line, which grew past the
-driver's tail capture and made the official record unparseable.
+compact FIXED-SIZE JSON line on stdout (printed LAST, so a tail capture
+always gets it): {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {<parity subset>: median sec}, "n_queries": N, "n_runs": N,
+"sf": <sf>, "detail": <path>}.  The FULL per-query medians + raw runs +
+spread are written to bench_records/BENCH_FULL_latest.json (override via
+$SPARK_GRAFT_BENCH_DETAIL) — in round 5 raw runs lived on the stdout
+line and in round 9 the per-query medians alone did; both times the line
+outgrew the driver's 2000-char tail capture and left the official record
+unparseable ("parsed": null).  The stdout line now carries only the
+constant-size parity subset and is bounded by construction
+(tests/test_bench_contract.py).
 
 Protocol (round 3): each query is materialized with a noop write (full
 execution, no driver collect, no disk) $SPARK_GRAFT_BENCH_RUNS times
@@ -239,19 +244,64 @@ def main() -> None:
         json.dumps({"runs": runs, "spread": spread}, separators=(",", ":")),
         file=sys.stderr,
     )
-    print(
+    # Round 10: the full per-query dict ITSELF outgrew the 2000-char tail
+    # at 86 queries (BENCH_r09.json "parsed": null — the second overflow
+    # after r5).  The stdout line is now FIXED-SIZE: total + the baseline
+    # parity subset only (the queries BASELINE.md prices), while the full
+    # per-query medians/runs/spread go to bench_records/ and the line
+    # carries the path.  tests/test_bench_contract.py proves the line
+    # stays <1500 chars no matter how many headline queries register.
+    detail_path = Path(__file__).resolve().parent / "bench_records" / (
+        os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL_latest.json")
+    )
+    detail_path.parent.mkdir(exist_ok=True)
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "spread": spread,
                 "n_runs": n_runs,
                 "sf": sf,
             },
-            separators=(",", ":"),
+            indent=1,
         )
     )
+    print(json.dumps(summary_line(total, timings, n_runs, sf), separators=(",", ":")))
+
+
+# The fixed parity subset carried on the stdout line: the queries
+# BASELINE.md prices against the reference interpreter.  Keeping this
+# list CONSTANT (not "all headline queries") is what makes the stdout
+# line fixed-size — add new queries to HEADLINE freely; they land in the
+# detail file, never on the line.
+PARITY_QUERIES = [
+    "etl_dynamic_mapping",
+    "etl_lookup_table",
+    "etl_aggregate_mapping",
+    "etl_chained_mappings",
+    "typed_stocks_pipeline",
+]
+
+
+def summary_line(
+    total: float, timings: dict[str, float], n_runs: int, sf: float
+) -> dict:
+    """The driver-contract stdout payload — fixed-size by construction."""
+    return {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: timings[n] for n in PARITY_QUERIES if n in timings},
+        "n_queries": len(timings),
+        "n_runs": n_runs,
+        "sf": sf,
+        "detail": "bench_records/"
+        + os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL_latest.json"),
+    }
 
 
 if __name__ == "__main__":

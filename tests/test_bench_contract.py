@@ -1,0 +1,52 @@
+"""The driver captures only the last ~2000 chars of bench.py stdout.
+Rounds 5 and 9 both lost their official bench record to this ("parsed":
+null) when the single JSON line grew with the query count.  These tests
+pin the fix: the stdout line is fixed-size by construction — it carries
+the constant parity subset, never the full per-query dict — so adding
+headline queries cannot re-break the record.
+"""
+
+import json
+
+import bench
+
+
+def _fake_timings(n: int) -> dict[str, float]:
+    # worst-case widths: long names, 4-digit-second timings
+    return {f"some_longish_query_name_{i:04d}": 1234.567 for i in range(n)}
+
+
+def test_stdout_line_is_bounded_at_500_queries():
+    line = json.dumps(
+        bench.summary_line(99999.999, _fake_timings(500), n_runs=5, sf=1.0),
+        separators=(",", ":"),
+    )
+    # 2000-char driver capture minus headroom for the tail of any
+    # preceding stderr interleaving artifacts
+    assert len(line) < 1500, len(line)
+
+
+def test_stdout_line_size_does_not_grow_with_query_count():
+    small = json.dumps(
+        bench.summary_line(1.0, _fake_timings(10), 3, 0.1), separators=(",", ":")
+    )
+    big = json.dumps(
+        bench.summary_line(1.0, _fake_timings(400), 3, 0.1), separators=(",", ":")
+    )
+    # n_queries 10 -> 400 adds at most the digit-width of the count
+    assert len(big) - len(small) <= 2
+
+
+def test_parity_subset_rides_the_line():
+    timings = _fake_timings(100)
+    for name in bench.PARITY_QUERIES:
+        timings[name] = 0.5
+    payload = bench.summary_line(50.0, timings, 3, 0.1)
+    assert set(payload["queries"]) == set(bench.PARITY_QUERIES)
+    assert payload["n_queries"] == 105
+    assert payload["detail"].startswith("bench_records/")
+
+
+def test_parity_queries_are_all_headline():
+    for name in bench.PARITY_QUERIES:
+        assert name in bench.HEADLINE
