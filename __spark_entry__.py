@@ -17,6 +17,7 @@ tested in tests/.
 
 from __future__ import annotations
 
+import math
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -5325,12 +5326,20 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax), every probe routes to its nprobe=2 nearest cells via an
     in-row array_sort/slice (no window, no shuffle), and one cell-keyed
     equijoin co-partitions both big sides before the two-stage per-probe
-    top-3.  Deterministic first-8 centroids keep the routing replicable
-    in SQL — the oracle replays the FULL pipeline, not a rows-only
-    check."""
+    top-3.  The codebook SCALES WITH THE CORPUS — n_centroids =
+    max(8, min(4096, floor(sqrt(N)))), the IVF discipline
+    similarity.knn_join's docstring prescribes: with a constant codebook
+    the pair-score cost |N|²·nprobe/n_cells is quadratic in N (the r9
+    parameterization fixed 8 cells and this one query was 23% of the
+    whole headline bench), with √N cells it is N^1.5·nprobe.  The count
+    that sizes the codebook is a parquet-metadata scalar, and the
+    deterministic smallest-vec_id convention keeps the routing
+    replicable in SQL — the oracle computes the SAME √N via a scalar
+    subquery and replays the FULL pipeline, not a rows-only check."""
     e = _t(spark, sf_dir, "embeddings")
+    n_centroids = max(8, min(4096, int(math.floor(math.sqrt(e.count())))))
     cents = (
-        e.orderBy("vec_id").limit(8)
+        e.orderBy("vec_id").limit(n_centroids)
         .select(
             F.col("vec_id").cast("int").alias("centroid_id"),
             F.col("embedding").alias("centroid_vec"),
@@ -5344,15 +5353,24 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "neighbor_id", "cosine", "rank")
 
 
-def _knn_graph_oracle_sql(n_centroids: int = 8, nprobe: int = 2, k: int = 3) -> str:
+def _knn_graph_oracle_sql(nprobe: int = 2, k: int = 3) -> str:
+    # n_centroids replays the Spark side's corpus-scaled codebook:
+    # max(8, min(4096, floor(sqrt(N)))) via a scalar subquery, so the
+    # oracle stays a FULL-pipeline replay at every sf
     cos_ec = _cos_sql("e.embedding", "c.centroid_vec")
     cos_pc = _cos_sql("p.probe_vec", "c.centroid_vec")
     cos_ap = _cos_sql("a.embedding", "r.probe_vec")
     return f"""
-    WITH cents AS (
+    WITH n_cents AS (
+      SELECT GREATEST(8, LEAST(4096, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)))
+        AS n FROM embeddings
+    ),
+    cents AS (
       SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS centroid_vec
-      FROM (SELECT vec_id, embedding FROM embeddings
-            ORDER BY vec_id LIMIT {n_centroids})
+      FROM (SELECT vec_id, embedding,
+                   row_number() OVER (ORDER BY vec_id) AS _rn
+            FROM embeddings)
+      WHERE _rn <= (SELECT n FROM n_cents)
     ),
     assigned AS (
       SELECT vec_id, embedding, centroid_id AS cluster FROM (

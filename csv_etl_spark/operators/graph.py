@@ -23,8 +23,14 @@ on ``src`` plus one map-side-combinable sum keyed on ``dst``.  Rank
 frames are n_nodes rows — never joined wider than the edge table.  No
 driver-side collect anywhere; the node count rides a broadcast
 one-row aggregate.  Lineage grows linearly in ``iters`` (small fixed
-counts — 3-10 — are the intended regime; for long chains compose with
-localCheckpoint the way ``dedup.resolve_duplicate_clusters`` does).
+counts — 3-10 — are the intended regime).  Each iteration's rank frame
+is ``localCheckpoint``-ed (the ``dedup.resolve_duplicate_clusters``
+pattern): without it the plan for iteration t contains iterations
+1..t-1, so analysis/codegen cost grows per iteration and the measured
+per-decade exponent went super-linear (α=1.096 at the 60M-row decade,
+BENCHNOTES_r9_late) even though the data-side work is linear in edges.
+Checkpointing makes every iteration start from a materialized
+n_nodes-row frame with constant-size plans.
 """
 
 from __future__ import annotations
@@ -92,7 +98,8 @@ def pagerank(
         F.round(F.lit(1.0) / F.col("_n"), round_digits).alias("pagerank"),
     )
     d = float(damping)
-    for _ in range(int(iters)):
+    n_iters = int(iters)
+    for i in range(n_iters):
         contribs = (
             links.join(pr, links["src"] == pr["node_id"])
             .select(
@@ -116,4 +123,10 @@ def pagerank(
                 ).alias("pagerank"),
             )
         )
+        # truncate lineage so iteration i+1's plan does not contain
+        # iterations 1..i (see module docstring); the LAST iteration is
+        # left un-checkpointed so the caller's action drives it lazily
+        # and downstream projections still prune through it
+        if i < n_iters - 1:
+            pr = pr.localCheckpoint(eager=True)
     return pr

