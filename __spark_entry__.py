@@ -1541,8 +1541,10 @@ _MH_SIG_ITEMS = ", ".join(
     for a, b in _MH_PARAMS
 )
 
-_ORACLE_MINHASH_LSH = f"""
-    WITH th AS (
+# the minhash-LSH pipeline as a reusable CTE chain: shared by the
+# dedup_minhash_lsh oracle and the LSH-fed leakage_safe_split_lsh oracle
+# (which chains connected components + the md5 grouped split on top)
+_MINHASH_CTES = f"""th AS (
       SELECT doc_id, list_transform(toks, t -> {_poly_sql('t')}) AS th
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
       WHERE len(toks) >= 3
@@ -1564,15 +1566,21 @@ _ORACLE_MINHASH_LSH = f"""
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.vals = b.vals AND a.doc_id < b.doc_id
-    )
-    SELECT c.id_a, c.id_b,
-           round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-                 / len(list_distinct(list_concat(ha.hs, hb.hs))), 6) AS jaccard
-    FROM cand c
-    JOIN hs ha ON ha.doc_id = c.id_a
-    JOIN hs hb ON hb.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
-          / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.35
+    ),
+    mh_pairs AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                   / len(list_distinct(list_concat(ha.hs, hb.hs))), 6) AS jaccard
+      FROM cand c
+      JOIN hs ha ON ha.doc_id = c.id_a
+      JOIN hs hb ON hb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+            / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.35
+    )"""
+
+_ORACLE_MINHASH_LSH = f"""
+    WITH {_MINHASH_CTES}
+    SELECT id_a, id_b, jaccard FROM mh_pairs
 """
 
 
@@ -5680,6 +5688,69 @@ def _leakage_split_oracle_sql() -> str:
     """
 
 
+def q_leakage_safe_split_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE spelling of the leakage-safe split: identical
+    grouped_split semantics, but the near-dup clusters come from the
+    banded MinHash-LSH pair generator instead of exact all-pairs
+    jaccard.  The exact twin (q_leakage_safe_split) deliberately
+    disables both guards of ngram_jaccard_pairs to stay SQL-replicable
+    — the repo's one measured α=1.38/decade path, fine as a
+    verification query at sf0.01 but dead at 100x.  This spelling is
+    the one a 100 TB corpus runs: LSH candidate generation is banded
+    and bucket-joined (never O(n²)), cluster resolution is the same
+    checkpointed min-label CC, and the 80/10/10 assignment is the same
+    map-only md5-of-group rule, so no near-duplicate pair straddles
+    train and test.  Portable-hash mode keeps the WHOLE pipeline —
+    signatures, banding, CC, split — replayable in the SQL oracle."""
+    from csv_etl_spark.operators.sampling import grouped_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, threshold=0.35, n=3, num_hashes=16, bands=8, portable=True
+    )
+    labels = dedup.resolve_duplicate_clusters(pairs)
+    g = d.select("doc_id").join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_key"),
+    )
+    return grouped_split(
+        g, "group_key", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def _leakage_split_lsh_oracle_sql() -> str:
+    from csv_etl_spark.operators.sampling import fraction_threshold_hex
+
+    t_train = fraction_threshold_hex(0.8)
+    t_val = fraction_threshold_hex(0.9)
+    return f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM mh_pairs
+      UNION SELECT id_b AS u, id_a AS v FROM mh_pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    lab AS (SELECT u AS id, min(v) AS cluster_id FROM reach GROUP BY u),
+    g AS (
+      SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 8)
+                     < '{t_train}' THEN 'train'
+                WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 8)
+                     < '{t_val}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+    """
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5690,13 +5761,98 @@ def _leakage_split_oracle_sql() -> str:
 # checks the first 50, and next round's window is 'shift the list'.
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
-_R9_ORDER = [
-    # ==== r9 driver window (50): 9 never-checked r9 ops, 1 r5-green,
-    # 22 r6-green returners, 18 oldest r7-green (the 7 r7 entries the
-    # late-r9 ops displaced — text_top_tokens, corpus_curation,
-    # stream_hourly_counts, stream_sessionize, dedup_incremental_bloom,
-    # chunk_documents, salted_agg_events — lead the post-window r7
-    # remainder, due r10) ====
+_R10_ORDER = [
+    # ==== r10 driver window (50): 1 never-checked r10 op
+    # (leakage_safe_split_lsh), the 7 r7-green remainder
+    # (text_top_tokens … salted_agg_events), and the 42 oldest r8-green
+    # (web_curation … f6_is_not_empty) ====
+    "leakage_safe_split_lsh",
+    "text_top_tokens",
+    "corpus_curation",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "dedup_incremental_bloom",
+    "chunk_documents",
+    "salted_agg_events",
+    "web_curation",
+    "events_rolling_time",
+    "stats_moments",
+    "training_mix",
+    "scd2_history",
+    "retention_cohorts",
+    "bigram_logprob",
+    "snapshot_diff",
+    "funnel_steps",
+    "image_dup_clusters",
+    "profile_events",
+    "asof_join_forward",
+    "value_histogram",
+    "events_anomalies",
+    "sample_weighted",
+    "bm25_terms",
+    "perplexity_buckets",
+    "boilerplate_lines",
+    "token_budget_mix",
+    "duplicate_spans",
+    "contamination_report",
+    "source_cap",
+    "events_winsorized",
+    "interval_overlap",
+    "remove_dup_spans",
+    "dsir_selection",
+    "corpus_report",
+    "apply_merges",
+    "quality_classifier",
+    "fuzzy_join",
+    "pct_rank_events",
+    "corr_lineitem",
+    "mad_outliers",
+    "copurchase_pairs",
+    "record_clusters",
+    "url_dedup",
+    "events_drift",
+    "key_skew_events",
+    "f1_equals",
+    "f2_not_equals",
+    "f3_in",
+    "f6_is_not_empty",
+    # ==== past the 50-query window: the 33 remaining r8-green
+    # (f7_contains … text_pii_scrub, due r11), then the 50 r9-green
+    # (due r11/r12), then rows-only ====
+    "f7_contains",
+    "cube_orders",
+    "grouping_sets_orders",
+    "dedup_jaccard_capped",
+    "ann_ivf_exact",
+    "sample_stratified",
+    "dedup_normalized",
+    "semi_join_parts",
+    "union_distinct_nations",
+    "etl_chained_mappings",
+    "merge_upsert_orders",
+    "t7_formula",
+    "typed_crypto_pipeline",
+    "window_top_orders",
+    "rollup_orders",
+    "anti_join_customers",
+    "sample_deterministic",
+    "json_extract_props",
+    "value_percentiles",
+    "dedup_exact",
+    "dedup_simhash",
+    "multimodal_features",
+    "f4_not_in",
+    "f5_is_empty",
+    "t3_date_format",
+    "t4_lookup",
+    "join_left_outer",
+    "topk_revenue_orders",
+    "pivot_orders",
+    "unpivot_customer",
+    "distinct_users",
+    "text_repetition",
+    "text_pii_scrub",
+    # r9-green block (CORRECTNESS_r09 window, youngest evidence)
     "ann_ivf_two_level",
     "url_registered_domain",
     "sessionize_events",
@@ -5747,90 +5903,6 @@ _R9_ORDER = [
     "ann_bruteforce",
     "ann_ivf_approx",
     "text_metrics",
-    # ==== past the 50-query window: r7 remainder (due r10), then
-    # the 50 r8-green (due r10/r11), then rows-only ====
-    "text_top_tokens",
-    "corpus_curation",
-    "stream_hourly_counts",
-    "stream_sessionize",
-    "dedup_incremental_bloom",
-    "chunk_documents",
-    "salted_agg_events",
-    "web_curation",
-    "events_rolling_time",
-    "stats_moments",
-    "training_mix",
-    "scd2_history",
-    "retention_cohorts",
-    "bigram_logprob",
-    "snapshot_diff",
-    "funnel_steps",
-    "image_dup_clusters",
-    "profile_events",
-    "asof_join_forward",
-    "value_histogram",
-    "events_anomalies",
-    "sample_weighted",
-    "bm25_terms",
-    "perplexity_buckets",
-    "boilerplate_lines",
-    "token_budget_mix",
-    "duplicate_spans",
-    "contamination_report",
-    "source_cap",
-    "events_winsorized",
-    "interval_overlap",
-    "remove_dup_spans",
-    "dsir_selection",
-    "corpus_report",
-    "apply_merges",
-    "quality_classifier",
-    "fuzzy_join",
-    "pct_rank_events",
-    "corr_lineitem",
-    "mad_outliers",
-    "copurchase_pairs",
-    "record_clusters",
-    "url_dedup",
-    "events_drift",
-    "key_skew_events",
-    "f1_equals",
-    "f2_not_equals",
-    "f3_in",
-    "f6_is_not_empty",
-    "f7_contains",
-    "cube_orders",
-    "grouping_sets_orders",
-    "dedup_jaccard_capped",
-    "ann_ivf_exact",
-    "sample_stratified",
-    "dedup_normalized",
-    "semi_join_parts",
-    "union_distinct_nations",
-    "etl_chained_mappings",
-    "merge_upsert_orders",
-    "t7_formula",
-    "typed_crypto_pipeline",
-    "window_top_orders",
-    "rollup_orders",
-    "anti_join_customers",
-    "sample_deterministic",
-    "json_extract_props",
-    "value_percentiles",
-    "dedup_exact",
-    "dedup_simhash",
-    "multimodal_features",
-    "f4_not_in",
-    "f5_is_empty",
-    "t3_date_format",
-    "t4_lookup",
-    "join_left_outer",
-    "topk_revenue_orders",
-    "pivot_orders",
-    "unpivot_customer",
-    "distinct_users",
-    "text_repetition",
-    "text_pii_scrub",
     # rows-only by design (no hash signal): permanently out-of-window
     "distinct_users_approx",
     "bpe_merges",
@@ -5853,18 +5925,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-verified every round via scripts/check_oracle.py regardless
     # of window position.
     #
-    # Since round 9 the schedule is MATERIALIZED as _R9_ORDER (above):
+    # Since round 9 the schedule is MATERIALIZED as _R10_ORDER (above):
     # the dict literal below keeps its historical grouping for diff
     # hygiene, and the return reorders it through the list, asserting
-    # set-equality so nothing falls out of rotation.  Round-9 window,
-    # exactly as the r8 plan called: 2 never-checked r9 ops
-    # (ann_ivf_two_level, url_registered_domain), the 1 r5-green
-    # straggler (text_filter_lines, position 51 in r8), the 22 r6-green
-    # returners, and the 25 oldest r7-green entries
-    # (etl_dynamic_mapping … salted_agg_events).  After this round the
-    # oldest evidence is r7 (web_curation … remove_dup_spans lead r10)
-    # and the steady-state ≤3-round age bound is reached.
-    # Counts: 127 registered / 125 oracle-checkable — update whenever
+    # set-equality so nothing falls out of rotation.  Round-10 window:
+    # 1 never-checked r10 op (leakage_safe_split_lsh), the 7 r7-green
+    # remainder (text_top_tokens … salted_agg_events), and the 42
+    # oldest r8-green (web_curation … f6_is_not_empty).  After this
+    # round no oracle-checkable entry's evidence is older than r8 and
+    # the steady-state ≤3-round age bound holds.
+    # Counts: 135 registered / 133 oracle-checkable — update whenever
     # the registry changes.
     base = {
         # ---- never driver-checked: new in r9 ----
@@ -5887,6 +5957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "embedding_standardize": q_embedding_standardize,
         "leakage_safe_split": q_leakage_safe_split,
+        "leakage_safe_split_lsh": q_leakage_safe_split_lsh,
         "record_clusters": q_record_clusters,
         "url_dedup": q_url_dedup,
         "events_drift": q_events_drift,
@@ -6020,10 +6091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
     }
     # dict-literal order above is historical grouping; the SCHEDULE is
-    # _R9_ORDER (asserted complete so a new query cannot be silently
+    # _R10_ORDER (asserted complete so a new query cannot be silently
     # left out of the rotation)
-    assert set(base) == set(_R9_ORDER), sorted(set(base) ^ set(_R9_ORDER))
-    return {k: base[k] for k in _R9_ORDER}
+    assert set(base) == set(_R10_ORDER), sorted(set(base) ^ set(_R10_ORDER))
+    return {k: base[k] for k in _R10_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6125,6 +6196,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix": _ORACLE_TEMPERATURE_MIX,
         "embedding_standardize": _ORACLE_EMBEDDING_STANDARDIZE,
         "leakage_safe_split": _leakage_split_oracle_sql(),
+        "leakage_safe_split_lsh": _leakage_split_lsh_oracle_sql(),
         "record_clusters": _ORACLE_RECORD_CLUSTERS,
         "url_dedup": _url_dedup_oracle(),
         "events_drift": _ORACLE_EVENTS_DRIFT,

@@ -140,6 +140,7 @@ HEADLINE = [
     "temperature_mix",
     "embedding_standardize",
     "leakage_safe_split",
+    "leakage_safe_split_lsh",
 ]
 
 

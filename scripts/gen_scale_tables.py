@@ -67,8 +67,27 @@ def main() -> None:
         out.mkdir(parents=True, exist_ok=True)
 
         n_cust = BASE_CUSTOMERS * scale
+        # c_mktsegment (r10, salted_join_customers' dim attribute) from
+        # the measured sf0.1 segment frequencies — drawn from a SEPARATE
+        # rng stream so the lineitem draws below stay bit-identical to
+        # the r8/r9 corpora the earlier ladders were measured on
+        seg_rows = duckdb.sql(
+            f"SELECT c_mktsegment, count(*) FROM '{BASE}/customer.parquet' "
+            f"GROUP BY 1 ORDER BY 1"
+        ).fetchall()
+        segs = np.array([r[0] for r in seg_rows])
+        seg_p = np.array([r[1] for r in seg_rows], dtype="float64")
+        seg_p /= seg_p.sum()
+        seg_rng = np.random.RandomState(SEED + 1)
         pq.write_table(
-            pa.table({"c_custkey": pa.array(np.arange(n_cust, dtype="int64"))}),
+            pa.table(
+                {
+                    "c_custkey": pa.array(np.arange(n_cust, dtype="int64")),
+                    "c_mktsegment": pa.array(
+                        seg_rng.choice(segs, size=n_cust, p=seg_p)
+                    ),
+                }
+            ),
             out / "customer.parquet",
             row_group_size=1_000_000,
         )

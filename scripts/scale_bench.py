@@ -128,6 +128,10 @@ QUERIES = {
     # test_knn_join_nprobe_plan_and_recall.
     "sessionize_events": "sf100",
     "part_pagerank": "sf10",
+    # r10: the LSH-fed leakage-safe split (the scale spelling of the
+    # exact-jaccard twin, which stops at sf1 by design — see
+    # dedup_jaccard_pairs above); doc axis through 5M docs
+    "leakage_safe_split_lsh": "sf100",
     # fact side scales the event axis; the planted hot key keeps 25% of
     # rows on one join key at every size — the salting is what's measured
     "salted_join_customers": "sf10",

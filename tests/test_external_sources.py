@@ -402,3 +402,122 @@ def test_apply_s3a_conf_roundtrip(spark):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.endpoint") == "http://e:1"
     assert hconf.get("fs.s3a.path.style.access") == "true"
+
+
+# ---------------------------------------------------------------------------
+# MongoDB (injected-client mapInPandas reader, reference ROADMAP.md:24,31)
+# ---------------------------------------------------------------------------
+
+
+def _make_fake_factory(docs, spill=None):
+    """Factory-builder: the fake classes are defined INSIDE the function
+    so cloudpickle serializes them by value — the test module itself is
+    not importable in the executor Python workers.  Minimal
+    pymongo stand-in: bounded find + insert_many; inserted docs append
+    to an ndjson spill file because insert_many runs in the WORKER
+    process and instance state never returns to the test process."""
+
+    class FakeCollection:
+        def __init__(self, docs, spill):
+            self.docs = docs
+            self.spill = spill
+
+        def find(self, flt, projection):
+            rng = flt.get("_id")
+            out = []
+            for d in self.docs:
+                if isinstance(rng, dict):
+                    if "$gte" in rng and d["_id"] < rng["$gte"]:
+                        continue
+                    if "$lt" in rng and d["_id"] >= rng["$lt"]:
+                        continue
+                elif rng is not None and d["_id"] != rng:
+                    continue
+                if all(d.get(k) == v for k, v in flt.items() if k != "_id"):
+                    out.append({k: d.get(k) for k in projection if projection[k]})
+            return out
+
+        def insert_many(self, records):
+            import json as _json
+
+            with open(self.spill, "a") as f:
+                for r in records:
+                    f.write(_json.dumps(r, default=str) + "\n")
+
+    class FakeClient:
+        def __init__(self):
+            self.coll = FakeCollection(docs, spill)
+
+        def __getitem__(self, database):
+            return {"c": self.coll}
+
+    return FakeClient
+
+
+_MONGO_DOCS = [
+    {"_id": i, "name": f"doc{i}", "qty": i * 10, "tag": "a" if i % 2 else None}
+    for i in range(20)
+]
+
+
+def test_read_mongo_partitioned(spark):
+    from csv_etl_spark.sources.mongo import read_mongo
+
+    df = read_mongo(
+        spark,
+        _make_fake_factory(_MONGO_DOCS),
+        "db",
+        "c",
+        columns=["_id", "name", "qty", "tag"],
+        lower_bound=0,
+        upper_bound=20,
+        num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["_id"]: r for r in df.collect()}
+    # every doc exactly once across the range slices, all-string, NULLs kept
+    assert len(rows) == 20
+    assert rows["7"]["name"] == "doc7" and rows["7"]["qty"] == "70"
+    assert rows["2"]["tag"] is None
+    assert df.columns == ["_id", "name", "qty", "tag"]
+
+
+def test_read_mongo_unbounded_slices_catch_outliers(spark):
+    from csv_etl_spark.sources.mongo import mongo_range_partitions, read_mongo
+
+    # bounds deliberately UNDER-estimate the id range: the first/last
+    # unbounded slices must still pick up ids outside [5, 15)
+    b = mongo_range_partitions(5, 15, 3)
+    assert b[0][0] is None and b[-1][1] is None and len(b) == 3
+    df = read_mongo(
+        spark, _make_fake_factory(_MONGO_DOCS), "db", "c",
+        columns=["_id"], lower_bound=5, upper_bound=15, num_partitions=3,
+    )
+    assert df.count() == 20
+
+
+def test_read_mongo_query_and_contract(spark):
+    from csv_etl_spark.sources.mongo import read_mongo
+
+    df = read_mongo(
+        spark, _make_fake_factory(_MONGO_DOCS), "db", "c",
+        columns=["_id", "tag"], query={"tag": "a"},
+    )
+    assert df.count() == 10
+    with pytest.raises(ValueError):
+        read_mongo(spark, _make_fake_factory([]), "db", "c",
+                   columns=["_id"], num_partitions=2)
+
+
+def test_write_mongo_roundtrip(spark, tmp_path):
+    from csv_etl_spark.sources.mongo import write_mongo
+
+    spill = str(tmp_path / "inserted.ndjson")
+    open(spill, "w").close()
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(7)], ["k", "name"]
+    ).repartition(3)
+    n = write_mongo(df, _make_fake_factory([], spill), "db", "c", batch_size=2)
+    assert n == 7
+    got = sorted(json.loads(l)["k"] for l in open(spill))
+    assert got == list(range(7))
