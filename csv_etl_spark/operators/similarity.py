@@ -40,6 +40,113 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Arrow-batched dot product, BIT-IDENTICAL to ``dot``.
+
+    Catalyst higher-order functions are CodegenFallback — every
+    zip_with/aggregate lambda is interpreted per ELEMENT with boxed
+    InternalRows, measured at ~50k 64-dim dots/s/core (a thread dump of
+    the r10 kNN-graph ladder showed straggler tasks spending 100% of
+    their CPU inside ``ArrayAggregate.eval``).  This kernel moves ONLY
+    the fold to an Arrow batch: a per-DIMENSION vectorized left fold
+    (``acc += a[:, j] * b[:, j]`` for j = 0..dim-1), which performs the
+    exact same IEEE-754 double operation sequence per pair as the
+    Catalyst fold — same element order, same intermediate rounding —
+    so results are bit-identical (test_arrow_kernel_bit_parity fuzzes
+    this) and every SQL oracle replays unchanged.  ~40x on the pair-
+    scoring hot path at sf10.
+
+    Requires fixed-dimension non-null vectors (every embedding table
+    here); the surrounding norm division/guard stays JVM-side."""
+    import pandas as pd  # noqa: F811 (module import is for type hints)
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _fold(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if not len(xs):
+            return pd.Series([], dtype="float64")
+        A = np.vstack(xs.to_numpy()).astype("float64")
+        B = np.vstack(ys.to_numpy()).astype("float64")
+        acc = np.zeros(len(A), dtype="float64")
+        for j in range(A.shape[1]):
+            acc += A[:, j] * B[:, j]
+        return pd.Series(acc)
+
+    return _fold(a, b)
+
+
+def _codebook_arrays(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect a centroid table to (ids, matrix) sorted by centroid_id —
+    driver-side and BOUNDED: every caller enforces the 4096-cell literal
+    cap (kmeans_centroids raises above it; knn codebooks clamp at
+    min(4096, √N)), so this is the same ≤4096-row collect the broadcast
+    struct-array spelling already does."""
+    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    rows.sort(key=lambda r: int(r["centroid_id"]))
+    ids = np.array([int(r["centroid_id"]) for r in rows], dtype="int64")
+    mat = np.array(
+        [[float(x) for x in r["centroid_vec"]] for r in rows], dtype="float64"
+    )
+    return ids, mat
+
+
+def _fold_sims(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, m) cosine matrix with the EXACT fold op order of
+    ``cosine(vec, cent)``: dot accumulated sequentially over dimension j
+    (``acc[:, k] += V[:, j] * C[k, j]`` via one outer-product accumulate
+    per j), norms accumulated in the same j order, denom = vnorm*cnorm,
+    guarded division — every IEEE double op matches the Catalyst/DuckDB
+    fold, so argmax/ordering decisions are bit-faithful."""
+    n, d = V.shape
+    m = C.shape[0]
+    acc = np.zeros((n, m), dtype="float64")
+    vn = np.zeros(n, dtype="float64")
+    cn = np.zeros(m, dtype="float64")
+    for j in range(d):
+        acc += V[:, j : j + 1] * C[:, j][None, :]
+        vn += V[:, j] * V[:, j]
+        cn += C[:, j] * C[:, j]
+    denom = np.sqrt(vn)[:, None] * np.sqrt(cn)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(denom > 0, acc / np.where(denom == 0, 1.0, denom), 0.0)
+    return sims
+
+
+def _sims_matmul(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Fast cosine matrix via one BLAS matmul — used for SELECTION only
+    (argmax / top-k candidate picking), never for emitted values.  BLAS
+    pairwise summation differs from the fold order by ≤ ~1e-13 on unit-
+    scale vectors; every selection made on it carries a margin ≥ 1e-9
+    and falls back to ``_fold_sims`` when the decision gap is inside
+    the margin, so selections are provably identical to fold-exact."""
+    num = V @ C.T
+    vn = np.sqrt((V * V).sum(axis=1))
+    cn = np.sqrt((C * C).sum(axis=1))
+    denom = vn[:, None] * cn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0, num / np.where(denom == 0, 1.0, denom), 0.0)
+
+
+# decision-gap margin for matmul-based selection: BLAS-vs-fold error is
+# ≤ ~2e-13 on cosine-scale values; any ordering decision with a gap
+# below this margin is re-decided on the exact fold
+_SELECT_MARGIN = 1e-9
+
+
+def cosine_with_norms_arrow(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    """``cosine_with_norms`` with the dot on the Arrow kernel — the
+    default for the PAIR-SCORING selects of the heavy embedding
+    operators (where millions of dots flow through one projection).
+    Bit-identical to the builtin spelling; routing/assignment argmaxes
+    keep the pure-Column form (they run inside HOF lambdas over
+    broadcast codebooks, where a UDF cannot appear and volumes are
+    n_rows x n_cells, not pairs)."""
+    denom = na * nb
+    return F.when(denom > 0, dot_arrow(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
@@ -120,7 +227,7 @@ def brute_force_topk(
         F.col(probe_id_col),
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            cosine_with_norms(
+            cosine_with_norms_arrow(
                 F.col(vec_col), F.col(probe_vec_col), F.col("_vnorm"), F.col("_pnorm")
             ),
             6,
@@ -336,24 +443,73 @@ def assign_to_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_norm: bool = False,
+    kernel: str = "arrow",
 ) -> DataFrame:
-    """Assign every vector to its most-cosine-similar centroid — MAP-ONLY:
-    broadcast the centroid set as one array-of-structs row, compute all
-    similarities as an array column, take argmax via array_position.  A
-    row_number() over Window.partitionBy(vec_id) spelling would shuffle
-    N × n_centroids rows — the one scale-killer in this path at 100 TB.
-    array_sort orders structs by centroid_id (first field, unique —
-    extra fields never reorder), and array_position returns the FIRST
-    max, so ties break on the lowest centroid_id exactly like a
-    (sim DESC, centroid_id ASC) window.
+    """Assign every vector to its most-cosine-similar centroid — MAP-ONLY
+    (never a row_number() over Window.partitionBy(vec_id), which would
+    shuffle N × n_centroids rows — the one scale-killer here at 100 TB).
 
-    Norms are hoisted (``cosine_with_norms``): each centroid's norm
-    rides in the broadcast struct, each row's norm is one column — the
-    argmax computes n_centroids dots, not n_centroids full cosines.
+    ``kernel="arrow"`` (default): one Arrow-batched UDF computes the
+    full similarity matrix per batch with the EXACT fold op order of the
+    builtin spelling (``_fold_sims``) and takes np.argmax — first max
+    over the centroid_id-sorted codebook, the identical tie rule — so
+    cluster assignments are bit-faithful while running ~20x faster than
+    the interpreted HOF transform (r10 thread dumps showed the argmax
+    lambda dominating the kNN ladder).  The codebook collect is bounded
+    by the 4096-cell literal cap all callers enforce.
+
+    ``kernel="builtin"``: the pure-Column spelling — broadcast the
+    centroid set as one array-of-structs row, similarities via
+    transform, argmax via array_position (first max after array_sort on
+    centroid_id ⇒ lowest-id tie break).  Kept as the parity reference
+    (test_assign_kernels_agree) and for plans that must stay UDF-free.
 
     Returns (id_col, vec_col, cluster); with ``keep_norm=True`` also
-    ``_vnorm`` (the row's L2 norm) so downstream pair scoring can reuse
-    it instead of recomputing per pair."""
+    ``_vnorm`` (the row's L2 norm, same fold order both kernels) so
+    downstream pair scoring reuses it instead of recomputing per pair."""
+    if kernel == "arrow":
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        ids, mat = _codebook_arrays(centroids)
+        # cluster keeps the codebook's centroid_id type (callers pass int
+        # or bigint ids; the output schema must match the builtin's)
+        cid_sql = centroids.schema["centroid_id"].dataType.simpleString()
+        np_dtype = {"int": "int32", "bigint": "int64"}.get(cid_sql, "int64")
+        ids_t = ids.astype(np_dtype)
+
+        @pandas_udf(f"cluster {cid_sql}, _vnorm double")
+        def _assign(vs: pd.Series) -> pd.DataFrame:
+            if not len(vs):
+                return pd.DataFrame(
+                    {
+                        "cluster": pd.Series([], dtype=np_dtype),
+                        "_vnorm": pd.Series([], dtype="float64"),
+                    }
+                )
+            V = np.vstack(vs.to_numpy()).astype("float64")
+            # matmul argmax; rows whose top-2 gap is inside the BLAS
+            # error margin re-decide on the exact fold (incl. bit-exact
+            # ties -> first max = lowest centroid_id, the builtin rule)
+            sims = _sims_matmul(V, mat)
+            best = sims.argmax(axis=1)
+            if sims.shape[1] > 1:
+                p = np.partition(sims, sims.shape[1] - 2, axis=1)
+                risky = (p[:, -1] - p[:, -2]) < _SELECT_MARGIN
+                if risky.any():
+                    best[risky] = _fold_sims(V[risky], mat).argmax(axis=1)
+            vn = np.zeros(len(V), dtype="float64")
+            for j in range(V.shape[1]):
+                vn += V[:, j] * V[:, j]
+            return pd.DataFrame(
+                {"cluster": ids_t[best], "_vnorm": np.sqrt(vn)}
+            )
+
+        out_cols = [F.col(id_col), F.col(vec_col)] + (
+            [F.col("_a._vnorm").alias("_vnorm")] if keep_norm else []
+        )
+        return vectors.withColumn("_a", _assign(F.col(vec_col))).select(
+            *out_cols, F.col("_a.cluster").alias("cluster")
+        )
     cent_arr = centroids.agg(
         F.array_sort(
             F.collect_list(
@@ -489,7 +645,7 @@ def semantic_dedup(
         a.join(b, "cluster")
         .filter(F.col("_id_a") < F.col("_id_b"))
         .filter(
-            cosine_with_norms(
+            cosine_with_norms_arrow(
                 F.col("_vec_a"), F.col("_vec_b"), F.col("_na"), F.col("_nb")
             )
             >= threshold
@@ -578,7 +734,7 @@ def ivf_topk(
         "probe_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            cosine_with_norms(
+            cosine_with_norms_arrow(
                 F.col(vec_col), F.col("probe_vec"), F.col("_vnorm"), F.col("_pnorm")
             ),
             6,
@@ -630,62 +786,160 @@ def knn_join(
     is a plain shuffle equijoin.  The codebook stays ≤4096 literal cells
     — for larger codebooks compose with the two-level assignment
     (``assign_two_level``) exactly as ``ivf_two_level_topk`` does."""
-    cent_arr = centroids.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    "centroid_id",
-                    "centroid_vec",
-                    l2_norm(F.col("centroid_vec")).alias("centroid_norm"),
-                )
+    # probe routing on the same Arrow kernel as assignment: one batched
+    # UDF computes the fold-exact similarity matrix and takes the
+    # nprobe best cells per probe via a STABLE argsort on -sims — equal
+    # sims keep codebook order (centroid_id asc), the identical tie rule
+    # as the builtin array_sort((-sim, cid)) struct spelling.  The
+    # interpreted HOF transform this replaces dominated the r10 kNN
+    # ladder (44 s of the 67 s sf1 point was routing).
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    ids, mat = _codebook_arrays(centroids)
+    cid_sql = centroids.schema["centroid_id"].dataType.simpleString()
+    np_dtype = {"int": "int32", "bigint": "int64"}.get(cid_sql, "int64")
+    ids_t = ids.astype(np_dtype)
+    n_take = int(nprobe) if nprobe is not None else len(ids)
+
+    @pandas_udf(f"cells array<{cid_sql}>, _pnorm double")
+    def _route(vs: pd.Series) -> pd.DataFrame:
+        if not len(vs):
+            return pd.DataFrame(
+                {
+                    "cells": pd.Series([], dtype=object),
+                    "_pnorm": pd.Series([], dtype="float64"),
+                }
             )
-        ).alias("_cents")
-    )
-    ranked = F.array_sort(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (
-                    -cosine_with_norms(
-                        F.col(left_vec_col),
-                        c.getField("centroid_vec"),
-                        F.col("_pnorm"),
-                        c.getField("centroid_norm"),
-                    )
-                ).alias("_ns"),
-                c.getField("centroid_id").alias("_cid"),
-            ),
+        V = np.vstack(vs.to_numpy()).astype("float64")
+        # matmul selection; only the MEMBERSHIP of the routed cell set
+        # matters downstream (the equijoin ignores order), so a row is
+        # risky only when the boundary gap sims[n_take-1]-sims[n_take]
+        # is inside the BLAS error margin — those rows re-route on the
+        # exact fold with the builtin (sim desc, cid asc) stable order
+        sims = _sims_matmul(V, mat)
+        order = np.argsort(-sims, axis=1, kind="stable")
+        if n_take < sims.shape[1]:
+            srt = np.take_along_axis(sims, order, axis=1)
+            risky = (srt[:, n_take - 1] - srt[:, n_take]) < _SELECT_MARGIN
+            if risky.any():
+                e_order = np.argsort(
+                    -_fold_sims(V[risky], mat), axis=1, kind="stable"
+                )
+                order[risky] = e_order
+        order = order[:, :n_take]
+        vn = np.zeros(len(V), dtype="float64")
+        for j in range(V.shape[1]):
+            vn += V[:, j] * V[:, j]
+        return pd.DataFrame(
+            {
+                "cells": [ids_t[row].tolist() for row in order],
+                "_pnorm": np.sqrt(vn),
+            }
         )
-    )
+
     routed = (
-        left.withColumn("_pnorm", l2_norm(F.col(left_vec_col)))
-        .crossJoin(F.broadcast(cent_arr))
-        .withColumn(
-            "_take",
-            F.slice(ranked, 1, int(nprobe)) if nprobe is not None else ranked,
-        )
+        left.withColumn("_r", _route(F.col(left_vec_col)))
         .select(
             F.col(left_id_col).alias("probe_id"),
             F.col(left_vec_col).alias("_pvec"),
-            F.col("_pnorm"),
-            F.explode(F.col("_take").getField("_cid")).alias("cluster"),
+            F.explode(F.col("_r.cells")).alias("cluster"),
         )
     )
     assigned = assign_to_centroids(
-        right, centroids, id_col=right_id_col, vec_col=right_vec_col, keep_norm=True
+        right, centroids, id_col=right_id_col, vec_col=right_vec_col
     )
-    joined = assigned.join(routed, "cluster")
-    if exclude_same_id:
-        joined = joined.filter(F.col(right_id_col) != F.col("probe_id"))
-    scored = joined.select(
-        "probe_id",
-        F.col(right_id_col).alias("neighbor_id"),
-        F.round(
-            cosine_with_norms(
-                F.col(right_vec_col), F.col("_pvec"), F.col("_vnorm"), F.col("_pnorm")
-            ),
-            6,
-        ).alias("cosine"),
+    # PER-CELL GROUPED SCORING (applyInPandas on the cell key): members
+    # and routed probes co-shuffle once on `cluster`; the member×probe
+    # similarity matrix is computed inside the kernel with the
+    # fold-exact op order (_fold_sims) and only SKINNY
+    # (probe_id, neighbor_id, cosine) rows return to the JVM.  The
+    # pair-level spelling this replaces shipped BOTH 64-float vectors
+    # across the Arrow boundary per scored PAIR — ~550 B × |pairs|
+    # (≈98 GB at the 200k-vector decade) versus one vector per member +
+    # nprobe per probe here.  Rounding (F.round HALF_UP) and the
+    # two-stage top-k stay JVM-side so ordering/tie semantics and the
+    # SQL oracles are untouched.
+    u = assigned.select(
+        "cluster",
+        F.lit(0).alias("_side"),
+        F.col(right_id_col).cast("long").alias("_rid"),
+        F.col(right_vec_col).alias("_v"),
+    ).unionByName(
+        routed.select(
+            "cluster",
+            F.lit(1).alias("_side"),
+            F.col("probe_id").cast("long").alias("_rid"),
+            F.col("_pvec").alias("_v"),
+        )
+    )
+    excl = bool(exclude_same_id)
+
+    kk = int(k)
+
+    def _score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        mem = pdf[pdf["_side"] == 0]
+        prb = pdf[pdf["_side"] == 1]
+        if not len(mem) or not len(prb):
+            return pd.DataFrame(
+                {
+                    "probe_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "cosine": pd.Series([], dtype="float64"),
+                }
+            )
+        Vm = np.vstack(mem["_v"].to_numpy()).astype("float64")
+        Vp = np.vstack(prb["_v"].to_numpy()).astype("float64")
+        mid = mem["_rid"].to_numpy()
+        pid = prb["_rid"].to_numpy()
+        # matmul sims for CANDIDATE SELECTION only (never emitted)
+        sims = _sims_matmul(Vm, Vp)  # (n_members, n_probes)
+        exclmask = (
+            mid[:, None] == pid[None, :]
+            if excl
+            else np.zeros(sims.shape, dtype=bool)
+        )
+        # EXACT per-(probe, cell) pre-prune: the JVM top-k orders by
+        # round(cosine, 6) and rounding moves a value by ≤ 5e-7, so any
+        # pair that can place in the rounded top-k has exact cosine ≥
+        # kth_best_exact − 1e-6; matmul-vs-fold error adds ≤ ~2e-13.
+        # Keeping everything ≥ kth_best_matmul − 2e-6 therefore provably
+        # contains the exact rounded top-k while shrinking rows returned
+        # to the JVM from |members| × |probes| to ~k per (probe, cell).
+        s = np.where(exclmask, -np.inf, sims)
+        n_m = s.shape[0]
+        if n_m > kk:
+            thr = np.partition(s, n_m - kk, axis=0)[n_m - kk]
+        else:
+            thr = np.full(s.shape[1], -np.inf)
+        keepmat = (s >= thr[None, :] - 2e-6) & ~exclmask
+        mi, pi = np.nonzero(keepmat)
+        # emitted values are FOLD-EXACT: re-score only the kept pairs
+        # with the same per-dimension left fold as the builtin cosine
+        A, B = Vm[mi], Vp[pi]
+        acc = np.zeros(len(mi), dtype="float64")
+        nm = np.zeros(n_m, dtype="float64")
+        npn = np.zeros(len(pid), dtype="float64")
+        for j in range(Vm.shape[1]):
+            acc += A[:, j] * B[:, j]
+            nm += Vm[:, j] * Vm[:, j]
+            npn += Vp[:, j] * Vp[:, j]
+        denom = np.sqrt(nm)[mi] * np.sqrt(npn)[pi]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(
+                denom > 0, acc / np.where(denom == 0, 1.0, denom), 0.0
+            )
+        return pd.DataFrame(
+            {"probe_id": pid[pi], "neighbor_id": mid[mi], "cosine": cos}
+        )
+
+    scored = (
+        u.groupBy("cluster")
+        .applyInPandas(_score_cell, "probe_id long, neighbor_id long, cosine double")
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(F.col("cosine"), 6).alias("cosine"),
+        )
     )
     return topk_per_probe(scored, k, "probe_id")
 
@@ -904,7 +1158,7 @@ def ivf_two_level_topk(
         "probe_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            cosine_with_norms(
+            cosine_with_norms_arrow(
                 F.col(vec_col), F.col("probe_vec"), F.col("_vnorm"), F.col("_pnorm")
             ),
             6,
@@ -1037,7 +1291,9 @@ def embedding_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                cosine_with_norms_arrow(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
                 6,
             ).alias("cosine"),
         )

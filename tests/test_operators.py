@@ -3770,3 +3770,88 @@ def test_grouped_split_keeps_groups_together(spark):
         grouped_split(df, "grp", {"a": 0.5, "b": 0.4})
     with pytest.raises(ValueError, match="at least one"):
         grouped_split(df, "grp", {})
+
+
+def test_arrow_kernel_bit_parity(spark):
+    """dot_arrow must be BIT-identical to the interpreted HOF fold —
+    same IEEE double op sequence (per-dimension left fold) — on adversarial
+    float32 vectors (denormals, huge/tiny magnitude mixes, negatives).
+    No rounding in the comparison: exact equality of the raw doubles."""
+    import random
+
+    rnd = random.Random(421)
+    rows = []
+    for i in range(300):
+        dim = 64
+        scale = 10.0 ** rnd.randint(-30, 30)
+        a = [rnd.uniform(-1, 1) * scale for _ in range(dim)]
+        b = [rnd.uniform(-1, 1) / scale for _ in range(dim)]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(
+        rows, "id long, a array<float>, b array<float>"
+    )
+    got = df.select(
+        "id",
+        similarity.dot(F.col("a"), F.col("b")).alias("hof"),
+        similarity.dot_arrow(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    assert len(got) == 300
+    for r in got:
+        assert r["hof"] == r["arrow"], (r["id"], r["hof"], r["arrow"])
+
+
+def test_arrow_cosine_matches_builtin_on_real_shapes(spark):
+    """End-to-end: the Arrow-kernel scored path must produce the exact
+    rows the builtin spelling produces (same cosine doubles pre-round,
+    same ranks) on a clustered corpus."""
+    vecs = _toy_embeddings(spark)
+    probes = vecs.limit(5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    from csv_etl_spark.operators.similarity import (
+        cosine_with_norms,
+        cosine_with_norms_arrow,
+        l2_norm,
+    )
+
+    pairs = (
+        vecs.withColumn("_vn", l2_norm(F.col("embedding")))
+        .crossJoin(
+            F.broadcast(probes.withColumn("_pn", l2_norm(F.col("probe_vec"))))
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+    )
+    both = pairs.select(
+        "vec_id",
+        "probe_id",
+        cosine_with_norms(
+            F.col("embedding"), F.col("probe_vec"), F.col("_vn"), F.col("_pn")
+        ).alias("builtin"),
+        cosine_with_norms_arrow(
+            F.col("embedding"), F.col("probe_vec"), F.col("_vn"), F.col("_pn")
+        ).alias("arrow"),
+    ).collect()
+    assert len(both) > 100
+    for r in both:
+        assert r["builtin"] == r["arrow"], (r["vec_id"], r["probe_id"])
+
+
+def test_assign_kernels_agree(spark):
+    """Arrow and builtin assignment kernels must agree on every cluster
+    id and every _vnorm double — including at exact-duplicate-centroid
+    ties, where both sides must break to the lowest centroid_id."""
+    e = _toy_embeddings(spark, n=250)
+    cents = (
+        e.orderBy("vec_id").limit(17)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    a = {r["vec_id"]: (r["cluster"], r["_vnorm"]) for r in
+         similarity.assign_to_centroids(e, cents, keep_norm=True,
+                                        kernel="arrow").collect()}
+    b = {r["vec_id"]: (r["cluster"], r["_vnorm"]) for r in
+         similarity.assign_to_centroids(e, cents, keep_norm=True,
+                                        kernel="builtin").collect()}
+    assert a == b
