@@ -764,16 +764,21 @@ def knn_join(
     wrong plan.  Here NEITHER side is broadcast — only the centroid
     codebook is:
 
-    * right side: map-only argmax assignment to its nearest cell
-      (``assign_to_centroids`` — broadcast-literal codebook);
-    * left side: map-only routing to its ``nprobe`` nearest cells via an
-      in-row ``array_sort``/``slice`` over the codebook array (NO window,
-      NO shuffle — cardinality fan-out is exactly nprobe);
-    * ONE shuffle equijoin on the cell key co-partitions both big sides
-      (Catalyst/AQE pick SMJ or shuffled-hash; at test scale AQE may
-      legally downgrade to broadcast — the PLAN property that matters is
-      no cartesian and no full cross-cell fan-out);
-    * per-probe exact top-k via the two-stage ``topk_per_probe``.
+    * right side: map-only Arrow argmax assignment to its nearest cell
+      (``assign_to_centroids``, matmul selection + fold-exact fallback);
+    * left side: map-only Arrow routing to its ``nprobe`` nearest cells
+      (NO window, NO shuffle — cardinality fan-out is exactly nprobe);
+    * ONE shuffle on the cell key co-partitions both big sides into a
+      grouped ``applyInPandas`` scorer: the member×probe similarity
+      matrix is a BLAS matmul used for candidate selection, survivors
+      (a margin-safe superset of the rounded top-k, ~k per probe per
+      cell) are re-scored with the fold-exact op order and return to
+      the JVM as SKINNY (probe, neighbor, cosine) rows — vectors cross
+      the Arrow boundary once per member + nprobe per probe, never per
+      pair;
+    * rounding (HALF_UP) and the per-probe exact top-k
+      (``topk_per_probe``) stay JVM-side, so ordering/tie semantics are
+      the pure-Column ones and the SQL oracle replays the pipeline.
 
     ``nprobe=None`` routes every cell — the result is then provably
     EQUAL to brute force (each (left, right) pair scored exactly once
@@ -781,11 +786,11 @@ def knn_join(
     discipline for the exact twin.  Ties break (cosine DESC, neighbor_id
     ASC) everywhere.  Returns (probe_id, neighbor_id, cosine, rank).
 
-    100 TB shape: cost ≈ |left| × nprobe/n_cells × |right| pair scores,
-    spread over cells; skewed cells are AQE-splittable because the join
-    is a plain shuffle equijoin.  The codebook stays ≤4096 literal cells
-    — for larger codebooks compose with the two-level assignment
-    (``assign_two_level``) exactly as ``ivf_two_level_topk`` does."""
+    100 TB shape: cost ≈ |left| × nprobe/n_cells × |right| pair scores
+    as BLAS flops spread over cells; skewed cells are AQE-splittable
+    because the grouping key is a plain shuffle.  The codebook stays
+    ≤4096 cells — for larger codebooks compose with the two-level
+    assignment (``assign_two_level``) as ``ivf_two_level_topk`` does."""
     # probe routing on the same Arrow kernel as assignment: one batched
     # UDF computes the fold-exact similarity matrix and takes the
     # nprobe best cells per probe via a STABLE argsort on -sims — equal

@@ -32,6 +32,17 @@ def get_spark(app_name: str = "csv-etl-spark", shuffle_partitions: int | None = 
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start every exchange wide and let AQE coalesce DOWN: with a
+        # fixed 32, the multi-million-row stages (5M-doc LSH banding +
+        # connected components, r10) exhaust per-task execution memory
+        # (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY) — the same
+        # reasoning as a real cluster's "initial partitions = 2-3x
+        # cores, AQE right-sizes per stage".  Small queries still end
+        # at few partitions because coalesce merges by size.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions * 8)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -130,8 +130,27 @@ QUERIES = {
     "part_pagerank": "sf10",
     # r10: the LSH-fed leakage-safe split (the scale spelling of the
     # exact-jaccard twin, which stops at sf1 by design — see
-    # dedup_jaccard_pairs above); doc axis through 5M docs
-    "leakage_safe_split_lsh": "sf100",
+    # dedup_jaccard_pairs above).  Capped at sf10 for the same corpus
+    # reason dedup_minhash_lsh is: the generated docs draw from the
+    # measured 31-word vocabulary, so at 5M docs the minhash band
+    # buckets saturate and candidate pairs grow quadratically BY
+    # CORPUS CONSTRUCTION — three sf100 attempts exhausted the 78 GB
+    # scratch disk in the FIRST verify-join shuffle (r10 logs).  On a
+    # real-vocabulary corpus band collisions stay proportional to true
+    # near-dups; the 500k decade (α=0.71) is the operator's evidence.
+    "leakage_safe_split_lsh": "sf10",
+    # r10: the embeddings axis finally has a generator
+    # (gen_scale_embeddings.py: 2k→20k→200k unit-norm 64-dim vectors,
+    # measured 10-cluster mixture) — the three r9 ops whose scale
+    # evidence was a plan-shape note get measured decades.  knn_graph's
+    # codebook scales with the corpus (max(8, √N) cells) so its decades
+    # measure the N^1.5 design, not the old constant-codebook N².
+    "knn_graph": "sf10",
+    "ann_ivf_two_level": "sf10",
+    "embedding_standardize": "sf10",
+    # r10: temperature resampling scales the doc axis (count agg +
+    # map-only keep — expected flat)
+    "temperature_mix": "sf100",
     # fact side scales the event axis; the planted hot key keeps 25% of
     # rows on one join key at every size — the salting is what's measured
     "salted_join_customers": "sf10",
@@ -304,6 +323,14 @@ def main() -> None:
             results[q][step_name] = round(median(runs), 3)
             rows_out[q][step_name] = qs[q](spark, sf_dir).count()
             clear_caches()
+            # shuffle files are deleted only when the ContextCleaner GCs
+            # the owning RDDs; across 3 runs × result-count of a 5M-doc
+            # LSH matrix the stale files outran the 78 GB scratch disk
+            # (r10: two "No space left on device" aborts at the sf100
+            # step).  An explicit JVM GC between measurements forces the
+            # cleaner to reap them — bench hygiene only, no effect on
+            # timings (runs after the clock stops).
+            spark.sparkContext._jvm.System.gc()
             print(f"{step_name} {q}: {results[q][step_name]}s", file=sys.stderr)
             dump()
 
