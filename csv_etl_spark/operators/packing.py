@@ -64,8 +64,18 @@ def with_global_cumsum(
     the driver materializes exactly one row per partition."""
     spark = df.sparkSession
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    # partition count pinned to the configured shuffle parallelism: an
+    # un-numbered repartitionByRange is AQE-optimizable, and the r10
+    # wide-initial-partitions session default (coalescePartitions.
+    # initialPartitionNum = 8x) made this exchange start at 256 — the
+    # range-boundary sampling, the per-partition Arrow batches and the
+    # totals collect all scale with the count, which regressed every
+    # prefix-sum consumer 2-3x at bench scale.  The cumsum wants exactly
+    # "cluster parallelism" partitions (the driver materializes one
+    # offset row per partition), which is what shuffle.partitions means.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
-        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
