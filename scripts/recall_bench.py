@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Measured recall@k for the approximate ANN family vs exact brute force
+— the QUALITY axis of the speed/scale evidence in SCALE.md.
+
+For each corpus size with an embeddings table (driver sf0.1 = 2k
+vectors; scripts/scale sf1/sf10 = 20k/200k from
+gen_scale_embeddings.py), every probe's approximate top-k is compared
+to the brute-force top-k of the same (probe set, k):
+
+    recall@k = |approx ∩ exact| / k, averaged over probes
+
+Variants measured (all contract operators, same parameterizations as
+their headline queries where applicable):
+
+* ivf        — single-level IVF, deterministic first-√N codebook,
+               nprobe=2 (the ann_ivf_approx shape)
+* two_level  — coarse √(cells) × fine, nprobe 2/4 (ann_ivf_two_level)
+* quantized  — int8-quantized brute force (ann_quantized; recall loss
+               comes only from quantization, not routing)
+* knn_graph  — the cell-co-partitioned knn_join at k=3, nprobe=2 over
+               the corpus itself (the knn_graph query shape)
+
+Writes bench_records/RECALL_r{N}.json (pass --out) and prints a
+markdown table to stdout.  Probes are the deterministic first
+``--n-probes`` vectors by id so the measurement replays exactly.
+
+Usage: python scripts/recall_bench.py --out RECALL_r10.json
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import pandas as pd  # noqa: E402  (pandas_udf type-hint resolution)
+
+from csv_etl_spark import get_spark  # noqa: E402
+
+STEPS = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", str(REPO / "scripts" / "scale" / "sf1")),
+    ("sf10", str(REPO / "scripts" / "scale" / "sf10")),
+]
+K = 5
+N_PROBES = 50
+
+
+def topk_sets(df, k: int) -> dict:
+    out: dict = {}
+    for r in df.collect():
+        if r["rank"] <= k:
+            out.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def recall(approx: dict, exact: dict, k: int) -> float:
+    vals = []
+    for pid, truth in exact.items():
+        got = approx.get(pid, set())
+        vals.append(len(got & truth) / min(k, len(truth)))
+    return sum(vals) / len(vals) if vals else float("nan")
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from csv_etl_spark.operators import similarity
+
+    args = sys.argv[1:]
+    if "--out" not in args:
+        raise SystemExit("usage: recall_bench.py --out FILE.json")
+    out_name = args[args.index("--out") + 1]
+
+    spark = get_spark("csv-etl-spark-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {}
+
+    for step, sf_dir in STEPS:
+        p = Path(sf_dir) / "embeddings.parquet"
+        if not p.exists():
+            print(f"skip {step}: {p} missing", file=sys.stderr)
+            continue
+        e = spark.read.parquet(str(p))
+        n = e.count()
+        probes = (
+            e.orderBy("vec_id")
+            .limit(N_PROBES)
+            .select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_vec"),
+            )
+        )
+        exact = topk_sets(similarity.brute_force_topk(e, probes, k=K), K)
+
+        n_cells = max(8, min(4096, int(math.floor(math.sqrt(n)))))
+        step_res = {"n_vectors": n, "n_cells": n_cells, "recall_at_k": {}, "sec": {}}
+
+        def run(name, fn):
+            t0 = time.perf_counter()
+            approx = topk_sets(fn(), K)
+            step_res["sec"][name] = round(time.perf_counter() - t0, 2)
+            step_res["recall_at_k"][name] = round(recall(approx, exact, K), 4)
+
+        run(
+            "ivf",
+            lambda: similarity.ivf_topk(
+                e, probes, k=K, n_centroids=n_cells, nprobe=2
+            ),
+        )
+        run(
+            "two_level",
+            lambda: similarity.ivf_two_level_topk(
+                e,
+                probes,
+                k=K,
+                n_coarse=max(8, int(math.sqrt(n_cells))),
+                n_fine_per_cell=8,
+                nprobe_coarse=2,
+                nprobe_fine=4,
+            ),
+        )
+        run(
+            "two_level_wide",
+            lambda: similarity.ivf_two_level_topk(
+                e,
+                probes,
+                k=K,
+                n_coarse=max(8, int(math.sqrt(n_cells))),
+                n_fine_per_cell=8,
+                nprobe_coarse=4,
+                nprobe_fine=16,
+            ),
+        )
+        run(
+            "two_level_kmeans",
+            lambda: similarity.ivf_two_level_topk(
+                e,
+                probes,
+                k=K,
+                n_coarse=max(8, int(math.sqrt(n_cells))),
+                n_fine_per_cell=8,
+                nprobe_coarse=4,
+                nprobe_fine=16,
+                coarse=similarity.kmeans_centroids(
+                    e,
+                    n_centroids=max(8, int(math.sqrt(n_cells))),
+                    iters=2,
+                    sample_fraction=0.25,
+                ),
+            ),
+        )
+        run(
+            "two_level_shard",
+            lambda: similarity.ivf_two_level_topk(
+                e,
+                probes,
+                k=K,
+                n_coarse=max(8, int(math.sqrt(n_cells))),
+                n_fine_per_cell=8,
+                nprobe_coarse=4,
+                nprobe_fine=None,
+            ),
+        )
+        run(
+            "quantized",
+            lambda: similarity.quantized_topk(e, probes, k=K),
+        )
+        run(
+            "knn_graph_cells",
+            lambda: similarity.knn_join(
+                probes,
+                e,
+                e.orderBy("vec_id")
+                .limit(n_cells)
+                .select(
+                    F.col("vec_id").cast("int").alias("centroid_id"),
+                    F.col("embedding").alias("centroid_vec"),
+                ),
+                k=K,
+                nprobe=2,
+                exclude_same_id=True,
+            ),
+        )
+        results[step] = step_res
+        print(f"{step}: {step_res}", file=sys.stderr)
+
+    payload = {
+        "protocol": (
+            f"recall@{K} vs brute-force exact over the deterministic "
+            f"first-{N_PROBES} probes by vec_id; codebooks = deterministic "
+            "first-sqrt(N) convention (the contract queries' shapes); "
+            "embeddings axes 2k/20k/200k"
+        ),
+        "k": K,
+        "n_probes": N_PROBES,
+        "results": results,
+    }
+    out = REPO / "bench_records" / out_name
+    out.write_text(json.dumps(payload, indent=1))
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
