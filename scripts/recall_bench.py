@@ -167,6 +167,25 @@ def main() -> None:
                 nprobe_fine=None,
             ),
         )
+        def _two_level_kmfine():
+            n_coarse = max(8, int(math.sqrt(n_cells)))
+            coarse = (
+                e.orderBy("vec_id")
+                .limit(n_coarse)
+                .select(
+                    F.col("vec_id").cast("int").alias("centroid_id"),
+                    F.col("embedding").alias("centroid_vec"),
+                )
+            )
+            fine = similarity.fine_centroid_table_kmeans(
+                e, coarse, n_fine_per_cell=8
+            )
+            return similarity.ivf_two_level_topk(
+                e, probes, k=K, nprobe_coarse=4, nprobe_fine=16,
+                coarse=coarse, fine=fine,
+            )
+
+        run("two_level_kmfine", _two_level_kmfine)
         run(
             "quantized",
             lambda: similarity.quantized_topk(e, probes, k=K),

@@ -3855,3 +3855,50 @@ def test_assign_kernels_agree(spark):
          similarity.assign_to_centroids(e, cents, keep_norm=True,
                                         kernel="builtin").collect()}
     assert a == b
+
+
+def test_fine_centroid_kmeans_mode(spark):
+    """The data-adapted fine codebook must (a) be deterministic across
+    runs, (b) emit ≤ n_fine_per_cell centroids per coarse cell with
+    dense fine_ids, and (c) beat the deterministic first-k fine table on
+    two-level recall for a clustered corpus (the RECALL.md finding)."""
+    from csv_etl_spark.operators.similarity import (
+        brute_force_topk,
+        fine_centroid_table,
+        fine_centroid_table_kmeans,
+        ivf_two_level_topk,
+        make_probes,
+    )
+
+    e = _toy_embeddings(spark, n=400)
+    coarse = (
+        e.orderBy("vec_id").limit(6)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    fk1 = sorted(map(tuple, fine_centroid_table_kmeans(e, coarse, 4).collect()))
+    fk2 = sorted(map(tuple, fine_centroid_table_kmeans(e, coarse, 4).collect()))
+    assert fk1 == fk2  # deterministic
+    per_cell: dict = {}
+    for coarse_id, fine_id, _vec in fk1:
+        per_cell.setdefault(coarse_id, []).append(fine_id)
+    for ids in per_cell.values():
+        assert sorted(ids) == list(range(len(ids))) and len(ids) <= 4
+
+    probes = make_probes(e, n=10)
+    exact = {(r["probe_id"], r["neighbor_id"]) for r in
+             brute_force_topk(e, probes, k=4).collect()}
+
+    def rec(fine):
+        got = {(r["probe_id"], r["neighbor_id"]) for r in
+               ivf_two_level_topk(e, probes, k=4, n_coarse=6,
+                                  n_fine_per_cell=4, nprobe_coarse=2,
+                                  nprobe_fine=4, coarse=coarse,
+                                  fine=fine).collect()}
+        return len(got & exact) / len(exact)
+
+    r_first = rec(fine_centroid_table(e, coarse, 4))
+    r_kmeans = rec(fine_centroid_table_kmeans(e, coarse, 4))
+    assert r_kmeans >= r_first
