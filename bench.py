@@ -271,7 +271,12 @@ def main() -> None:
             indent=1,
         )
     )
-    print(json.dumps(summary_line(total, timings, n_runs, sf), separators=(",", ":")))
+    print(
+        json.dumps(
+            summary_line(total, timings, n_runs, sf, detail_path),
+            separators=(",", ":"),
+        )
+    )
 
 
 # The fixed parity subset carried on the stdout line: the queries
@@ -289,9 +294,27 @@ PARITY_QUERIES = [
 
 
 def summary_line(
-    total: float, timings: dict[str, float], n_runs: int, sf: float
+    total: float,
+    timings: dict[str, float],
+    n_runs: int,
+    sf: float,
+    detail_path: Path | None = None,
 ) -> dict:
-    """The driver-contract stdout payload — fixed-size by construction."""
+    """The driver-contract stdout payload — fixed-size by construction.
+
+    ``detail`` reports the ACTUAL path the detail file was written to
+    (repo-relative when under the repo) — re-concatenating the env var
+    pointed at a non-existent 'bench_records/<abs-path>' whenever
+    SPARK_GRAFT_BENCH_DETAIL held an absolute path (ADVICE r10)."""
+    if detail_path is None:
+        detail_path = Path(__file__).resolve().parent / "bench_records" / (
+            os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL_latest.json")
+        )
+    repo = Path(__file__).resolve().parent
+    try:
+        detail_str = str(detail_path.resolve().relative_to(repo))
+    except ValueError:
+        detail_str = str(detail_path)
     return {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -300,8 +323,7 @@ def summary_line(
         "n_queries": len(timings),
         "n_runs": n_runs,
         "sf": sf,
-        "detail": "bench_records/"
-        + os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "BENCH_FULL_latest.json"),
+        "detail": detail_str,
     }
 
 

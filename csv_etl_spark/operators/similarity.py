@@ -80,8 +80,15 @@ def _codebook_arrays(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     driver-side and BOUNDED: every caller enforces the 4096-cell literal
     cap (kmeans_centroids raises above it; knn codebooks clamp at
     min(4096, √N)), so this is the same ≤4096-row collect the broadcast
-    struct-array spelling already does."""
-    rows = centroids.select("centroid_id", "centroid_vec").collect()
+    struct-array spelling already does.  The bound is also ENFORCED
+    here at the collect site: a caller that slipped an unbounded frame
+    through would otherwise silently pull it all onto the driver."""
+    rows = centroids.select("centroid_id", "centroid_vec").limit(4097).collect()
+    if len(rows) > 4096:
+        raise ValueError(
+            "_codebook_arrays: centroid frame exceeds the 4096-cell "
+            "driver-collect cap; shard the codebook or raise k-means k"
+        )
     rows.sort(key=lambda r: int(r["centroid_id"]))
     ids = np.array([int(r["centroid_id"]) for r in rows], dtype="int64")
     mat = np.array(
@@ -864,6 +871,23 @@ def knn_join(
     # nprobe per probe here.  Rounding (F.round HALF_UP) and the
     # two-stage top-k stay JVM-side so ordering/tie semantics and the
     # SQL oracles are untouched.
+    _integral = {"tinyint", "smallint", "int", "bigint"}
+    for _df, _c, _side_name in (
+        (left, left_id_col, "left"),
+        (right, right_id_col, "right"),
+    ):
+        _t = _df.schema[_c].dataType.simpleString()
+        if _t not in _integral:
+            # the grouped scorer carries ids through a fixed
+            # 'probe_id long, neighbor_id long' Arrow schema; a string
+            # id would silently cast to NULL and drop/corrupt pairs —
+            # fail loudly instead (ADVICE r10).
+            raise TypeError(
+                f"knn_join: {_side_name} id column {_c!r} has type {_t}; "
+                "only integral ids survive the grouped Arrow scorer. "
+                "Derive a surrogate (e.g. xxhash64(id) or "
+                "monotonically_increasing_id) and join back after."
+            )
     u = assigned.select(
         "cluster",
         F.lit(0).alias("_side"),

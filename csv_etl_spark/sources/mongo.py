@@ -77,9 +77,14 @@ def _range_filter(
         if isinstance(existing, dict):
             out[partition_column] = {**existing, **rng}
         elif existing is not None:
-            # equality predicate + range: keep equality (range is a
-            # partition-pruning hint; equality is strictly narrower)
-            out[partition_column] = existing
+            # equality predicate + range: INTERSECT them.  Keeping the
+            # bare equality in every slice would return each matching
+            # document once per partition (num_partitions x duplication)
+            # because all slices then issue the identical filter; Mongo
+            # accepts $eq alongside range operators in one operator doc,
+            # so the value survives in exactly the slice whose [lo, hi)
+            # contains it and matches nothing elsewhere.
+            out[partition_column] = {"$eq": existing, **rng}
         else:
             out[partition_column] = rng
     return out

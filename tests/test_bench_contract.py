@@ -47,6 +47,20 @@ def test_parity_subset_rides_the_line():
     assert payload["detail"].startswith("bench_records/")
 
 
+def test_detail_reports_actual_write_path(tmp_path):
+    """SPARK_GRAFT_BENCH_DETAIL set to an absolute path: the summary line
+    must report THAT path, not 'bench_records/<abs-path>' (ADVICE r10)."""
+    from pathlib import Path
+
+    abs_detail = tmp_path / "custom_detail.json"
+    payload = bench.summary_line(1.0, _fake_timings(3), 3, 0.1, abs_detail)
+    assert payload["detail"] == str(abs_detail)
+    # repo-relative detail paths stay repo-relative
+    repo_detail = Path(bench.__file__).resolve().parent / "bench_records" / "x.json"
+    payload2 = bench.summary_line(1.0, _fake_timings(3), 3, 0.1, repo_detail)
+    assert payload2["detail"] == "bench_records/x.json"
+
+
 def test_parity_queries_are_all_headline():
     for name in bench.PARITY_QUERIES:
         assert name in bench.HEADLINE

@@ -427,6 +427,8 @@ def _make_fake_factory(docs, spill=None):
             out = []
             for d in self.docs:
                 if isinstance(rng, dict):
+                    if "$eq" in rng and d["_id"] != rng["$eq"]:
+                        continue
                     if "$gte" in rng and d["_id"] < rng["$gte"]:
                         continue
                     if "$lt" in rng and d["_id"] >= rng["$lt"]:
@@ -507,6 +509,24 @@ def test_read_mongo_query_and_contract(spark):
     with pytest.raises(ValueError):
         read_mongo(spark, _make_fake_factory([]), "db", "c",
                    columns=["_id"], num_partitions=2)
+
+
+def test_read_mongo_partitioned_equality_no_duplication(spark):
+    """An equality predicate on the partition column must intersect the
+    range slices ($eq inside the operator doc), not replace them — the
+    r10 ADVICE bug returned each match once PER PARTITION."""
+    from csv_etl_spark.sources.mongo import _range_filter, read_mongo
+
+    assert _range_filter("_id", 0, 5, {"_id": 7}) == {
+        "_id": {"$eq": 7, "$gte": 0, "$lt": 5}
+    }
+    df = read_mongo(
+        spark, _make_fake_factory(_MONGO_DOCS), "db", "c",
+        columns=["_id", "name"], lower_bound=0, upper_bound=20,
+        num_partitions=4, query={"_id": 7},
+    )
+    rows = df.collect()
+    assert [r["_id"] for r in rows] == ["7"]
 
 
 def test_write_mongo_roundtrip(spark, tmp_path):

@@ -3569,6 +3569,35 @@ def test_knn_join_nprobe_plan_and_recall(spark):
         assert r["neighbor_id"] % 3 == r["probe_id"] % 3
 
 
+def test_knn_join_rejects_non_integral_ids(spark):
+    """String ids would silently NULL through the grouped scorer's fixed
+    long Arrow schema and drop pairs — knn_join must fail loudly instead
+    (ADVICE r10)."""
+    e = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id int, centroid_vec array<double>"
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    with pytest.raises(TypeError, match="integral"):
+        similarity.knn_join(probes, e, cents, k=1)
+
+
+def test_codebook_arrays_enforces_cap(spark):
+    """_codebook_arrays must refuse an unbounded centroid frame instead
+    of silently collecting it to the driver (ADVICE r10)."""
+    big = spark.range(4200).select(
+        F.col("id").alias("centroid_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("centroid_vec"),
+    )
+    with pytest.raises(ValueError, match="4096"):
+        similarity._codebook_arrays(big)
+
+
 def test_pagerank_matches_serial_reference(spark):
     """Exact-match differential vs an independent serial power iteration
     with the same quantization discipline (round-8 contributions,
