@@ -1315,6 +1315,11 @@ _ORACLE_DEDUP_NORM = """
 
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERIFICATION-ONLY ORACLE TWIN — not the production spelling.
+    This exact all-pairs Jaccard (α=1.38 measured, SCALE.md) exists so
+    the SQL oracle can hash-check the scale path's semantics; at 100 TB
+    use ``dedup_jaccard_capped`` (freq_cap candidate control, α=0.20) —
+    the operator's own default."""
     # freq_cap=None: the EXACT variant (matches the exact-jaccard oracle);
     # max_exact_docs=None: the guard's up-front count is pytest-covered
     # (test_jaccard_exact_guard_refuses_large_corpus) and would dominate
@@ -4594,14 +4599,84 @@ _ORACLE_CORPUS_REPORT = f"""
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE-style phrase-merge training (text.phrase_merges,
-    k=8): each round's winning pair depends on the previous round's
-    merges, so the loop is not single-pass-SQL-expressible — this entry
-    is ROWS-ONLY by design (the same weaker-check class the driver
-    records for HLL), and the operator's real verification is
-    tests/test_operators.py::test_phrase_merges_matches_serial_reference,
-    which asserts equality with a serial reference implementation."""
+    k=8).  The LOOP is not single-pass SQL — but every individual round
+    IS, once the previous rounds' winners are known: step i's (pair, n)
+    is the argmax of adjacent-pair counts after replaying merges
+    1..i-1.  The oracle therefore pins the merge PAIRS the sf0.01 run
+    provably learns (the ``apply_merges`` pin technique,
+    ``_BPE_MERGES_PINNED``) as REPLAY INPUTS only, and DuckDB
+    re-derives each row's rank/pair/count by recounting: chained
+    doubled-separator replaces (the validated application spelling) →
+    adjacent-pair histogram → top-1 with the (n DESC, pair ASC)
+    tiebreak.  A training divergence at ANY step changes the recounted
+    winner and hash-mismatches — this was the one never-hash-checked
+    query (r10 verdict ask #4).  The serial-reference pytest
+    (test_phrase_merges_matches_serial_reference) still covers the
+    generic k/min_count surface."""
     d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     return text.phrase_merges(d, k=8)
+
+
+# The 8 merges phrase_merges(k=8) learns at sf0.01, in rank order —
+# replay inputs for the re-deriving oracle below.  Re-derive with
+# scripts/check_oracle.py if the driver testdata is ever regenerated.
+_BPE_MERGES_PINNED = [
+    "table hash", "part filter", "customer join", "merge group",
+    "slow key", "vector small", "big order", "merge order",
+]
+
+
+def _bpe_merges_oracle_sql() -> str:
+    """Stage i's stream = stage i-1 with merge i applied (doubled-SEP
+    plain replace, identical to the apply_merges oracle); rank i's row =
+    top adjacent pair of stage i-1's stream, recounted from scratch."""
+    sep2 = "chr(31)||chr(31)"
+    stages = ["s0"]
+    stage_sql = []
+    for i, pair in enumerate(_BPE_MERGES_PINNED[:-1], start=1):
+        a, b = pair.split(" ", 1)
+        prev = stages[-1]
+        stage_sql.append(
+            f"s{i} AS (SELECT replace(st, "
+            f"chr(31)||'{a}'||chr(31)||chr(31)||'{b}'||chr(31), "
+            f"chr(31)||'{a}_{b}'||chr(31)) AS st FROM {prev})"
+        )
+        stages.append(f"s{i}")
+    count_sql = []
+    for i in range(1, len(_BPE_MERGES_PINNED) + 1):
+        src = stages[i - 1]
+        count_sql.append(
+            f"""t{i} AS (
+      SELECT CAST({i} AS INTEGER) AS rank, pair, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                                     j -> tk[j] || ' ' || tk[j+1])) AS pair
+        FROM (SELECT string_split(substring(st, 3, length(st) - 4),
+                                  {sep2}) AS tk FROM {src})
+      ) GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM t{i}" for i in range(1, len(_BPE_MERGES_PINNED) + 1)
+    )
+    stages_joined = ",\n    ".join(stage_sql)
+    counts_joined = ",\n    ".join(count_sql)
+    return f"""
+    WITH ts AS (
+      SELECT CASE WHEN regexp_matches(text, '^\\s*$') THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(text), '\\s+') END AS toks
+      FROM documents
+    ),
+    s0 AS (
+      SELECT {sep2}||
+             array_to_string(list_transform(toks, t -> lower(t)),
+                             {sep2})||{sep2} AS st
+      FROM ts WHERE len(toks) > 0
+    ),
+    {stages_joined},
+    {counts_joined}
+    {union}
+    """
 
 
 def q_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5615,7 +5690,13 @@ _ORACLE_EMBEDDING_STANDARDIZE = """
 
 
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEAKAGE-SAFE train/val/test split (sampling.grouped_split over
+    """VERIFICATION-ONLY ORACLE TWIN — not the production spelling.
+    The exact-jaccard pair feeder below is quadratic (its own docstring
+    calls it dead at 100×); at scale use ``leakage_safe_split_lsh``,
+    the MinHash-LSH spelling with identical split semantics (α=0.78
+    through 5M docs).  Kept because its oracle is exact end-to-end.
+
+    LEAKAGE-SAFE train/val/test split (sampling.grouped_split over
     near-dup clusters): resolve the exact-jaccard duplicate components
     (the dedup_clusters pipeline), group every document by its cluster
     id (singletons by their own id), and split 80/10/10 on the md5 of
@@ -5761,11 +5842,96 @@ def _leakage_split_lsh_oracle_sql() -> str:
 # checks the first 50, and next round's window is 'shift the list'.
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
-_R10_ORDER = [
-    # ==== r10 driver window (50): 1 never-checked r10 op
-    # (leakage_safe_split_lsh), the 7 r7-green remainder
-    # (text_top_tokens … salted_agg_events), and the 42 oldest r8-green
-    # (web_curation … f6_is_not_empty) ====
+_R11_ORDER = [
+    # ==== r11 driver window (50): bpe_merges (first-ever hash check —
+    # its re-deriving oracle landed this round), the 33 r8-green
+    # remainder, and the 16 oldest r9-green ====
+    "bpe_merges",
+    "f7_contains",
+    "cube_orders",
+    "grouping_sets_orders",
+    "dedup_jaccard_capped",
+    "ann_ivf_exact",
+    "sample_stratified",
+    "dedup_normalized",
+    "semi_join_parts",
+    "union_distinct_nations",
+    "etl_chained_mappings",
+    "merge_upsert_orders",
+    "t7_formula",
+    "typed_crypto_pipeline",
+    "window_top_orders",
+    "rollup_orders",
+    "anti_join_customers",
+    "sample_deterministic",
+    "json_extract_props",
+    "value_percentiles",
+    "dedup_exact",
+    "dedup_simhash",
+    "multimodal_features",
+    "f4_not_in",
+    "f5_is_empty",
+    "t3_date_format",
+    "t4_lookup",
+    "join_left_outer",
+    "topk_revenue_orders",
+    "pivot_orders",
+    "unpivot_customer",
+    "distinct_users",
+    "text_repetition",
+    "text_pii_scrub",
+    "ann_ivf_two_level",
+    "url_registered_domain",
+    "sessionize_events",
+    "knn_graph",
+    "part_pagerank",
+    "salted_join_customers",
+    "temperature_mix",
+    "embedding_standardize",
+    "leakage_safe_split",
+    "text_filter_lines",
+    "events_rolling",
+    "dedup_incremental",
+    "asof_join_purchase_click",
+    "doc_length_histogram",
+    "unigram_logprob",
+    "text_strip_html",
+    # ==== past the 50-query window: the 34 remaining r9-green
+    # (due r12), the 50 r10-green (due r12/r13), then rows-only ====
+    "gopher_quality",
+    "mixture_resample",
+    "image_dhash_pairs",
+    "window_funcs_orders",
+    "dedup_doc_lines",
+    "join_full_outer",
+    "tokens_to_ids",
+    "corpus_shuffle",
+    "dedup_representatives",
+    "text_top_bigrams",
+    "length_outliers",
+    "ann_quantized",
+    "image_dhash",
+    "tfidf_terms",
+    "corpus_decontaminate",
+    "sample_by_quality",
+    "etl_dynamic_mapping",
+    "etl_lookup_table",
+    "etl_aggregate_mapping",
+    "spec_validation",
+    "typed_stocks_pipeline",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "dedup_paragraphs",
+    "range_join_buckets",
+    "pack_sequences",
+    "semantic_dedup",
+    "dedup_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "ann_bruteforce",
+    "ann_ivf_approx",
+    "text_metrics",
     "leakage_safe_split_lsh",
     "text_top_tokens",
     "corpus_curation",
@@ -5816,96 +5982,7 @@ _R10_ORDER = [
     "f2_not_equals",
     "f3_in",
     "f6_is_not_empty",
-    # ==== past the 50-query window: the 33 remaining r8-green
-    # (f7_contains … text_pii_scrub, due r11), then the 50 r9-green
-    # (due r11/r12), then rows-only ====
-    "f7_contains",
-    "cube_orders",
-    "grouping_sets_orders",
-    "dedup_jaccard_capped",
-    "ann_ivf_exact",
-    "sample_stratified",
-    "dedup_normalized",
-    "semi_join_parts",
-    "union_distinct_nations",
-    "etl_chained_mappings",
-    "merge_upsert_orders",
-    "t7_formula",
-    "typed_crypto_pipeline",
-    "window_top_orders",
-    "rollup_orders",
-    "anti_join_customers",
-    "sample_deterministic",
-    "json_extract_props",
-    "value_percentiles",
-    "dedup_exact",
-    "dedup_simhash",
-    "multimodal_features",
-    "f4_not_in",
-    "f5_is_empty",
-    "t3_date_format",
-    "t4_lookup",
-    "join_left_outer",
-    "topk_revenue_orders",
-    "pivot_orders",
-    "unpivot_customer",
-    "distinct_users",
-    "text_repetition",
-    "text_pii_scrub",
-    # r9-green block (CORRECTNESS_r09 window, youngest evidence)
-    "ann_ivf_two_level",
-    "url_registered_domain",
-    "sessionize_events",
-    "knn_graph",
-    "part_pagerank",
-    "salted_join_customers",
-    "temperature_mix",
-    "embedding_standardize",
-    "leakage_safe_split",
-    "text_filter_lines",
-    "events_rolling",
-    "dedup_incremental",
-    "asof_join_purchase_click",
-    "doc_length_histogram",
-    "unigram_logprob",
-    "text_strip_html",
-    "gopher_quality",
-    "mixture_resample",
-    "image_dhash_pairs",
-    "window_funcs_orders",
-    "dedup_doc_lines",
-    "join_full_outer",
-    "tokens_to_ids",
-    "corpus_shuffle",
-    "dedup_representatives",
-    "text_top_bigrams",
-    "length_outliers",
-    "ann_quantized",
-    "image_dhash",
-    "tfidf_terms",
-    "corpus_decontaminate",
-    "sample_by_quality",
-    "etl_dynamic_mapping",
-    "etl_lookup_table",
-    "etl_aggregate_mapping",
-    "spec_validation",
-    "typed_stocks_pipeline",
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "dedup_paragraphs",
-    "range_join_buckets",
-    "pack_sequences",
-    "semantic_dedup",
-    "dedup_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "dedup_embedding",
-    "ann_bruteforce",
-    "ann_ivf_approx",
-    "text_metrics",
-    # rows-only by design (no hash signal): permanently out-of-window
     "distinct_users_approx",
-    "bpe_merges",
 ]
 
 
@@ -5918,23 +5995,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with never-checked queries (including operators new this round)
     # first.  With N oracle-checkable entries this bounds every query's
     # driver-evidence age to ceil(N/50) rounds in steady state — 3 rounds
-    # at the current N=123 (125 registered minus the 2 rows-only-by-design
-    # entries, which yield their slots permanently: their driver rows
-    # carry no value-hash signal; they are serial-reference/pytest
-    # verified instead).  ALL entries additionally stay locally
+    # at the current N=134 (135 registered minus distinct_users_approx,
+    # the one remaining rows-only-by-design entry, which yields its slot
+    # permanently: an HLL estimate's driver row carries no value-hash
+    # signal; it is pytest-verified instead).  ALL entries additionally stay locally
     # oracle-verified every round via scripts/check_oracle.py regardless
     # of window position.
     #
-    # Since round 9 the schedule is MATERIALIZED as _R10_ORDER (above):
+    # Since round 9 the schedule is MATERIALIZED as _R11_ORDER (above):
     # the dict literal below keeps its historical grouping for diff
     # hygiene, and the return reorders it through the list, asserting
-    # set-equality so nothing falls out of rotation.  Round-10 window:
-    # 1 never-checked r10 op (leakage_safe_split_lsh), the 7 r7-green
-    # remainder (text_top_tokens … salted_agg_events), and the 42
-    # oldest r8-green (web_curation … f6_is_not_empty).  After this
-    # round no oracle-checkable entry's evidence is older than r8 and
-    # the steady-state ≤3-round age bound holds.
-    # Counts: 135 registered / 133 oracle-checkable — update whenever
+    # set-equality so nothing falls out of rotation.  Round-11 window:
+    # bpe_merges (first-ever hash check — its re-deriving oracle landed
+    # in r11, closing the r10 verdict's last oracle gap), the 33
+    # r8-green remainder, and the 16 oldest r9-green.  After this round
+    # no oracle-checkable entry's evidence is older than r9 and the
+    # steady-state ≤3-round age bound holds.
+    # Counts: 135 registered / 134 oracle-checkable — update whenever
     # the registry changes.
     base = {
         # ---- never driver-checked: new in r9 ----
@@ -6091,10 +6168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
     }
     # dict-literal order above is historical grouping; the SCHEDULE is
-    # _R10_ORDER (asserted complete so a new query cannot be silently
+    # _R11_ORDER (asserted complete so a new query cannot be silently
     # left out of the rotation)
-    assert set(base) == set(_R10_ORDER), sorted(set(base) ^ set(_R10_ORDER))
-    return {k: base[k] for k in _R10_ORDER}
+    assert set(base) == set(_R11_ORDER), sorted(set(base) ^ set(_R11_ORDER))
+    return {k: base[k] for k in _R11_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6183,6 +6260,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selection": _ORACLE_DSIR_SELECTION,
         "corpus_report": _ORACLE_CORPUS_REPORT,
         "apply_merges": _apply_merges_oracle_sql(),
+        "bpe_merges": _bpe_merges_oracle_sql(),
         "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
         "fuzzy_join": _ORACLE_FUZZY_JOIN,
         "pct_rank_events": _ORACLE_PCT_RANK,
