@@ -4933,6 +4933,40 @@ _ORACLE_COPURCHASE_PAIRS = """
 """
 
 
+def q_copurchase_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The freq_cap scale spelling of copurchase_pairs (r10 verdict ask
+    #1 — the ``dedup_jaccard_capped`` hot-item discipline applied to
+    baskets): parts appearing in MORE than ``freq_cap`` orders are
+    dropped from pair generation entirely, the documented-bias control
+    that keeps the pair table bounded when real-world baskets carry hot
+    items (a staple item in 1M baskets contributes 1M × (b−1) pair rows
+    of pure frequency, no co-occurrence signal).  cap=40 bites on the
+    sf0.01 corpus (part frequencies run 14-49, median 30 — the hottest
+    ~5% of parts sit above it) so the oracle genuinely checks the drop
+    semantics without emptying the result."""
+    from csv_etl_spark.operators.affinity import top_cooccurrence
+
+    li = _t(spark, sf_dir, "lineitem", parallelize=True)
+    return top_cooccurrence(
+        li, "l_orderkey", "l_partkey", top_k=50, min_support=2, freq_cap=40
+    )
+
+
+_ORACLE_COPURCHASE_CAPPED = """
+    WITH bi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    sz AS (SELECT bk FROM bi GROUP BY bk HAVING count(*) <= 1000),
+    el AS (SELECT bi.* FROM bi JOIN sz USING (bk)),
+    cold AS (SELECT it FROM el GROUP BY it HAVING count(*) <= 40),
+    el2 AS (SELECT el.* FROM el JOIN cold USING (it)),
+    p AS (SELECT a.it AS item_a, b.it AS item_b, count(*) AS pair_count
+          FROM el2 a JOIN el2 b ON a.bk = b.bk AND a.it < b.it
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT * FROM p ORDER BY pair_count DESC, item_a, item_b LIMIT 50
+"""
+
+
 def q_record_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution CLUSTERS: the blocked fuzzy string join
     (PassJoin segments, joins.py:fuzzy_string_join) feeding the SAME
@@ -5843,9 +5877,10 @@ def _leakage_split_lsh_oracle_sql() -> str:
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
 _R11_ORDER = [
-    # ==== r11 driver window (50): bpe_merges (first-ever hash check —
-    # its re-deriving oracle landed this round), the 33 r8-green
-    # remainder, and the 16 oldest r9-green ====
+    # ==== r11 driver window (50): copurchase_capped (new this round),
+    # bpe_merges (first-ever hash check — its re-deriving oracle landed
+    # this round), the 33 r8-green remainder, and the 15 oldest r9-green ====
+    "copurchase_capped",
     "bpe_merges",
     "f7_contains",
     "cube_orders",
@@ -6006,12 +6041,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the dict literal below keeps its historical grouping for diff
     # hygiene, and the return reorders it through the list, asserting
     # set-equality so nothing falls out of rotation.  Round-11 window:
-    # bpe_merges (first-ever hash check — its re-deriving oracle landed
-    # in r11, closing the r10 verdict's last oracle gap), the 33
-    # r8-green remainder, and the 16 oldest r9-green.  After this round
+    # copurchase_capped (new this round), bpe_merges (first-ever hash
+    # check — its re-deriving oracle landed in r11, closing the r10
+    # verdict's last oracle gap), the 33 r8-green remainder, and the 15
+    # oldest r9-green.  After this round
     # no oracle-checkable entry's evidence is older than r9 and the
     # steady-state ≤3-round age bound holds.
-    # Counts: 135 registered / 134 oracle-checkable — update whenever
+    # Counts: 136 registered / 135 oracle-checkable — update whenever
     # the registry changes.
     base = {
         # ---- never driver-checked: new in r9 ----
@@ -6027,6 +6063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_lineitem": q_corr_lineitem,
         "mad_outliers": q_mad_outliers,
         "copurchase_pairs": q_copurchase_pairs,
+        "copurchase_capped": q_copurchase_capped,
         "sessionize_events": q_sessionize_events,
         "knn_graph": q_knn_graph,
         "part_pagerank": q_part_pagerank,
@@ -6267,6 +6304,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_lineitem": _corr_lineitem_oracle_sql(),
         "mad_outliers": _ORACLE_MAD_OUTLIERS,
         "copurchase_pairs": _ORACLE_COPURCHASE_PAIRS,
+        "copurchase_capped": _ORACLE_COPURCHASE_CAPPED,
         "sessionize_events": _ORACLE_SESSIONIZE_BATCH,
         "knn_graph": _knn_graph_oracle_sql(),  # full routing replicated in SQL
         "part_pagerank": _ORACLE_PART_PAGERANK,

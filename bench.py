@@ -125,6 +125,7 @@ HEADLINE = [
     "corr_lineitem",
     "mad_outliers",
     "copurchase_pairs",
+    "copurchase_capped",
     "record_clusters",
     "url_dedup",
     "events_drift",

@@ -365,6 +365,96 @@ def write_jdbc(df: DataFrame, mode: str = "append", **kwargs) -> None:
     df.write.format("jdbc").options(**jdbc_write_options(**kwargs)).mode(mode).save()
 
 
+def _safe_ident(name: str) -> str:
+    """Refuse identifiers that cannot be safely interpolated into the
+    publish DDL (the staging/target names reach driver-side SQL)."""
+    if not name or not all(c.isalnum() or c == "_" for c in name):
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return name
+
+
+def write_jdbc_staged(
+    df: DataFrame,
+    table: str,
+    connection_factory,
+    publish: str = "rename",
+    write_fn=None,
+    **jdbc_kwargs,
+) -> str:
+    """Staged-ATOMIC JDBC write — transaction-with-rollback semantics for
+    a parallel writer (reference ROADMAP.md:41 "Transaction support with
+    rollback on errors", the last substantive roadmap item).
+
+    Spark's JDBC writer commits PER PARTITION: a mid-write failure
+    leaves the destination half-written, and no amount of isolationLevel
+    tuning fixes that — atomicity has to come from staging.  Discipline:
+
+    1. the full parallel write lands in ``<table>__stage`` (overwritten
+       if a previous failed run left one behind) — partial failures
+       corrupt only the stage;
+    2. publish is ONE driver-side transaction through
+       ``connection_factory`` (a zero-arg callable returning a DBAPI
+       connection — e.g. ``functools.partial(psycopg2.connect, dsn)``):
+       * ``publish="rename"``: drop target if present, rename stage →
+         target (transactional DDL on PostgreSQL/SQLite; on MySQL,
+         ``RENAME TABLE`` is itself atomic but implicitly commits — the
+         swap is still all-or-nothing, the drop+rename pair is not:
+         use ``delete_insert`` there for strict atomicity);
+       * ``publish="delete_insert"``: ``DELETE FROM target; INSERT INTO
+         target SELECT * FROM stage`` in one transaction (target must
+         already exist; preserves grants/indexes/views on engines where
+         rename would drop them), then the stage is dropped outside it;
+    3. any failure before the commit rolls back and drops the stage —
+       the target is never touched.
+
+    ``write_fn(df, stage_table)`` overrides step 1 (tests inject a
+    DBAPI-backed writer because no JDBC driver jar ships in-image; the
+    default is the real ``write_jdbc`` overwrite).  Returns the staging
+    table name it used.  At 100 TB the staged write is the same
+    parallel-partition stream as before — the only serial section is
+    the metadata swap."""
+    target = _safe_ident(table)
+    stage = _safe_ident(f"{table}__stage")
+    if publish not in ("rename", "delete_insert"):
+        raise ValueError("publish must be 'rename' or 'delete_insert'")
+    def _drop_stage() -> None:
+        conn = connection_factory()
+        try:
+            conn.cursor().execute(f"DROP TABLE IF EXISTS {stage}")
+            conn.commit()
+        finally:
+            conn.close()
+
+    try:
+        if write_fn is not None:
+            write_fn(df, stage)
+        else:
+            write_jdbc(df, mode="overwrite", table=stage, **jdbc_kwargs)
+    except Exception:
+        _drop_stage()
+        raise
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        if publish == "rename":
+            cur.execute(f"DROP TABLE IF EXISTS {target}")
+            cur.execute(f"ALTER TABLE {stage} RENAME TO {target}")
+            conn.commit()
+        else:
+            cur.execute(f"DELETE FROM {target}")
+            cur.execute(f"INSERT INTO {target} SELECT * FROM {stage}")
+            conn.commit()
+            cur.execute(f"DROP TABLE IF EXISTS {stage}")
+            conn.commit()
+    except Exception:
+        conn.rollback()
+        conn.close()
+        _drop_stage()
+        raise
+    conn.close()
+    return stage
+
+
 # ---------------------------------------------------------------------------
 # S3 / cloud object storage (reference ROADMAP.md:44 "S3 / Cloud storage")
 # ---------------------------------------------------------------------------

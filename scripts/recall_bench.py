@@ -186,6 +186,25 @@ def main() -> None:
             )
 
         run("two_level_kmfine", _two_level_kmfine)
+        # r11 (verdict ask #3): the implemented recall-target default —
+        # fine = sharding, auto-sized n_coarse = min(4096, √N) (flat-IVF-
+        # equivalent candidates at these scales)...
+        run(
+            "two_level_sharded_auto",
+            lambda: similarity.ivf_two_level_sharded(
+                e, probes, k=K, nprobe=2, corpus_size=n
+            ),
+        )
+        # ...and the capped regime a >16M-vector corpus actually runs in,
+        # emulated by forcing n_coarse far under √N: the auto-raise rule
+        # lifts nprobe_coarse to keep scanned volume at the flat
+        # reference's level (n_coarse=64 → nprobe_eff = 2·√N/64)
+        run(
+            "two_level_sharded_cap64",
+            lambda: similarity.ivf_two_level_sharded(
+                e, probes, k=K, nprobe=2, corpus_size=n, n_coarse=64
+            ),
+        )
         run(
             "quantized",
             lambda: similarity.quantized_topk(e, probes, k=K),

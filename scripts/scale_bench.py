@@ -116,6 +116,7 @@ QUERIES = {
     "fuzzy_join": "sf10",
     "record_clusters": "sf10",
     "copurchase_pairs": "sf10",
+    "copurchase_capped": "sf10",  # r11: freq_cap hot-item control, same axis
     # r9 operators (ann_ivf_two_level reads embeddings, which have no
     # scale-axis generator — its scale argument is the broadcast-only
     # plan assertion in test_ivf_two_level_routed_recall_and_plan)

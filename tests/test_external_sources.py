@@ -511,6 +511,112 @@ def test_read_mongo_query_and_contract(spark):
                    columns=["_id"], num_partitions=2)
 
 
+def _sqlite_factory(db_path):
+    import functools
+    import sqlite3
+
+    return functools.partial(sqlite3.connect, db_path)
+
+
+def _sqlite_write_fn(db_path):
+    """Stand-in for the Spark JDBC stage write (no JDBC driver jar ships
+    in-image): lands the DataFrame's rows in the staging table through
+    sqlite3, driver-side."""
+    def write(df, stage):
+        import sqlite3
+
+        rows = [tuple(r) for r in df.collect()]
+        conn = sqlite3.connect(db_path)
+        try:
+            cols = ", ".join(f"{c} TEXT" for c in df.columns)
+            conn.execute(f"DROP TABLE IF EXISTS {stage}")
+            conn.execute(f"CREATE TABLE {stage} ({cols})")
+            ph = ", ".join("?" for _ in df.columns)
+            conn.executemany(f"INSERT INTO {stage} VALUES ({ph})", rows)
+            conn.commit()
+        finally:
+            conn.close()
+    return write
+
+
+def test_write_jdbc_staged_rename_publishes_atomically(spark, tmp_path):
+    import sqlite3
+
+    from csv_etl_spark.sources.external import write_jdbc_staged
+
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE dest (k TEXT, v TEXT)")
+    conn.execute("INSERT INTO dest VALUES ('old', 'row')")
+    conn.commit(); conn.close()
+    df = spark.createDataFrame([("a", "1"), ("b", "2")], ["k", "v"])
+    stage = write_jdbc_staged(
+        df, "dest", _sqlite_factory(db), write_fn=_sqlite_write_fn(db)
+    )
+    conn = sqlite3.connect(db)
+    got = sorted(conn.execute("SELECT * FROM dest").fetchall())
+    assert got == [("a", "1"), ("b", "2")]
+    # stage is gone (renamed away), old contents replaced wholesale
+    tables = {r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    conn.close()
+    assert stage not in tables and tables == {"dest"}
+
+
+def test_write_jdbc_staged_failure_leaves_target_untouched(spark, tmp_path):
+    import sqlite3
+
+    from csv_etl_spark.sources.external import write_jdbc_staged
+
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE dest (k TEXT, v TEXT)")
+    conn.execute("INSERT INTO dest VALUES ('old', 'row')")
+    conn.commit(); conn.close()
+    df = spark.createDataFrame([("a", "1")], ["k", "v"])
+
+    def boom(df, stage):
+        # simulate a mid-write partition failure AFTER the stage exists
+        _sqlite_write_fn(db)(df, stage)
+        raise RuntimeError("executor lost")
+
+    with pytest.raises(RuntimeError, match="executor lost"):
+        write_jdbc_staged(df, "dest", _sqlite_factory(db), write_fn=boom)
+    conn = sqlite3.connect(db)
+    assert conn.execute("SELECT * FROM dest").fetchall() == [("old", "row")]
+    tables = {r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    conn.close()
+    assert tables == {"dest"}  # stage cleaned up
+
+
+def test_write_jdbc_staged_delete_insert_and_ident_guard(spark, tmp_path):
+    import sqlite3
+
+    from csv_etl_spark.sources.external import write_jdbc_staged
+
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE dest (k TEXT, v TEXT)")
+    conn.execute("INSERT INTO dest VALUES ('old', 'row')")
+    conn.commit(); conn.close()
+    df = spark.createDataFrame([("x", "9")], ["k", "v"])
+    write_jdbc_staged(
+        df, "dest", _sqlite_factory(db),
+        publish="delete_insert", write_fn=_sqlite_write_fn(db),
+    )
+    conn = sqlite3.connect(db)
+    assert conn.execute("SELECT * FROM dest").fetchall() == [("x", "9")]
+    tables = {r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    conn.close()
+    assert tables == {"dest"}
+    with pytest.raises(ValueError, match="unsafe"):
+        write_jdbc_staged(df, "dest; DROP", _sqlite_factory(db))
+    with pytest.raises(ValueError, match="publish"):
+        write_jdbc_staged(df, "dest", _sqlite_factory(db), publish="wat")
+
+
 def test_read_mongo_partitioned_equality_no_duplication(spark):
     """An equality predicate on the partition column must intersect the
     range slices ($eq inside the operator doc), not replace them — the

@@ -2917,6 +2917,71 @@ def test_cooccurrence_collapses_dups_and_guards_oversize(spark):
                            on_oversize="raise").collect()
 
 
+def test_cooccurrence_freq_cap_drops_hot_items(spark):
+    """freq_cap (the hot-item control): an item planted in every basket
+    must vanish from pair generation when it exceeds the cap, leaving
+    the cold pairs' counts untouched — and the cap must be a no-op when
+    no item exceeds it."""
+    from csv_etl_spark.operators.affinity import cooccurrence_pairs
+
+    rows = []
+    for b in range(10):
+        rows.append((b, "hot"))           # in all 10 baskets
+        rows.append((b, f"c{b % 3}"))     # cold items in 3-4 baskets
+        rows.append((b, f"d{b % 3}"))
+    df = spark.createDataFrame(rows, "b int, i string")
+    capped = {
+        (r["item_a"], r["item_b"]): r["pair_count"]
+        for r in cooccurrence_pairs(
+            df, "b", "i", min_support=1, freq_cap=5
+        ).collect()
+    }
+    assert all("hot" not in k for k in capped)
+    # cold pairs keep exact counts: c_k and d_k co-occur in the baskets
+    # where b % 3 == k (4 baskets for k=0, 3 for k=1,2)
+    assert capped == {("c0", "d0"): 4, ("c1", "d1"): 3, ("c2", "d2"): 3}
+    # cap above every frequency = exact semantics
+    exact = {
+        (r["item_a"], r["item_b"]): r["pair_count"]
+        for r in cooccurrence_pairs(df, "b", "i", min_support=1).collect()
+    }
+    high = {
+        (r["item_a"], r["item_b"]): r["pair_count"]
+        for r in cooccurrence_pairs(
+            df, "b", "i", min_support=1, freq_cap=100
+        ).collect()
+    }
+    assert high == exact and ("c0", "hot") in exact
+
+
+def test_cooccurrence_arrow_kernel_integer_items(spark):
+    """The Arrow pair kernel on integer items (the copurchase shape):
+    pairs and counts must match the itertools ground truth, and item_a <
+    item_b ordering must hold."""
+    import itertools
+    import random as _random
+    from collections import Counter
+
+    from csv_etl_spark.operators.affinity import cooccurrence_pairs
+
+    rng = _random.Random(7)
+    rows = [(b, rng.randrange(12)) for b in range(40) for _ in range(rng.randrange(6))]
+    df = spark.createDataFrame(rows, "b int, i long")
+    baskets: dict[int, set] = {}
+    for b, it in rows:
+        baskets.setdefault(b, set()).add(it)
+    want = Counter()
+    for items in baskets.values():
+        for a, c in itertools.combinations(sorted(items), 2):
+            want[(a, c)] += 1
+    got = {
+        (r["item_a"], r["item_b"]): r["pair_count"]
+        for r in cooccurrence_pairs(df, "b", "i", min_support=1).collect()
+    }
+    assert got == dict(want)
+    assert all(a < b for a, b in got)
+
+
 def test_record_clusters_transitive_closure(spark):
     """A–B and B–C at distance 1 with A–C at distance 2: one component
     through the shared middle record — clusters, not just pairs."""
@@ -3387,6 +3452,43 @@ def test_ivf_two_level_routed_recall_and_plan(spark):
     hits = sum(len(per_probe[p] & brute[p]) for p in brute)
     assert hits >= 0.5 * sum(len(v) for v in brute.values()), hits
     plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_two_level_sharded_recall_and_plan(spark):
+    """The recall-target default (fine = sharding, auto-sized coarse):
+    (a) below the coarse cap its candidate set is flat-IVF-equivalent,
+    so recall must match the flat spelling exactly on the same corpus;
+    (b) the capped regime (n_coarse forced small) must auto-raise
+    nprobe_coarse and keep recall ≥ 0.9; (c) the corpus side stays
+    shuffle-free — broadcast joins only, no window over the corpus."""
+    from csv_etl_spark.operators import similarity
+
+    e = _toy_embeddings(spark, n=500)
+    probes = similarity.make_probes(e, n=8)
+    brute = {}
+    for r in similarity.brute_force_topk(e, probes, k=5).collect():
+        brute.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+
+    def recall(out):
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(p, set()) & brute[p]) for p in brute) / sum(
+            len(v) for v in brute.values()
+        )
+
+    # auto mode at 500 vectors: n_coarse = √500 ≈ 22, flat-equivalent
+    auto = similarity.ivf_two_level_sharded(e, probes, k=5, nprobe=2)
+    flat = similarity.ivf_topk(e, probes, k=5, n_centroids=22, nprobe=2)
+    assert abs(recall(auto) - recall(flat)) < 1e-9
+    # capped regime: n_coarse=8 of target 22 → nprobe_eff = ceil(2·22/8) = 6
+    capped = similarity.ivf_two_level_sharded(
+        e, probes, k=5, nprobe=2, n_coarse=8, corpus_size=500
+    )
+    assert recall(capped) >= 0.9
+    plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
 
