@@ -5454,6 +5454,18 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicable in SQL — the oracle computes the SAME √N via a scalar
     subquery and replays the FULL pipeline, not a rows-only check."""
     e = _t(spark, sf_dir, "embeddings")
+    # Codebook = sqrt(N) cells, capped at 4096: this is the FLOP-OPTIMAL
+    # balance for an all-pairs IVF graph (routing costs N*cells sims,
+    # scanning costs N*nprobe*N/cells; the sum is minimized at cells ~
+    # sqrt(nprobe*N)), so total work grows as N^1.5 BY DESIGN and the
+    # 2M-decade ladder's alpha=1.17 (BENCHNOTES_r11_embeddings) is the
+    # asymptote showing through, not a plan defect.  Measured refutation
+    # of the obvious "more cells" fix (r11): forcing members-per-cell to
+    # <=512 (3906 cells at 2M) made the decade 2.5x WORSE (530 s vs
+    # 213 s, BENCHNOTES_r11_knn2) because routing flops N*cells then
+    # dominate.  Past ~16M vectors the right tier is a different
+    # algorithm (LSH-bucketed near-dup graph, or two-level SHARDED
+    # routing amortizing the coarse argmax), not a bigger flat codebook.
     n_centroids = max(8, min(4096, int(math.floor(math.sqrt(e.count())))))
     cents = (
         e.orderBy("vec_id").limit(n_centroids)

@@ -146,9 +146,12 @@ QUERIES = {
     # evidence was a plan-shape note get measured decades.  knn_graph's
     # codebook scales with the corpus (max(8, √N) cells) so its decades
     # measure the N^1.5 design, not the old constant-codebook N².
-    "knn_graph": "sf10",
-    "ann_ivf_two_level": "sf10",
-    "embedding_standardize": "sf10",
+    # r11: fourth decade (2M vectors, gen_scale_embeddings.py sf100) —
+    # the first test of the √N-codebook claim past the 4096-cell cap
+    # (√2M ≈ 1414 still under it; the knn_graph codebook keeps scaling)
+    "knn_graph": "sf100",
+    "ann_ivf_two_level": "sf100",
+    "embedding_standardize": "sf100",
     # r10: temperature resampling scales the doc axis (count agg +
     # map-only keep — expected flat)
     "temperature_mix": "sf100",
