@@ -39,6 +39,11 @@ def get_spark(app_name: str = "csv-etl-spark", shuffle_partitions: int | None = 
         # reasoning as a real cluster's "initial partitions = 2-3x
         # cores, AQE right-sizes per stage".  Small queries still end
         # at few partitions because coalesce merges by size.
+        # r11 A/B at n_runs=5 (BENCHNOTES_r11_aqe_ab.json): of the four
+        # queries r10 flagged, only image_dup_clusters pays a tax
+        # (+0.75 s) while bm25_terms slightly benefits and the rest are
+        # noise — kept, since the widening prevents real OOMs and a
+        # per-query gate isn't worth the config surface.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions * 8)),
