@@ -6,7 +6,9 @@ always gets it): {"metric": ..., "value": <total sec>, "unit": "sec",
 "queries": {<parity subset>: median sec}, "n_queries": N, "n_runs": N,
 "sf": <sf>, "detail": <path>}.  The FULL per-query medians + raw runs +
 spread are written to bench_records/BENCH_FULL_latest.json (override via
-$SPARK_GRAFT_BENCH_DETAIL) — in round 5 raw runs lived on the stdout
+$SPARK_GRAFT_BENCH_DETAIL; each round ALSO snapshots it to the committed
+bench_records/BENCH_FULL_r{N}.json — r11 lost its r10 per-query
+comparison because only the gitignored _latest existed) — in round 5 raw runs lived on the stdout
 line and in round 9 the per-query medians alone did; both times the line
 outgrew the driver's 2000-char tail capture and left the official record
 unparseable ("parsed": null).  The stdout line now carries only the
