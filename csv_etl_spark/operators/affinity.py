@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import BoundedPersistCache
+
 # element types the Arrow pair kernel handles (numpy-representable);
 # anything else falls back to the HOF spelling
 _ARROW_ITEM_TYPES = {
@@ -44,6 +46,18 @@ _ARROW_ITEM_TYPES = {
 # refusal bound for driver-collected hot-item sets: a freq_cap that
 # flags more items than this is a mis-set cap, not a skew problem
 _MAX_HOT_ITEMS = 100_000
+
+# upper bound on pair rows per DataFrame yielded by the Arrow kernel:
+# with max_basket=1000 a single basket is C(1000,2)≈500k pairs and a
+# 10k-row Arrow batch could otherwise materialize billions of rows in
+# the Python worker before the first yield (r11 ADVICE).  2M rows of
+# two skinny columns is tens of MB — bounded regardless of basket mix.
+_PAIR_ROW_BUDGET = 2_000_000
+
+# freq_cap mode reads the basket aggregation twice (hot-set probe +
+# final pair query); persist it once so the heaviest shuffle isn't
+# recomputed (r11 ADVICE)
+_BASKET_CACHE = BoundedPersistCache(max_entries=4)
 
 
 def cooccurrence_pairs(
@@ -77,8 +91,12 @@ def cooccurrence_pairs(
     difference between a bounded pair table and a blowup.  Cost when
     set: one extra item-keyed count agg + a driver-collected hot set
     (refused above 100k items — a cap that hot is a mis-set cap).
+    NOTE: ``freq_cap`` makes this call EAGER — the hot-set probe runs
+    Spark jobs at plan-construction time (the basket aggregation is
+    persisted so the probe and the final pair query share one
+    materialization rather than recomputing the heaviest shuffle).
     ``None`` (default) keeps the exact semantics, which is what the SQL
-    oracle checks.
+    oracle checks, and stays fully lazy.
 
     Plan: one groupBy on the basket key collapsing each basket to a
     sorted distinct-item array (``collect_set`` dedups in the partial
@@ -134,6 +152,12 @@ def cooccurrence_pairs(
 
     hot_items = None
     if freq_cap is not None:
+        # two consumers of the basket agg below (hot-set probe now, pair
+        # query later) — persist once so the groupBy/collect_set shuffle
+        # isn't recomputed.  This also makes the call eager (docstring).
+        kept = _BASKET_CACHE.get_or_persist(
+            kept, "cooccurrence_kept", max_basket, on_oversize
+        )
         # item -> number of KEPT baskets it appears in (arrays are
         # already distinct per basket, so explode counts baskets).  The
         # hot set is tiny by construction — freq_cap is a high-water
@@ -184,7 +208,13 @@ def _arrow_pairs(
     array order (item_a < item_b) preserved.  ``hot_items`` (freq_cap
     mode) are masked out with ``np.isin`` BEFORE expansion so a hot
     item never generates a pair.  Map-only: the one input column is the
-    item array; skinny pair rows come back."""
+    item array; skinny pair rows come back.
+
+    Output is yielded in chunks of at most ``_PAIR_ROW_BUDGET`` pair
+    rows: expansion fan-out is C(b,2) per basket, so one Arrow batch of
+    large baskets could otherwise hold billions of pairs in worker
+    memory before a single yield (r11 ADVICE).  Each size group is
+    split so even a lone C(max_basket,2) basket stays within budget."""
     import numpy as np
     import pandas as pd
 
@@ -207,22 +237,26 @@ def _arrow_pairs(
                 flat = flat[keep]
                 sizes = np.bincount(seg[keep], minlength=len(arrs))
             starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
-            outs_a, outs_b = [], []
             for s in np.unique(sizes):
                 if s < 2:
                     continue
                 sel = np.nonzero(sizes == s)[0]
-                mat = flat[starts[sel, None] + np.arange(s)[None, :]]
                 iu0, iu1 = np.triu_indices(int(s), 1)
-                outs_a.append(mat[:, iu0].ravel())
-                outs_b.append(mat[:, iu1].ravel())
-            if outs_a:
-                yield pd.DataFrame(
-                    {
-                        "item_a": np.concatenate(outs_a),
-                        "item_b": np.concatenate(outs_b),
-                    }
-                )
+                per_basket = len(iu0)  # C(s, 2)
+                # baskets per chunk so each yielded frame holds at most
+                # _PAIR_ROW_BUDGET pairs (≥1 so a single huge basket
+                # still yields — its C(s,2) is bounded by the caller's
+                # max_basket guard)
+                step = max(1, _PAIR_ROW_BUDGET // per_basket)
+                for off in range(0, len(sel), step):
+                    chunk = sel[off : off + step]
+                    mat = flat[starts[chunk, None] + np.arange(s)[None, :]]
+                    yield pd.DataFrame(
+                        {
+                            "item_a": mat[:, iu0].ravel(),
+                            "item_b": mat[:, iu1].ravel(),
+                        }
+                    )
 
     return baskets.mapInPandas(gen, f"item_a {item_t}, item_b {item_t}")
 

@@ -79,7 +79,13 @@ def pagerank(
     (scaled-long integer addition — bit-identical to a DECIMAL(38,8)
     sum, order-independent across engines / partitionings) and every
     rank rounded to ``round_digits``.  Nodes are the union of both edge
-    endpoints; isolated ranks converge to (1-d)/N."""
+    endpoints; isolated ranks converge to (1-d)/N.
+
+    ``dedup``: ``"agg"`` (default) fuses parallel-edge dedup + degree
+    into one collect_set aggregation — fastest, but buffers each src's
+    full out-neighbor set, so switch to ``"distinct"`` when the graph
+    may contain hubs with ≥~1M out-degree (see the in-function hazard
+    note for the buffer math)."""
     raw = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -95,8 +101,16 @@ def pagerank(
     # exact partition width, so no explicit repartition is added back).
     # Hazard note: the per-src set must fit one aggregation buffer —
     # fine for out-degree-bounded graphs (web out-links, part/supplier
-    # co-supply); for graphs with 100M+-out-degree hubs use
-    # ``dedup="distinct"``, the old three-exchange spelling.
+    # co-supply).  The buffer holds BOXED JVM objects, ~10-20× the raw
+    # width, so a single ~1M-out-degree hub already means a
+    # multi-hundred-MB aggregation buffer and likely executor OOM
+    # (r11 ADVICE corrected the earlier 100M figure, which was off by
+    # two orders of magnitude).  For graphs that may contain ≥~1M-out-
+    # degree hubs use ``dedup="distinct"``, the old three-exchange
+    # spelling, whose degree count never buffers the neighbor set.
+    # Auto-detection is deliberately not done: an exact max-out-degree
+    # probe is itself a full src-keyed shuffle — the same cost the
+    # probe would be trying to avoid.
     if dedup == "agg":
         g = raw.groupBy("src").agg(F.collect_set("dst").alias("_ds"))
         built = g.select(

@@ -441,8 +441,15 @@ def write_jdbc_staged(
             cur.execute(f"ALTER TABLE {stage} RENAME TO {target}")
             conn.commit()
         else:
+            # explicit column list on BOTH sides: the stage table has the
+            # DataFrame's column order, but a pre-existing target may not
+            # — positional `INSERT ... SELECT *` would silently write
+            # same-typed columns into the wrong slots (r11 ADVICE)
+            cols = ", ".join(_safe_ident(c) for c in df.columns)
             cur.execute(f"DELETE FROM {target}")
-            cur.execute(f"INSERT INTO {target} SELECT * FROM {stage}")
+            cur.execute(
+                f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {stage}"
+            )
             conn.commit()
             cur.execute(f"DROP TABLE IF EXISTS {stage}")
             conn.commit()

@@ -617,6 +617,31 @@ def test_write_jdbc_staged_delete_insert_and_ident_guard(spark, tmp_path):
         write_jdbc_staged(df, "dest", _sqlite_factory(db), publish="wat")
 
 
+def test_write_jdbc_staged_delete_insert_reordered_target(spark, tmp_path):
+    """delete_insert must write BY COLUMN NAME: a pre-existing target
+    whose column order differs from the DataFrame's (both TEXT, so a
+    positional INSERT would succeed silently) must still land each value
+    in the right column (r11 ADVICE silent-corruption path)."""
+    import sqlite3
+
+    from csv_etl_spark.sources.external import write_jdbc_staged
+
+    db = str(tmp_path / "t.db")
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE dest (v TEXT, k TEXT)")  # reversed order
+    conn.execute("INSERT INTO dest VALUES ('0', 'old')")
+    conn.commit(); conn.close()
+    df = spark.createDataFrame([("key1", "val1")], ["k", "v"])
+    write_jdbc_staged(
+        df, "dest", _sqlite_factory(db),
+        publish="delete_insert", write_fn=_sqlite_write_fn(db),
+    )
+    conn = sqlite3.connect(db)
+    got = conn.execute("SELECT k, v FROM dest").fetchall()
+    conn.close()
+    assert got == [("key1", "val1")]
+
+
 def test_read_mongo_partitioned_equality_no_duplication(spark):
     """An equality predicate on the partition column must intersect the
     range slices ($eq inside the operator doc), not replace them — the

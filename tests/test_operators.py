@@ -2982,6 +2982,38 @@ def test_cooccurrence_arrow_kernel_integer_items(spark):
     assert all(a < b for a, b in got)
 
 
+def test_cooccurrence_arrow_kernel_chunked_yield_exact(spark, monkeypatch):
+    """The per-yield pair-row budget (r11 ADVICE: one Arrow batch of
+    large baskets must not materialize its full C(b,2) fan-out before
+    the first yield): force a tiny budget so every size group splits
+    into many chunks, and verify counts are still exact."""
+    import itertools
+    from collections import Counter
+
+    from csv_etl_spark.operators import affinity
+
+    monkeypatch.setattr(affinity, "_PAIR_ROW_BUDGET", 5)
+    # baskets of size 6 → C(6,2)=15 pairs each, 3× the budget, so each
+    # basket alone forces step=max(1, 5//15)=1 (one basket per chunk)
+    rows = [(b, b * 10 + k) for b in range(8) for k in range(6)]
+    rows += [(100, 1), (100, 2), (100, 3)]  # a small basket too
+    df = spark.createDataFrame(rows, "b int, i long")
+    baskets: dict[int, set] = {}
+    for b, it in rows:
+        baskets.setdefault(b, set()).add(it)
+    want = Counter()
+    for items in baskets.values():
+        for a, c in itertools.combinations(sorted(items), 2):
+            want[(a, c)] += 1
+    got = {
+        (r["item_a"], r["item_b"]): r["pair_count"]
+        for r in affinity.cooccurrence_pairs(
+            df, "b", "i", min_support=1
+        ).collect()
+    }
+    assert got == dict(want)
+
+
 def test_record_clusters_transitive_closure(spark):
     """A–B and B–C at distance 1 with A–C at distance 2: one component
     through the shared middle record — clusters, not just pairs."""
