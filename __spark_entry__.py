@@ -5482,16 +5482,25 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("probe_id", "neighbor_id", "cosine", "rank")
 
 
-def _knn_graph_oracle_sql(nprobe: int = 2, k: int = 3) -> str:
+def _knn_graph_oracle_sql(
+    nprobe: int = 2, k: int = 3, cells_sql: str | None = None
+) -> str:
     # n_centroids replays the Spark side's corpus-scaled codebook:
     # max(8, min(4096, floor(sqrt(N)))) via a scalar subquery, so the
-    # oracle stays a FULL-pipeline replay at every sf
+    # oracle stays a FULL-pipeline replay at every sf.  ``cells_sql``
+    # overrides the codebook-size expression (the sharded tier passes
+    # its bounded-cell formula; everything downstream is identical
+    # because m_super=None routing IS the flat argmax).
     cos_ec = _cos_sql("e.embedding", "c.centroid_vec")
     cos_pc = _cos_sql("p.probe_vec", "c.centroid_vec")
     cos_ap = _cos_sql("a.embedding", "r.probe_vec")
+    if cells_sql is None:
+        cells_sql = (
+            "GREATEST(8, LEAST(4096, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)))"
+        )
     return f"""
     WITH n_cents AS (
-      SELECT GREATEST(8, LEAST(4096, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)))
+      SELECT {cells_sql}
         AS n FROM embeddings
     ),
     cents AS (
@@ -5531,6 +5540,47 @@ def _knn_graph_oracle_sql(nprobe: int = 2, k: int = 3) -> str:
       WHERE a.vec_id <> r.probe_id
     ) WHERE rank <= {k}
     """
+
+
+def q_knn_graph_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH on the BOUNDED-CELL tier (similarity.knn_join_sharded,
+    r11 verdict ask #1 — the ≥16M-vector regime's answer to the flat
+    √N-cell design's measured N^1.5 asymptote).  Codebook = the first
+    max(⌊√N⌋, ⌈N/512⌉) vectors by id: below the ~262k-vector crossover
+    that is exactly the flat √N discipline; above it, cells stay at
+    ~512 members so the scan term is N·nprobe·512 — LINEAR — while
+    hierarchical two-level routing (⌈√C⌉ super-centroids, m_super
+    probed) caps routing at ~N^1.25 with a tiny constant.
+
+    THIS contract spelling routes m_super=None — stage 2 ranks ALL
+    centroids with the flat stable (sim desc, cid asc) rule — so the
+    pipeline is a flat IVF over the bounded codebook and the SQL oracle
+    replays it in full (same CTE chain as knn_graph, different cell
+    count).  The production m_super=4 spelling is recall-measured in
+    RECALL.md and ladder-measured in SCALE.md instead (its routing is
+    approximate, hence not SQL-replayable)."""
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    n_centroids = max(8, int(math.floor(math.sqrt(n))), -(-n // 512))
+    cents = (
+        e.orderBy("vec_id").limit(n_centroids)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return similarity.knn_join_sharded(
+        probes, e, cents, k=3, nprobe=2, m_super=None, exclude_same_id=True
+    ).select("probe_id", "neighbor_id", "cosine", "rank")
+
+
+_KNN_SHARDED_CELLS_SQL = (
+    "GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT), "
+    "CAST(CEIL(COUNT(*) / 512.0) AS BIGINT))"
+)
 
 
 def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5888,10 +5938,99 @@ def _leakage_split_lsh_oracle_sql() -> str:
 # checks the first 50, and next round's window is 'shift the list'.
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
-_R11_ORDER = [
-    # ==== r11 driver window (50): copurchase_capped (new this round),
-    # bpe_merges (first-ever hash check — its re-deriving oracle landed
-    # this round), the 33 r8-green remainder, and the 15 oldest r9-green ====
+_R12_ORDER = [
+    # ==== r12 driver window (50): knn_graph_sharded (new this
+    # round, never checked), the 35 r9-green remainder, and the 14
+    # oldest r10-green.  After this round no oracle-checkable
+    # entry's driver evidence is older than r10. ====
+    "knn_graph_sharded",
+    "text_strip_html",
+    "gopher_quality",
+    "mixture_resample",
+    "image_dhash_pairs",
+    "window_funcs_orders",
+    "dedup_doc_lines",
+    "join_full_outer",
+    "tokens_to_ids",
+    "corpus_shuffle",
+    "dedup_representatives",
+    "text_top_bigrams",
+    "length_outliers",
+    "ann_quantized",
+    "image_dhash",
+    "tfidf_terms",
+    "corpus_decontaminate",
+    "sample_by_quality",
+    "etl_dynamic_mapping",
+    "etl_lookup_table",
+    "etl_aggregate_mapping",
+    "spec_validation",
+    "typed_stocks_pipeline",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "dedup_paragraphs",
+    "range_join_buckets",
+    "pack_sequences",
+    "semantic_dedup",
+    "dedup_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "ann_bruteforce",
+    "ann_ivf_approx",
+    "text_metrics",
+    "leakage_safe_split_lsh",
+    "text_top_tokens",
+    "corpus_curation",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "dedup_incremental_bloom",
+    "chunk_documents",
+    "salted_agg_events",
+    "web_curation",
+    "events_rolling_time",
+    "stats_moments",
+    "training_mix",
+    "scd2_history",
+    "retention_cohorts",
+    # ==== past the 50-query window: the r10/r11-green remainder
+    # (due r13), then rows-only ====
+    "bigram_logprob",
+    "snapshot_diff",
+    "funnel_steps",
+    "image_dup_clusters",
+    "profile_events",
+    "asof_join_forward",
+    "value_histogram",
+    "events_anomalies",
+    "sample_weighted",
+    "bm25_terms",
+    "perplexity_buckets",
+    "boilerplate_lines",
+    "token_budget_mix",
+    "duplicate_spans",
+    "contamination_report",
+    "source_cap",
+    "events_winsorized",
+    "interval_overlap",
+    "remove_dup_spans",
+    "dsir_selection",
+    "corpus_report",
+    "apply_merges",
+    "quality_classifier",
+    "fuzzy_join",
+    "pct_rank_events",
+    "corr_lineitem",
+    "mad_outliers",
+    "copurchase_pairs",
+    "record_clusters",
+    "url_dedup",
+    "events_drift",
+    "key_skew_events",
+    "f1_equals",
+    "f2_not_equals",
+    "f3_in",
+    "f6_is_not_empty",
     "copurchase_capped",
     "bpe_merges",
     "f7_contains",
@@ -5942,93 +6081,6 @@ _R11_ORDER = [
     "asof_join_purchase_click",
     "doc_length_histogram",
     "unigram_logprob",
-    "text_strip_html",
-    # ==== past the 50-query window: the 34 remaining r9-green
-    # (due r12), the 50 r10-green (due r12/r13), then rows-only ====
-    "gopher_quality",
-    "mixture_resample",
-    "image_dhash_pairs",
-    "window_funcs_orders",
-    "dedup_doc_lines",
-    "join_full_outer",
-    "tokens_to_ids",
-    "corpus_shuffle",
-    "dedup_representatives",
-    "text_top_bigrams",
-    "length_outliers",
-    "ann_quantized",
-    "image_dhash",
-    "tfidf_terms",
-    "corpus_decontaminate",
-    "sample_by_quality",
-    "etl_dynamic_mapping",
-    "etl_lookup_table",
-    "etl_aggregate_mapping",
-    "spec_validation",
-    "typed_stocks_pipeline",
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "dedup_paragraphs",
-    "range_join_buckets",
-    "pack_sequences",
-    "semantic_dedup",
-    "dedup_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "dedup_embedding",
-    "ann_bruteforce",
-    "ann_ivf_approx",
-    "text_metrics",
-    "leakage_safe_split_lsh",
-    "text_top_tokens",
-    "corpus_curation",
-    "stream_hourly_counts",
-    "stream_sessionize",
-    "dedup_incremental_bloom",
-    "chunk_documents",
-    "salted_agg_events",
-    "web_curation",
-    "events_rolling_time",
-    "stats_moments",
-    "training_mix",
-    "scd2_history",
-    "retention_cohorts",
-    "bigram_logprob",
-    "snapshot_diff",
-    "funnel_steps",
-    "image_dup_clusters",
-    "profile_events",
-    "asof_join_forward",
-    "value_histogram",
-    "events_anomalies",
-    "sample_weighted",
-    "bm25_terms",
-    "perplexity_buckets",
-    "boilerplate_lines",
-    "token_budget_mix",
-    "duplicate_spans",
-    "contamination_report",
-    "source_cap",
-    "events_winsorized",
-    "interval_overlap",
-    "remove_dup_spans",
-    "dsir_selection",
-    "corpus_report",
-    "apply_merges",
-    "quality_classifier",
-    "fuzzy_join",
-    "pct_rank_events",
-    "corr_lineitem",
-    "mad_outliers",
-    "copurchase_pairs",
-    "record_clusters",
-    "url_dedup",
-    "events_drift",
-    "key_skew_events",
-    "f1_equals",
-    "f2_not_equals",
-    "f3_in",
-    "f6_is_not_empty",
     "distinct_users_approx",
 ]
 
@@ -6042,24 +6094,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with never-checked queries (including operators new this round)
     # first.  With N oracle-checkable entries this bounds every query's
     # driver-evidence age to ceil(N/50) rounds in steady state — 3 rounds
-    # at the current N=134 (135 registered minus distinct_users_approx,
+    # at the current N=136 (137 registered minus distinct_users_approx,
     # the one remaining rows-only-by-design entry, which yields its slot
     # permanently: an HLL estimate's driver row carries no value-hash
     # signal; it is pytest-verified instead).  ALL entries additionally stay locally
     # oracle-verified every round via scripts/check_oracle.py regardless
     # of window position.
     #
-    # Since round 9 the schedule is MATERIALIZED as _R11_ORDER (above):
+    # Since round 9 the schedule is MATERIALIZED as _R12_ORDER (above):
     # the dict literal below keeps its historical grouping for diff
     # hygiene, and the return reorders it through the list, asserting
-    # set-equality so nothing falls out of rotation.  Round-11 window:
-    # copurchase_capped (new this round), bpe_merges (first-ever hash
-    # check — its re-deriving oracle landed in r11, closing the r10
-    # verdict's last oracle gap), the 33 r8-green remainder, and the 15
-    # oldest r9-green.  After this round
-    # no oracle-checkable entry's evidence is older than r9 and the
-    # steady-state ≤3-round age bound holds.
-    # Counts: 136 registered / 135 oracle-checkable — update whenever
+    # set-equality so nothing falls out of rotation.  Round-12 window:
+    # knn_graph_sharded (new this round — the bounded-cell ≥16M-vector
+    # kNN-graph tier), the 35 r9-green remainder, and the 14 oldest
+    # r10-green.  After this round no oracle-checkable entry's driver
+    # evidence is older than r10 and the steady-state ≤3-round age
+    # bound holds.
+    # Counts: 137 registered / 136 oracle-checkable — update whenever
     # the registry changes.
     base = {
         # ---- never driver-checked: new in r9 ----
@@ -6078,6 +6129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_capped": q_copurchase_capped,
         "sessionize_events": q_sessionize_events,
         "knn_graph": q_knn_graph,
+        "knn_graph_sharded": q_knn_graph_sharded,
         "part_pagerank": q_part_pagerank,
         "salted_join_customers": q_salted_join_customers,
         "temperature_mix": q_temperature_mix,
@@ -6217,10 +6269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
     }
     # dict-literal order above is historical grouping; the SCHEDULE is
-    # _R11_ORDER (asserted complete so a new query cannot be silently
+    # _R12_ORDER (asserted complete so a new query cannot be silently
     # left out of the rotation)
-    assert set(base) == set(_R11_ORDER), sorted(set(base) ^ set(_R11_ORDER))
-    return {k: base[k] for k in _R11_ORDER}
+    assert set(base) == set(_R12_ORDER), sorted(set(base) ^ set(_R12_ORDER))
+    return {k: base[k] for k in _R12_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6319,6 +6371,11 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_capped": _ORACLE_COPURCHASE_CAPPED,
         "sessionize_events": _ORACLE_SESSIONIZE_BATCH,
         "knn_graph": _knn_graph_oracle_sql(),  # full routing replicated in SQL
+        # bounded-cell tier, m_super=None spelling: same full-pipeline
+        # replay, only the codebook-size formula differs
+        "knn_graph_sharded": _knn_graph_oracle_sql(
+            cells_sql=_KNN_SHARDED_CELLS_SQL
+        ),
         "part_pagerank": _ORACLE_PART_PAGERANK,
         "salted_join_customers": _ORACLE_SALTED_JOIN,
         "temperature_mix": _ORACLE_TEMPERATURE_MIX,

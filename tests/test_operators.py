@@ -3703,6 +3703,80 @@ def test_knn_join_nprobe_plan_and_recall(spark):
         assert r["neighbor_id"] % 3 == r["probe_id"] % 3
 
 
+def test_knn_join_sharded_exact_spellings(spark):
+    """The bounded-cell tier's exactness ladder: (a) m_super=None +
+    nprobe=None must equal brute force row for row; (b) m_super=None at
+    finite nprobe must equal knn_join over the SAME codebook (flat
+    routing equivalence — the SQL-oracle spelling); (c) the hierarchical
+    m_super path returns full, well-formed top-k on clustered data with
+    the same-cluster property."""
+    import random as _random
+
+    rng = _random.Random(13)
+    base = {c: [4.0 * ((c >> b) & 1) - 2.0 for b in range(8)] for c in range(5)}
+    rows = [
+        (i, [b + rng.uniform(-0.3, 0.3) for b in base[i % 5]])
+        for i in range(200)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = (
+        e.orderBy("vec_id").limit(20)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+
+    def keyed(df):
+        return {(r["probe_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+                for r in df.collect()}
+
+    # (a) double-exact = brute force
+    got = keyed(similarity.knn_join_sharded(
+        probes, e, cents, k=3, nprobe=None, m_super=None,
+        exclude_same_id=True,
+    ))
+    want = keyed(similarity.brute_force_topk(e, probes, k=3))
+    assert got == want and len(got) == 200 * 3
+
+    # (b) flat-routing equivalence at nprobe=2
+    got2 = keyed(similarity.knn_join_sharded(
+        probes, e, cents, k=3, nprobe=2, m_super=None, exclude_same_id=True,
+    ))
+    want2 = keyed(similarity.knn_join(
+        probes, e, cents, k=3, nprobe=2, exclude_same_id=True,
+    ))
+    assert got2 == want2
+
+    # (c) hierarchical routing (supers=ceil(sqrt(20))=5, m=2): full
+    # result, no cartesian, same-cluster neighbors win
+    out = similarity.knn_join_sharded(
+        probes, e, cents, k=3, nprobe=2, m_super=2, exclude_same_id=True,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rowsout = out.collect()
+    assert len(rowsout) == 200 * 3
+    same = sum(1 for r in rowsout if r["neighbor_id"] % 5 == r["probe_id"] % 5)
+    assert same / len(rowsout) > 0.95
+
+
+def test_codebook_arrays_large_cap(spark):
+    """The sharded codebook collect must still be bounded — at its own
+    (higher) cap — and must sort by centroid_id like the 4096 spelling."""
+    big = spark.range(300).select(
+        (F.lit(299) - F.col("id")).alias("centroid_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("centroid_vec"),
+    )
+    ids, mat = similarity._codebook_arrays_large(big, max_cells=512)
+    assert list(ids[:3]) == [0, 1, 2] and mat.shape == (300, 2)
+    with pytest.raises(ValueError, match="cap"):
+        similarity._codebook_arrays_large(big, max_cells=100)
+
+
 def test_knn_join_rejects_non_integral_ids(spark):
     """String ids would silently NULL through the grouped scorer's fixed
     long Arrow schema and drop pairs — knn_join must fail loudly instead
