@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Round-over-round per-query bench diff (r11 verdict ask #4).
+
+Compares two committed ``bench_records/BENCH_FULL_r{N}.json`` snapshots
+(per-query MEDIANS from the same n_runs protocol, so the comparison is
+apples-to-apples — the r10→r11 attribution was impossible because only
+single-run stdout survived) and emits one JSON document:
+
+* per-query ``prev``/``curr``/``delta_sec``/``delta_pct``
+* ``regressions``: queries slower by more than ``--threshold`` (default
+  30%) AND more than 0.3 s absolute (sub-second queries jitter by tens
+  of percent at sf0.1; a pure-percentage gate would cry wolf)
+* ``improvements``: the mirror image
+* ``added`` / ``removed`` query sets
+
+Usage:
+    python scripts/bench_diff.py BENCH_FULL_r11.json BENCH_FULL_r12.json \
+        [--threshold 0.3] [--out BENCHNOTES_r12_diff.json]
+
+Paths are taken relative to ``bench_records/`` when not found as given.
+Exit code is 0 even with regressions (it is an evidence generator, not
+a CI gate); the ``regressions`` list is the round report's input.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# absolute floor below which a percentage regression is jitter, not
+# signal (sf0.1 medians of sub-second queries move ±0.1-0.2 s run to
+# run even at n_runs=3)
+ABS_FLOOR_SEC = 0.3
+
+
+def _load(name: str) -> dict:
+    p = Path(name)
+    if not p.exists():
+        p = REPO / "bench_records" / name
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def diff(prev: dict, curr: dict, threshold: float) -> dict:
+    pq, cq = prev.get("queries", {}), curr.get("queries", {})
+    shared = sorted(set(pq) & set(cq))
+    per_query = {}
+    regressions, improvements = [], []
+    for q in shared:
+        a, b = float(pq[q]), float(cq[q])
+        d = round(b - a, 3)
+        pct = round((b - a) / a, 4) if a > 0 else None
+        per_query[q] = {"prev": a, "curr": b, "delta_sec": d, "delta_pct": pct}
+        if pct is None:
+            continue
+        if pct > threshold and d > ABS_FLOOR_SEC:
+            regressions.append(q)
+        elif pct < -threshold and -d > ABS_FLOOR_SEC:
+            improvements.append(q)
+    regressions.sort(key=lambda q: -per_query[q]["delta_sec"])
+    improvements.sort(key=lambda q: per_query[q]["delta_sec"])
+    return {
+        "threshold_pct": threshold,
+        "abs_floor_sec": ABS_FLOOR_SEC,
+        "prev_total": prev.get("value"),
+        "curr_total": curr.get("value"),
+        "n_shared": len(shared),
+        "added": sorted(set(cq) - set(pq)),
+        "removed": sorted(set(pq) - set(cq)),
+        "regressions": regressions,
+        "improvements": improvements,
+        "per_query": per_query,
+    }
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    threshold = 0.3
+    out_name = None
+    if "--threshold" in args:
+        i = args.index("--threshold")
+        threshold = float(args[i + 1])
+        del args[i : i + 2]
+    if "--out" in args:
+        i = args.index("--out")
+        out_name = args[i + 1]
+        del args[i : i + 2]
+    if len(args) != 2:
+        raise SystemExit(__doc__)
+    result = diff(_load(args[0]), _load(args[1]), threshold)
+    text = json.dumps(result, indent=1)
+    if out_name is not None:
+        (REPO / "bench_records" / out_name).write_text(text)
+    print(text)
+
+
+if __name__ == "__main__":
+    main()

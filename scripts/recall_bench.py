@@ -46,9 +46,23 @@ STEPS = [
     ("sf0.1", "/root/testdata/sf0.1"),
     ("sf1", str(REPO / "scripts" / "scale" / "sf1")),
     ("sf10", str(REPO / "scripts" / "scale" / "sf10")),
+    ("sf100", str(REPO / "scripts" / "scale" / "sf100")),
 ]
 K = 5
 N_PROBES = 50
+
+# at the 2M-vector decade only the RECOMMENDED tiers run (the r10
+# pruning variants are kept at the small decades as the measured
+# evidence for why the sharded default exists; re-measuring a known
+# structural ceiling at 2M buys nothing for its DuckDB-free cost)
+SF100_VARIANTS = {
+    "ivf",
+    "two_level_sharded_auto",
+    "two_level_sharded_cap64",
+    "knn_graph_cells",
+    "knn_sharded_exact",
+    "knn_sharded_m4",
+}
 
 
 def topk_sets(df, k: int) -> dict:
@@ -102,6 +116,8 @@ def main() -> None:
         step_res = {"n_vectors": n, "n_cells": n_cells, "recall_at_k": {}, "sec": {}}
 
         def run(name, fn):
+            if step == "sf100" and name not in SF100_VARIANTS:
+                return
             t0 = time.perf_counter()
             approx = topk_sets(fn(), K)
             step_res["sec"][name] = round(time.perf_counter() - t0, 2)
@@ -225,6 +241,37 @@ def main() -> None:
                 exclude_same_id=True,
             ),
         )
+        # r12: the bounded-cell sharded tier (knn_join_sharded) — cells
+        # = max(8, ⌊√N⌋, ⌈N/512⌉) so the graph scan term is linear past
+        # the ~262k crossover.  "exact" = m_super=None flat routing
+        # (the knn_graph_sharded contract spelling); "m4" = the
+        # production hierarchical routing (two exact-argmax levels,
+        # m_super=4), whose recall this row is the evidence for.
+        n_cells_bounded = max(
+            8, int(math.floor(math.sqrt(n))), -(-n // 512)
+        )
+        bounded_cents = (
+            e.orderBy("vec_id")
+            .limit(n_cells_bounded)
+            .select(
+                F.col("vec_id").cast("int").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        run(
+            "knn_sharded_exact",
+            lambda: similarity.knn_join_sharded(
+                probes, e, bounded_cents, k=K, nprobe=2, m_super=None,
+                exclude_same_id=True,
+            ),
+        )
+        run(
+            "knn_sharded_m4",
+            lambda: similarity.knn_join_sharded(
+                probes, e, bounded_cents, k=K, nprobe=2, m_super=4,
+                exclude_same_id=True,
+            ),
+        )
         results[step] = step_res
         print(f"{step}: {step_res}", file=sys.stderr)
 
@@ -233,7 +280,7 @@ def main() -> None:
             f"recall@{K} vs brute-force exact over the deterministic "
             f"first-{N_PROBES} probes by vec_id; codebooks = deterministic "
             "first-sqrt(N) convention (the contract queries' shapes); "
-            "embeddings axes 2k/20k/200k"
+            "embeddings axes 2k/20k/200k/2M (recommended tiers only at 2M)"
         ),
         "k": K,
         "n_probes": N_PROBES,

@@ -64,3 +64,27 @@ def test_detail_reports_actual_write_path(tmp_path):
 def test_parity_queries_are_all_headline():
     for name in bench.PARITY_QUERIES:
         assert name in bench.HEADLINE
+
+
+def test_bench_diff_parses_snapshots(tmp_path):
+    """scripts/bench_diff.py must parse two BENCH_FULL snapshots and
+    classify regressions/improvements with the absolute-floor guard
+    (r11 verdict ask #4: round-over-round attribution from committed
+    artifacts)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import bench_diff
+
+    prev = {"value": 10.0, "queries": {"a": 1.0, "b": 4.0, "tiny": 0.1, "gone": 1.0}}
+    curr = {"value": 12.0, "queries": {"a": 1.0, "b": 6.0, "tiny": 0.2, "new": 1.0}}
+    d = bench_diff.diff(prev, curr, threshold=0.3)
+    assert d["regressions"] == ["b"]          # +50% and +2.0s
+    assert "tiny" not in d["regressions"]      # +100% but under abs floor
+    assert d["added"] == ["new"] and d["removed"] == ["gone"]
+    assert d["per_query"]["b"]["delta_pct"] == 0.5
+    # and the real committed snapshot parses against itself
+    real = bench_diff._load("BENCH_FULL_r11.json")
+    self_diff = bench_diff.diff(real, real, 0.3)
+    assert self_diff["n_shared"] >= 80 and not self_diff["regressions"]
