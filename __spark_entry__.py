@@ -6275,6 +6275,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: base[k] for k in _R12_ORDER}
 
 
+# ---------------------------------------------------------------------------
+# Registry tier tags (r11 verdict ask #3): machine-readable marking of
+# which queries() entries are RECOMMENDED 100-TB paths and which exist
+# to verify them.  A user discovering the registry programmatically can
+# now filter on this instead of reading docstrings.
+# ---------------------------------------------------------------------------
+
+TIER_SCALE = "scale-path"            # the recommended production spelling
+TIER_TWIN = "verification-twin"      # exact/oracle sibling of a scale path:
+#   correct at every SF but deliberately NOT the 100×-safe plan (quadratic
+#   pair generation, route-every-cell, flat routing over a bounded
+#   codebook); each twin's docstring names its scale sibling
+TIER_ROWS_ONLY = "rows-only"         # estimate-valued; driver row carries
+#   no value-hash signal, verified by pytest against the exact twin
+
+_NON_SCALE_TIERS = {
+    # quadratic exact n-gram Jaccard — scale sibling: dedup_jaccard_capped
+    "dedup_jaccard_pairs": TIER_TWIN,
+    # exact-jaccard cluster feeder — scale sibling: leakage_safe_split_lsh
+    "leakage_safe_split": TIER_TWIN,
+    # route-every-cell IVF (= brute force by construction) — scale
+    # sibling: ann_ivf_approx
+    "ann_ivf_exact": TIER_TWIN,
+    # m_super=None flat routing over the bounded codebook (N·C flops) —
+    # scale sibling: knn_join_sharded(m_super=4), recall/ladder-measured
+    # in RECALL.md / SCALE.md
+    "knn_graph_sharded": TIER_TWIN,
+    # nprobe_coarse/fine=None exact two-level routing — scale sibling:
+    # ivf_two_level_sharded
+    "ann_ivf_two_level": TIER_TWIN,
+    # HLL++ estimate — exact twin: distinct_users
+    "distinct_users_approx": TIER_ROWS_ONLY,
+}
+
+
+def tiers() -> dict[str, str]:
+    """Tier tag for every ``queries()`` entry (complete by construction:
+    keys are the same ``_R12_ORDER`` set the registry asserts)."""
+    return {k: _NON_SCALE_TIERS.get(k, TIER_SCALE) for k in _R12_ORDER}
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "etl_dynamic_mapping": _ORACLE_ETL_DYNAMIC,

@@ -192,6 +192,7 @@ def main() -> None:
         # concurrently with the next pass's timed queries and contend for
         # the block manager (the suspected cause of r5's driver-run passes
         # getting SLOWER on exactly the cached operators).
+        from csv_etl_spark.operators import affinity as _aff
         from csv_etl_spark.operators import classify as _classify
         from csv_etl_spark.operators import dedup as _dedup
         from csv_etl_spark.operators import graph as _graph
@@ -211,8 +212,9 @@ def main() -> None:
         _pack._CUMSUM_CACHE.invalidate(blocking=True)
         # r8 addition: the classifier's (doc, feature) pair cache
         _classify._FEAT_CACHE.invalidate(blocking=True)
-        # (r9: affinity's _BASKET_CACHE removed — the array formulation
-        # has a single consumer chain, so there is no cache to clear)
+        # r12: affinity's _BASKET_CACHE is BACK (freq_cap mode persists
+        # the basket agg for its hot-set probe — r11 ADVICE)
+        _aff._BASKET_CACHE.invalidate(blocking=True)
         # r9 addition: pagerank's persisted link table
         _graph._LINKS_CACHE.invalidate(blocking=True)
 

@@ -10,6 +10,9 @@ stays out of scope (SURVEY §7); everything a dashboard client calls is here:
 | GET  /api/{sources,destinations}/<id>/columns | app.py:461-481 | FileSpec.columns |
 | GET/DELETE /api/mappings[/<id>]       | app.py:392-399 CRUD | SpecStore |
 | POST /api/mappings/<id>/save          | app.py:424-448 visual save | SpecStore.save_mapping |
+| POST /api/upload/<source_id>          | app.py:104-129 file upload | filesystem (containment-checked) |
+| GET  /api/download/<path>             | app.py:131-138 download | send_file from output root |
+| POST /api/delete/<type>/<path>        | app.py:140-155 delete | filesystem (containment-checked) |
 | GET  /api/preview/<src>/<file>        | app.py:515-575 | read_spec_csv + validate |
 | POST /api/preview/<src>/<file>/update | app.py:577-623 | sources.edits.update_csv_row |
 | POST /api/preview/<src>/<file>/convert| app.py:625-677 | plans.transform (gated) |
@@ -85,6 +88,64 @@ def create_app(
         if not path.exists():
             return None, None, (jsonify({"error": "File not found"}), 404)
         return source, path, None
+
+    # -- file operations (reference app.py:103-155, S8) ----------------------
+    # JSON equivalents of the reference's flash-and-redirect routes.
+    # Divergence (deliberate, safety): the reference passes
+    # ``<path:filepath>`` straight into a Path join — a traversal hole;
+    # here every resolved path must stay inside its root or the call is
+    # a loud 400.
+
+    def _contained(root: Path, rel: str) -> Path | None:
+        p = (root / rel).resolve()
+        try:
+            p.relative_to(root.resolve())
+        except ValueError:
+            return None
+        return p
+
+    @app.post("/api/upload/<source_id>")
+    def upload_file(source_id: str):
+        from werkzeug.utils import secure_filename
+
+        spec = store.get_source(source_id)
+        if not spec:
+            return jsonify({"error": "Source not found"}), 404
+        f = request.files.get("file")
+        if f is None or not f.filename:
+            return jsonify({"error": "No file selected"}), 400
+        if not f.filename.endswith(".csv"):
+            # reference upload_file: only CSV is accepted
+            return jsonify({"error": "Only CSV files are allowed"}), 400
+        filename = secure_filename(f.filename)
+        upload_dir = in_root / spec.default_directory
+        upload_dir.mkdir(parents=True, exist_ok=True)
+        f.save(upload_dir / filename)
+        return jsonify({"success": True, "filename": filename}), 201
+
+    @app.get("/api/download/<path:filepath>")
+    def download_file(filepath: str):
+        from flask import send_file
+
+        p = _contained(out_root, filepath)
+        if p is None:
+            return jsonify({"error": "Invalid path"}), 400
+        if not p.is_file():
+            return jsonify({"error": "File not found"}), 404
+        return send_file(p, as_attachment=True)
+
+    @app.post("/api/delete/<file_type>/<path:filepath>")
+    def delete_file(file_type: str, filepath: str):
+        # reference semantics: "input" → input root, anything else →
+        # output root
+        base = in_root if file_type == "input" else out_root
+        p = _contained(base, filepath)
+        if p is None:
+            return jsonify({"error": "Invalid path"}), 400
+        if not p.is_file():
+            return jsonify({"error": "File not found"}), 404
+        p.unlink()
+        return jsonify({"success": True})
 
     # -- spec / mapping CRUD ------------------------------------------------
 

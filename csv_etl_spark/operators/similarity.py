@@ -1041,6 +1041,8 @@ def knn_join_sharded(
     nprobe: int | None = 2,
     m_super: int | None = 4,
     n_super: int | None = None,
+    spill: int = 2,
+    super_iters: int = 3,
     left_id_col: str = "probe_id",
     left_vec_col: str = "probe_vec",
     right_id_col: str = "vec_id",
@@ -1069,17 +1071,23 @@ def knn_join_sharded(
       per-decade rows.
     * **hierarchical routing**: probes route through TWO exact-argmax
       levels instead of one flat scan of all C centroids — first the
-      ``n_super = ⌈√C⌉`` SUPER-centroids (the first √C codebook rows,
-      deterministic), then exactly over the centroids belonging to the
-      ``m_super`` nearest super-cells.  Routing cost per vector is
-      √C·(1+m_super) sims instead of C — at C=3906 (2M vectors) that is
-      311 vs 3906, and asymptotically N^0.25·(1+m) per vector, i.e.
-      total routing N^1.25 with a tiny constant (a third level would
-      give N^1.125; two levels carry to ~10⁹ vectors before routing
-      re-dominates, documented honestly).  Super-membership is computed
-      ONCE driver-side (C×√C sims) and the whole codebook ships as one
-      torrent broadcast, never a Catalyst literal and never a per-task
-      closure pickle.
+      ``n_super = ⌈√C⌉`` SUPER-centroids (``super_iters`` rounds of
+      driver-side spherical k-means over the codebook, init = first-√C
+      rows, deterministic given the codebook), then exactly over the
+      centroids belonging to the ``m_super`` nearest super-cells, with
+      each centroid SPILLED into its ``spill`` nearest supers so a true
+      cell on a super boundary stays reachable from either side (raw
+      first-√C supers without spill measured recall 0.72-0.80 — the
+      RECALL.md finding-4 pruning trap; k-means+spill closes it).
+      Routing cost per vector is √C·(1+spill·m_super) sims instead of
+      C — at C=3906 (2M vectors) that is ~560 vs 3906, and
+      asymptotically N^0.25·(1+spill·m) per vector, i.e. total routing
+      N^1.25 with a tiny constant (a third level would give N^1.125;
+      two levels carry to ~10⁹ vectors before routing re-dominates,
+      documented honestly).  Super-membership is computed ONCE
+      driver-side (C×√C sims per k-means round) and the whole codebook
+      ships as one torrent broadcast, never a Catalyst literal and
+      never a per-task closure pickle.
 
     ``m_super=None`` disables the hierarchy: stage 2 ranks ALL C
     centroids with the identical stable (sim desc, centroid_id asc) tie
@@ -1110,24 +1118,42 @@ def knn_join_sharded(
     if n_super is None:
         n_super = max(1, math.isqrt(n_cells - 1) + 1) if n_cells > 1 else 1
     n_super = min(int(n_super), n_cells)
-    smat = mat[:n_super]
-    # super-membership: each centroid → its nearest super-centroid
-    # (matmul argmax, ties to the lowest super index).  Membership only
+    # Super-centroids: ``super_iters`` rounds of driver-side spherical
+    # k-means over the CODEBOOK (init = first-√C rows, deterministic
+    # given the codebook; C×√C sims per round, trivial next to one
+    # routing pass over the corpus).  Better-shaped supers cut
+    # boundary misses — the r12 recall measurement of raw first-√C
+    # supers read 0.72-0.80 vs the ≥0.9 target.  Membership only
     # steers which centroids stage 2 CONSIDERS under m_super pruning —
-    # the m_super=None exact spelling never reads it — so matmul
-    # precision is sufficient here.  Chunked so the (C, √C) sims matrix
-    # stays small at the cap.
-    members: list[np.ndarray] = [
-        np.empty(0, dtype="int64") for _ in range(n_super)
-    ]
+    # the m_super=None exact spelling never reads any of this — so
+    # matmul precision is sufficient throughout.
+    smat = mat[:n_super].copy()
     _chunk = 65536
-    assign = np.empty(n_cells, dtype="int64")
+    for _ in range(int(super_iters)):
+        assign1 = np.empty(n_cells, dtype="int64")
+        for off in range(0, n_cells, _chunk):
+            assign1[off : off + _chunk] = np.argmax(
+                _sims_matmul(mat[off : off + _chunk], smat), axis=1
+            )
+        for s in range(n_super):
+            sel = assign1 == s
+            if sel.any():
+                smat[s] = mat[sel].mean(axis=0)
+    # SPILLED membership: each centroid lands in its ``spill`` nearest
+    # supers, so a probe whose true cell sits on a super boundary still
+    # reaches it through either side — the redundancy that closes the
+    # hierarchical-pruning recall gap (RECALL.md finding 4) at the cost
+    # of ~spill× stage-2 candidates.
+    n_spill = max(1, min(int(spill), n_super))
+    members: list[np.ndarray] = []
+    spill_assign = np.empty((n_cells, n_spill), dtype="int64")
     for off in range(0, n_cells, _chunk):
-        assign[off : off + _chunk] = np.argmax(
-            _sims_matmul(mat[off : off + _chunk], smat), axis=1
-        )
+        sims_c = _sims_matmul(mat[off : off + _chunk], smat)
+        spill_assign[off : off + _chunk] = np.argsort(
+            -sims_c, axis=1, kind="stable"
+        )[:, :n_spill]
     for s in range(n_super):
-        members[s] = np.nonzero(assign == s)[0]
+        members.append(np.nonzero((spill_assign == s).any(axis=1))[0])
     cn = np.sqrt((mat * mat).sum(axis=1))
 
     sc = left.sparkSession.sparkContext
@@ -1186,51 +1212,43 @@ def knn_join_sharded(
                     sorder[risky] = e_order
             top_s = sorder[:, :m_val]
             # stage 2: exact ranking over the centroids of the routed
-            # supers.  Candidate lists are padded to the batch max and
-            # gathered in row chunks so the (rows, M, dim) gather temp
-            # stays bounded; pad slots are masked to -inf before the
-            # stable argsort (candidates are sorted ascending, so ties
-            # again resolve to the lowest centroid_id).
-            cand_lists = [
-                np.sort(np.concatenate([_members[s] for s in row]))
-                for row in top_s
-            ]
-            lens = np.fromiter(
-                (len(c) for c in cand_lists), dtype="int64", count=n_rows
-            )
-            M = int(lens.max()) if n_rows else 0
-            if M == 0:
-                return pd.Series([[] for _ in range(n_rows)])
-            candmat = np.zeros((n_rows, M), dtype="int64")
-            for i, c in enumerate(cand_lists):
-                candmat[i, : len(c)] = c
-            maskpad = np.arange(M)[None, :] >= lens[:, None]
-            dim = _mat.shape[1]
-            row_budget = max(1, (32 << 20) // max(1, M * dim * 8))
-            sims = np.empty((n_rows, M), dtype="float64")
-            for off in range(0, n_rows, row_budget):
-                sl = slice(off, min(off + row_budget, n_rows))
-                G = _mat[candmat[sl]]  # (chunk, M, dim)
-                num = np.einsum("ijd,id->ij", G, V[sl])
-                denom = vn[sl, None] * _cn[candmat[sl]]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims[sl] = np.where(
-                        denom > 0, num / np.where(denom == 0, 1.0, denom), 0.0
-                    )
-            sims[maskpad] = -np.inf
-            order = np.argsort(-sims, axis=1, kind="stable")
-            srt = np.take_along_axis(sims, order, axis=1)
-            # risky-gap refold at the n_take boundary, per row
-            for i in range(n_rows):
-                t = min(n_take, int(lens[i]))
-                if t < lens[i] and (srt[i, t - 1] - srt[i, t]) < _SELECT_MARGIN:
-                    cands = candmat[i, : lens[i]]
-                    e = _fold_sims(V[i : i + 1], _mat[cands])[0]
-                    order[i, : lens[i]] = np.argsort(-e, kind="stable")
-            out = []
-            for i in range(n_rows):
-                t = min(n_take, int(lens[i]))
-                out.append(_ids[candmat[i, order[i, :t]]].tolist())
+            # supers, GROUPED BY SUPER-COMBINATION: rows sharing the
+            # same m_val-super set share one candidate list, so each
+            # group is ONE dense BLAS matmul (V_group × candidates)
+            # instead of a per-row padded gather.  On clustered corpora
+            # a 10k-row Arrow batch collapses to a handful of combos —
+            # the r12 padded-einsum spelling this replaces was
+            # memory-bound on the (rows, M, dim) gather and measured
+            # 169 s at the 2M-graph decade.  Candidate lists are
+            # np.unique'd (spilled membership overlaps; ascending order
+            # also makes the stable argsort's ties resolve to the
+            # lowest centroid_id, the flat rule).
+            order_key = np.sort(top_s, axis=1)
+            uq, inv = np.unique(order_key, axis=0, return_inverse=True)
+            out: list = [None] * n_rows
+            for g in range(len(uq)):
+                rows_idx = np.nonzero(inv == g)[0]
+                cands = np.unique(
+                    np.concatenate([_members[s] for s in uq[g]])
+                )
+                if not len(cands):
+                    for i in rows_idx:
+                        out[i] = []
+                    continue
+                t = min(n_take, len(cands))
+                sims = _sims_matmul(V[rows_idx], _mat[cands])
+                g_order = np.argsort(-sims, axis=1, kind="stable")
+                if t < len(cands):
+                    srt = np.take_along_axis(sims, g_order, axis=1)
+                    risky = (srt[:, t - 1] - srt[:, t]) < _SELECT_MARGIN
+                    for j in np.nonzero(risky)[0]:
+                        e = _fold_sims(
+                            V[rows_idx[j] : rows_idx[j] + 1], _mat[cands]
+                        )[0]
+                        g_order[j] = np.argsort(-e, kind="stable")
+                picked = cands[g_order[:, :t]]
+                for j, i in enumerate(rows_idx):
+                    out[i] = _ids[picked[j]].tolist()
             return pd.Series(out)
 
         return _route

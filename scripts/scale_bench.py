@@ -116,7 +116,7 @@ QUERIES = {
     "fuzzy_join": "sf10",
     "record_clusters": "sf10",
     "copurchase_pairs": "sf10",
-    "copurchase_capped": "sf10",  # r11: freq_cap hot-item control, same axis
+    "copurchase_capped": "sf100",  # r11 freq_cap control; r12: 600M decade (verdict ask #7)
     # r9 operators (ann_ivf_two_level reads embeddings, which have no
     # scale-axis generator — its scale argument is the broadcast-only
     # plan assertion in test_ivf_two_level_routed_recall_and_plan)
@@ -128,7 +128,7 @@ QUERIES = {
     # its scale argument is the no-cartesian cell-equijoin plan pin in
     # test_knn_join_nprobe_plan_and_recall.
     "sessionize_events": "sf100",
-    "part_pagerank": "sf10",
+    "part_pagerank": "sf100",  # r12: 600M-edge decade (verdict ask #7)
     # r10: the LSH-fed leakage-safe split (the scale spelling of the
     # exact-jaccard twin, which stops at sf1 by design — see
     # dedup_jaccard_pairs above).  Capped at sf10 for the same corpus
@@ -158,6 +158,13 @@ QUERIES = {
     # fact side scales the event axis; the planted hot key keeps 25% of
     # rows on one join key at every size — the salting is what's measured
     "salted_join_customers": "sf10",
+    # r12: the PRODUCTION spelling of the bounded-cell kNN-graph tier
+    # (knn_join_sharded, m_super=4 hierarchical routing + spill — NOT the
+    # registry's m_super=None oracle twin, whose flat routing over N/512
+    # cells is the very cost this tier removes).  Defined locally in
+    # _extra_queries(); its ladder is the r11 verdict ask-#1 evidence
+    # replacing knn_graph's N^1.5 asymptote.
+    "knn_graph_sharded_m4": "sf100",
 }
 STEPS = [
     ("sf0.1", "/root/testdata/sf0.1", 5_000),
@@ -172,6 +179,7 @@ N_RUNS = 3
 
 
 def clear_caches() -> None:
+    from csv_etl_spark.operators import affinity as _aff
     from csv_etl_spark.operators import classify as _classify
     from csv_etl_spark.operators import graph as _graph
     from csv_etl_spark.operators import dedup as _dedup
@@ -189,9 +197,40 @@ def clear_caches() -> None:
     _pack._CUMSUM_CACHE.invalidate(blocking=True)
     # r8 addition: the classifier's (doc, feature) pair cache
     _classify._FEAT_CACHE.invalidate(blocking=True)
-    # (r9: affinity's _BASKET_CACHE removed with the array formulation)
+    # r12: affinity's _BASKET_CACHE is back (freq_cap hot-set persist)
+    _aff._BASKET_CACHE.invalidate(blocking=True)
     # r9 addition: pagerank's persisted link table
     _graph._LINKS_CACHE.invalidate(blocking=True)
+
+
+def _extra_queries() -> dict:
+    """Scale-ladder-only queries that are deliberately NOT registry
+    entries: the production (approximate-routing) spellings whose exact
+    twins carry the oracle."""
+    from pyspark.sql import functions as F
+
+    from csv_etl_spark.operators import similarity
+
+    def knn_graph_sharded_m4(spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = e.count()
+        n_centroids = max(8, int(math.floor(math.sqrt(n))), -(-n // 512))
+        cents = (
+            e.orderBy("vec_id").limit(n_centroids)
+            .select(
+                F.col("vec_id").cast("int").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        probes = e.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+        return similarity.knn_join_sharded(
+            probes, e, cents, k=3, nprobe=2, m_super=4, exclude_same_id=True
+        )
+
+    return {"knn_graph_sharded_m4": knn_graph_sharded_m4}
 
 
 def main() -> None:
@@ -224,7 +263,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("csv-etl-spark-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_mod.queries()
+    qs = {**entry_mod.queries(), **_extra_queries()}
 
     # same synthetic warm-up as bench.py: JVM/codegen/python-worker pool —
     # without it the first timed query absorbs session startup and poisons
@@ -278,7 +317,8 @@ def main() -> None:
                 "sf0.1": 15_000, "sf1": 150_000, "sf10": 1_500_000
             },
             "lineitem_counts": {
-                "sf0.1": 600_000, "sf1": 6_000_000, "sf10": 60_000_000
+                "sf0.1": 600_000, "sf1": 6_000_000, "sf10": 60_000_000,
+                "sf100": 600_000_000,
             },
             "median_sec": results,
             "result_rows": rows_out,

@@ -284,3 +284,63 @@ def test_created_source_spec_is_immediately_usable(env):
     body = r.get_json()
     assert body["columns"] == ["A", "B"] and body["total"] == 2
     assert body["rows"][0]["A"] == "hello"
+
+
+def test_file_upload_download_delete(env):
+    """S8 file operations (reference app.py:103-155): upload lands under
+    the source's directory, only .csv accepted, download serves from the
+    output root, delete removes from either root by type."""
+    import io
+
+    client, tmp_path, _ = env
+    # upload: happy path
+    r = client.post(
+        "/api/upload/src1",
+        data={"file": (io.BytesIO(b"Date,Ticker,Type\n2024-01-01,X,BUY\n"),
+                       "up.csv")},
+        content_type="multipart/form-data",
+    )
+    assert r.status_code == 201 and r.get_json()["filename"] == "up.csv"
+    assert (tmp_path / "in" / "s1" / "up.csv").exists()
+    # upload guards: unknown source, no file, non-CSV
+    assert client.post("/api/upload/nope", data={}).status_code == 404
+    assert client.post(
+        "/api/upload/src1", data={}, content_type="multipart/form-data"
+    ).status_code == 400
+    r = client.post(
+        "/api/upload/src1",
+        data={"file": (io.BytesIO(b"x"), "evil.exe")},
+        content_type="multipart/form-data",
+    )
+    assert r.status_code == 400 and "CSV" in r.get_json()["error"]
+
+    # download from the output root
+    out_dir = tmp_path / "out" / "d1"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "result.csv").write_text("date,symbol\n01.01.2024,X\n")
+    r = client.get("/api/download/d1/result.csv")
+    assert r.status_code == 200
+    assert b"01.01.2024" in r.data
+    assert client.get("/api/download/d1/missing.csv").status_code == 404
+
+    # delete: input type, then output type
+    r = client.post("/api/delete/input/s1/up.csv")
+    assert r.status_code == 200
+    assert not (tmp_path / "in" / "s1" / "up.csv").exists()
+    r = client.post("/api/delete/output/d1/result.csv")
+    assert r.status_code == 200
+    assert not (out_dir / "result.csv").exists()
+    assert client.post("/api/delete/input/s1/up.csv").status_code == 404
+
+
+def test_file_ops_refuse_path_traversal(env, tmp_path_factory):
+    """Documented divergence from the reference: ../ paths must be a
+    loud 400, never an escape from the configured roots."""
+    client, tmp_path, _ = env
+    outside = tmp_path / "secret.txt"
+    outside.write_text("keep me")
+    r = client.get("/api/download/../secret.txt")
+    assert r.status_code in (400, 404)  # flask may normalize; either refuses
+    r = client.post("/api/delete/input/../secret.txt")
+    assert r.status_code in (400, 404)
+    assert outside.exists()

@@ -351,6 +351,32 @@ def test_approx_distinct_within_tolerance(spark):
         assert abs(approx[k] - n) / max(n, 1) <= 0.02, (k, n, approx[k])
 
 
+def test_registry_tier_tags_complete():
+    """tiers() (r11 verdict ask #3): every registry entry carries a
+    machine-readable tier tag, the tag table covers the registry exactly
+    (same set-equality discipline as the _R12_ORDER assert), and the
+    documented verification-only spellings can no longer be mistaken for
+    recommended paths programmatically."""
+    import __spark_entry__ as E
+
+    t = E.tiers()
+    assert set(t) == set(E._R12_ORDER)
+    valid = {E.TIER_SCALE, E.TIER_TWIN, E.TIER_ROWS_ONLY}
+    assert set(t.values()) <= valid
+    # every override key must be a real registry entry (a typo'd key
+    # would silently tag nothing)
+    assert set(E._NON_SCALE_TIERS) <= set(t)
+    # the spellings r10/r11 verdicts called out
+    assert t["dedup_jaccard_pairs"] == E.TIER_TWIN
+    assert t["leakage_safe_split"] == E.TIER_TWIN
+    assert t["knn_graph_sharded"] == E.TIER_TWIN
+    assert t["distinct_users_approx"] == E.TIER_ROWS_ONLY
+    # their scale siblings stay recommended
+    assert t["dedup_jaccard_capped"] == E.TIER_SCALE
+    assert t["leakage_safe_split_lsh"] == E.TIER_SCALE
+    assert t["knn_graph"] == E.TIER_SCALE
+
+
 def test_resolve_duplicate_clusters(spark):
     """Chain 1-2-3, pair 10-11, singleton edge 20-21: min-label CC."""
     pairs = spark.createDataFrame(
