@@ -506,31 +506,6 @@ def resolve_duplicate_clusters(
         .withColumn("label", F.col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # SIZE-AWARE exchange width for the iteration loop (r11 verdict ask
-    # #5): the session-wide AQE ``initialPartitionNum`` widening exists
-    # for the multi-million-row 5M-doc LSH/CC stages (measured
-    # SparkOutOfMemoryError without it), but an ITERATIVE loop pays its
-    # per-round fixed cost (task dispatch × partitions × jobs-per-round)
-    # every round — at sf0.1 image_dup_clusters that tax measured
-    # +0.75 s/28% for a few-hundred-edge graph.  The edge count is known
-    # here (the persisted frame must materialize anyway), so pin the
-    # loop's initial width to ~50k edge-rows per task, clamped to
-    # [shuffle.partitions, session initial] — big graphs keep the full
-    # OOM-protecting width, small graphs stop paying 8× dispatch per
-    # round.  Restored in the ``finally``.
-    spark = pairs.sparkSession
-    _INITIAL_KEY = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-    n_edges = edges.count()
-    try:
-        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        sp = 32
-    try:
-        session_initial = int(spark.conf.get(_INITIAL_KEY))
-    except Exception:
-        session_initial = sp * 8
-    loop_initial = max(sp, min(session_initial, -(-n_edges // 50_000)))
-    spark.conf.set(_INITIAL_KEY, str(loop_initial))
     converged = False
     try:
         for _ in range(max_iterations):
@@ -579,11 +554,8 @@ def resolve_duplicate_clusters(
                 RuntimeWarning,
                 stacklevel=2,
             )
-        # the last round's labels are already localCheckpoint-materialized,
-        # so restoring the session width below cannot re-widen this result
         return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
     finally:
-        spark.conf.set(_INITIAL_KEY, str(session_initial))
         edges.unpersist()
 
 
