@@ -144,6 +144,10 @@ HEADLINE = [
     "embedding_standardize",
     "leakage_safe_split",
     "leakage_safe_split_lsh",
+    # round 12 addition: the bounded-cell kNN-graph tier's contract
+    # spelling (m_super=None flat routing — the SQL-oracle twin; the
+    # m_super=4 production routing is ladder-measured in SCALE.md)
+    "knn_graph_sharded",
 ]
 
 
@@ -192,7 +196,6 @@ def main() -> None:
         # concurrently with the next pass's timed queries and contend for
         # the block manager (the suspected cause of r5's driver-run passes
         # getting SLOWER on exactly the cached operators).
-        from csv_etl_spark.operators import affinity as _aff
         from csv_etl_spark.operators import classify as _classify
         from csv_etl_spark.operators import dedup as _dedup
         from csv_etl_spark.operators import graph as _graph
@@ -212,9 +215,6 @@ def main() -> None:
         _pack._CUMSUM_CACHE.invalidate(blocking=True)
         # r8 addition: the classifier's (doc, feature) pair cache
         _classify._FEAT_CACHE.invalidate(blocking=True)
-        # r12: affinity's _BASKET_CACHE is BACK (freq_cap mode persists
-        # the basket agg for its hot-set probe — r11 ADVICE)
-        _aff._BASKET_CACHE.invalidate(blocking=True)
         # r9 addition: pagerank's persisted link table
         _graph._LINKS_CACHE.invalidate(blocking=True)
 

@@ -34,8 +34,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._cache import BoundedPersistCache
-
 # element types the Arrow pair kernel handles (numpy-representable);
 # anything else falls back to the HOF spelling
 _ARROW_ITEM_TYPES = {
@@ -54,10 +52,15 @@ _MAX_HOT_ITEMS = 100_000
 # two skinny columns is tens of MB — bounded regardless of basket mix.
 _PAIR_ROW_BUDGET = 2_000_000
 
-# freq_cap mode reads the basket aggregation twice (hot-set probe +
-# final pair query); persist it once so the heaviest shuffle isn't
-# recomputed (r11 ADVICE)
-_BASKET_CACHE = BoundedPersistCache(max_entries=4)
+# NOTE (r12, measured refutation of the r11 ADVICE "persist the basket
+# agg around the freq_cap hot-set probe"): persisting `kept` made
+# copurchase_capped SLOWER at every size — sf0.1 2.50→4.79 s, 6M
+# 5.32→13.03 s, 60M 32.1→43.5 s (BENCHNOTES_r12_lineitem.json A/B) —
+# because materializing the array-typed basket column into the block
+# manager costs more than the second aggregation pass it saves: the
+# hot-set probe's pipeline prunes to the exploded items only, while a
+# persist must serialize the full arrays.  The double computation is
+# the measured-faster plan; the probe stays unpersisted by choice.
 
 
 def cooccurrence_pairs(
@@ -92,9 +95,9 @@ def cooccurrence_pairs(
     set: one extra item-keyed count agg + a driver-collected hot set
     (refused above 100k items — a cap that hot is a mis-set cap).
     NOTE: ``freq_cap`` makes this call EAGER — the hot-set probe runs
-    Spark jobs at plan-construction time (the basket aggregation is
-    persisted so the probe and the final pair query share one
-    materialization rather than recomputing the heaviest shuffle).
+    Spark jobs at plan-construction time.  The basket aggregation is
+    recomputed by the pair query rather than persisted: the r12 A/B
+    measured the persist slower at every size (module-level note).
     ``None`` (default) keeps the exact semantics, which is what the SQL
     oracle checks, and stays fully lazy.
 
@@ -152,12 +155,9 @@ def cooccurrence_pairs(
 
     hot_items = None
     if freq_cap is not None:
-        # two consumers of the basket agg below (hot-set probe now, pair
-        # query later) — persist once so the groupBy/collect_set shuffle
-        # isn't recomputed.  This also makes the call eager (docstring).
-        kept = _BASKET_CACHE.get_or_persist(
-            kept, "cooccurrence_kept", max_basket, on_oversize
-        )
+        # the basket agg is deliberately NOT persisted across the two
+        # consumers (hot-set probe here, pair query later): measured
+        # slower at every size — see the module-level r12 note
         # item -> number of KEPT baskets it appears in (arrays are
         # already distinct per basket, so explode counts baskets).  The
         # hot set is tiny by construction — freq_cap is a high-water

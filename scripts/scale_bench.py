@@ -179,7 +179,6 @@ N_RUNS = 3
 
 
 def clear_caches() -> None:
-    from csv_etl_spark.operators import affinity as _aff
     from csv_etl_spark.operators import classify as _classify
     from csv_etl_spark.operators import graph as _graph
     from csv_etl_spark.operators import dedup as _dedup
@@ -197,8 +196,6 @@ def clear_caches() -> None:
     _pack._CUMSUM_CACHE.invalidate(blocking=True)
     # r8 addition: the classifier's (doc, feature) pair cache
     _classify._FEAT_CACHE.invalidate(blocking=True)
-    # r12: affinity's _BASKET_CACHE is back (freq_cap hot-set persist)
-    _aff._BASKET_CACHE.invalidate(blocking=True)
     # r9 addition: pagerank's persisted link table
     _graph._LINKS_CACHE.invalidate(blocking=True)
 
