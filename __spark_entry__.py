@@ -5463,9 +5463,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the obvious "more cells" fix (r11): forcing members-per-cell to
     # <=512 (3906 cells at 2M) made the decade 2.5x WORSE (530 s vs
     # 213 s, BENCHNOTES_r11_knn2) because routing flops N*cells then
-    # dominate.  Past ~16M vectors the right tier is a different
-    # algorithm (LSH-bucketed near-dup graph, or two-level SHARDED
-    # routing amortizing the coarse argmax), not a bigger flat codebook.
+    # dominate.  Past ~16M vectors the right tier is IMPLEMENTED (r12):
+    # similarity.knn_join_sharded — bounded cells with hierarchical
+    # k-means+spill routing (linear scan, ~N^1.25 routing; measured
+    # alpha 0.99 and recall@5 1.000 at the 2M decade vs this query's
+    # 1.17 — BENCHNOTES_r12_knn_sharded, RECALL.md).  This flat-codebook
+    # spelling remains the recommended tier BELOW that crossover.
     n_centroids = max(8, min(4096, int(math.floor(math.sqrt(e.count())))))
     cents = (
         e.orderBy("vec_id").limit(n_centroids)

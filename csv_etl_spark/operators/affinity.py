@@ -92,8 +92,12 @@ def cooccurrence_pairs(
     carrying no co-occurrence signal (its support with everything is
     just its own frequency); on skewed real-world baskets this is the
     difference between a bounded pair table and a blowup.  Cost when
-    set: one extra item-keyed count agg + a driver-collected hot set
-    (refused above 100k items — a cap that hot is a mis-set cap).
+    set: one extra item-keyed count agg + a driver-collected hot set;
+    past ``_MAX_HOT_ITEMS`` the hot set is removed with a DISTRIBUTED
+    left_anti join + basket re-agg instead (r12 — measured at the
+    600M-line decade, where a uniform 20M-part catalog puts ~3% of
+    items over cap and hot-set size scales with the catalog; two extra
+    shuffles, nothing driver-side, identical semantics).
     NOTE: ``freq_cap`` makes this call EAGER — the hot-set probe runs
     Spark jobs at plan-construction time.  The basket aggregation is
     recomputed by the pair query rather than persisted: the r12 A/B
@@ -159,24 +163,35 @@ def cooccurrence_pairs(
         # consumers (hot-set probe here, pair query later): measured
         # slower at every size — see the module-level r12 note
         # item -> number of KEPT baskets it appears in (arrays are
-        # already distinct per basket, so explode counts baskets).  The
-        # hot set is tiny by construction — freq_cap is a high-water
-        # mark — and the collect is refused above _MAX_HOT_ITEMS.
+        # already distinct per basket, so explode counts baskets).
         hot = (
             kept.select(F.explode("_items").alias("_it"))
             .groupBy("_it")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > F.lit(int(freq_cap)))
             .select("_it")
-            .limit(_MAX_HOT_ITEMS + 1)
         )
-        rows = hot.collect()
+        rows = hot.limit(_MAX_HOT_ITEMS + 1).collect()
         if len(rows) > _MAX_HOT_ITEMS:
-            raise ValueError(
-                f"cooccurrence_pairs: freq_cap={freq_cap} flags more than "
-                f"{_MAX_HOT_ITEMS} hot items — raise the cap"
+            # HOT SET TOO BIG TO COLLECT (r12, measured at the 600M-line
+            # decade: freq_cap=40 over a 20M-part catalog flags ~3% of
+            # items = far past the driver bound — hot-set size scales
+            # with CATALOG size, not a mis-set cap as the r11 refusal
+            # assumed).  Scale spelling: remove hot items with a
+            # DISTRIBUTED left_anti join and re-aggregate the baskets —
+            # two extra shuffles ((bk,item) anti-join + re-agg), nothing
+            # driver-side, identical semantics to the kernel mask (size
+            # guard first, then hot removal, exactly like the np.isin
+            # path).  The collect fast path stays for the common small
+            # hot set, where the kernel mask costs no extra shuffle.
+            kept = (
+                kept.select("_bk", F.explode("_items").alias("_it"))
+                .join(hot, "_it", "left_anti")
+                .groupBy("_bk")
+                .agg(F.sort_array(F.collect_set("_it")).alias("_items"))
             )
-        hot_items = [r["_it"] for r in rows]
+        else:
+            hot_items = [r["_it"] for r in rows]
 
     if item_t in _ARROW_ITEM_TYPES:
         pairs = _arrow_pairs(kept.select("_items"), item_t, hot_items)

@@ -2980,6 +2980,36 @@ def test_cooccurrence_freq_cap_drops_hot_items(spark):
     assert high == exact and ("c0", "hot") in exact
 
 
+def test_cooccurrence_freq_cap_join_path_matches_collect(spark, monkeypatch):
+    """When the hot set outgrows the driver-collect bound, the
+    distributed left_anti spelling must produce EXACTLY the kernel-mask
+    result (r12 — the 600M-decade refusal turned into an auto-switch)."""
+    from csv_etl_spark.operators import affinity
+
+    rows = []
+    for b in range(12):
+        rows.append((b, "hot1"))
+        rows.append((b, "hot2"))
+        rows.append((b, f"c{b % 3}"))
+        rows.append((b, f"d{b % 3}"))
+    df = spark.createDataFrame(rows, "b int, i string")
+
+    def capped(**kw):
+        return {
+            (r["item_a"], r["item_b"]): r["pair_count"]
+            for r in affinity.cooccurrence_pairs(
+                df, "b", "i", min_support=1, freq_cap=5
+            ).collect()
+        }
+
+    via_collect = capped()
+    monkeypatch.setattr(affinity, "_MAX_HOT_ITEMS", 1)  # force the join path
+    via_join = capped()
+    assert via_join == via_collect
+    assert all("hot" not in a and "hot" not in b for a, b in via_join)
+    assert via_join == {("c0", "d0"): 4, ("c1", "d1"): 4, ("c2", "d2"): 4}
+
+
 def test_cooccurrence_arrow_kernel_integer_items(spark):
     """The Arrow pair kernel on integer items (the copurchase shape):
     pairs and counts must match the itertools ground truth, and item_a <
