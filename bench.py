@@ -217,6 +217,10 @@ def main() -> None:
         _classify._FEAT_CACHE.invalidate(blocking=True)
         # r9 addition: pagerank's persisted link table
         _graph._LINKS_CACHE.invalidate(blocking=True)
+        # r13 addition (ADVICE r12): knn_join_sharded codebook broadcasts
+        # otherwise accumulate ~128 MB/call across bench passes; destroy=True
+        # is safe here — every returned frame was consumed by the timed pass
+        _sim.release_sharded_broadcasts(destroy=True)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # optional subset (comma-separated names): regression re-timing runs

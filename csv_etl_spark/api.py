@@ -118,7 +118,12 @@ def create_app(
             # reference upload_file: only CSV is accepted
             return jsonify({"error": "Only CSV files are allowed"}), 400
         filename = secure_filename(f.filename)
-        upload_dir = in_root / spec.default_directory
+        # the spec's directory is client-settable (POST /api/specs/sources),
+        # so it gets the same containment check as download/delete paths —
+        # '../' or an absolute default_directory must not escape the root
+        upload_dir = _contained(in_root, spec.default_directory)
+        if upload_dir is None:
+            return jsonify({"error": "Invalid source directory"}), 400
         upload_dir.mkdir(parents=True, exist_ok=True)
         f.save(upload_dir / filename)
         return jsonify({"success": True, "filename": filename}), 201
@@ -170,14 +175,22 @@ def create_app(
             data = {**data, "id": data.get("name", "").lower().replace(" ", "_")}
         if not data["id"]:
             raise ValueError("Spec needs an id or a name")
-        return FileSpec.from_dict(data)
+        spec = FileSpec.from_dict(data)
+        # default_directory feeds Path joins under the input/output roots
+        # (_source_file, upload_file, _materialize_spec, convert) — refuse
+        # '../' and absolute paths at save time so no later join can escape
+        if spec.default_directory and _contained(in_root, spec.default_directory) is None:
+            raise ValueError("default_directory escapes the data root")
+        return spec
 
     def _materialize_spec(spec: FileSpec, root: Path) -> None:
         # side-effect of spec save, not a data path: directory + template
         # so the user's next upload has a landing spot and a header model
         if not spec.default_directory:
             return
-        d = root / spec.default_directory
+        d = _contained(root, spec.default_directory)
+        if d is None:  # pre-validation persisted spec with a hostile path
+            return
         d.mkdir(parents=True, exist_ok=True)
         if spec.columns:
             write_template_csv(spark, spec, str(d))

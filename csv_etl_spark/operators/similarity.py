@@ -1033,6 +1033,36 @@ def _codebook_arrays_large(
     return ids, mat
 
 
+# live codebook broadcasts from knn_join_sharded calls this session —
+# see release_sharded_broadcasts() below
+_SHARDED_BROADCASTS: list = []
+
+
+def release_sharded_broadcasts(blocking: bool = True, destroy: bool = False) -> int:
+    """Release every codebook broadcast shipped by prior
+    ``knn_join_sharded`` calls (ADVICE r12: each call torrent-broadcasts
+    up to ~128 MB and bench/recall loops would otherwise accumulate them
+    for the session lifetime).
+
+    ``unpersist`` drops executor-side copies (a later re-execution of a
+    returned frame refetches from the driver, so it is always safe);
+    ``destroy=True`` additionally frees the driver-side copy but makes
+    any still-unconsumed returned DataFrame unusable — bench's
+    clear_operator_caches uses it between passes where nothing is live.
+    Returns the number of broadcasts released."""
+    n = len(_SHARDED_BROADCASTS)
+    for bc in _SHARDED_BROADCASTS:
+        try:
+            if destroy:
+                bc.destroy()
+            else:
+                bc.unpersist(blocking=blocking)
+        except Exception:
+            pass  # session already stopped — nothing to free
+    _SHARDED_BROADCASTS.clear()
+    return n
+
+
 def knn_join_sharded(
     left: DataFrame,
     right: DataFrame,
@@ -1166,6 +1196,12 @@ def knn_join_sharded(
             "cn": cn,
         }
     )
+    # each call ships up to ~128 MB (2^18-cell cap); without tracking,
+    # repeated calls (recall ladders, bench loops) accumulate broadcasts
+    # for the session lifetime.  Registered here, released via
+    # release_sharded_broadcasts() once the returned frame is consumed
+    # (bench clear_operator_caches does this between passes).
+    _SHARDED_BROADCASTS.append(bc)
     m_val = None if m_super is None else min(int(m_super), n_super)
 
     def _mk_router(n_take: int):
@@ -1232,9 +1268,13 @@ def knn_join_sharded(
                     np.concatenate([_members[s] for s in uq[g]])
                 )
                 if not len(cands):
-                    for i in rows_idx:
-                        out[i] = []
-                    continue
+                    # every routed super is empty (possible on tiny
+                    # codebooks where spill assignment leaves a super
+                    # memberless): fall back to exact flat routing over
+                    # the whole codebook rather than silently dropping
+                    # the rows (empty _cells → explode drops probes /
+                    # NULL cluster for members)
+                    cands = np.arange(len(_mat), dtype="int64")
                 t = min(n_take, len(cands))
                 sims = _sims_matmul(V[rows_idx], _mat[cands])
                 g_order = np.argsort(-sims, axis=1, kind="stable")

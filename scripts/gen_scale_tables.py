@@ -69,6 +69,21 @@ def main() -> None:
     # the default both-in-order run.  sf100 (new in r12) gets its OWN
     # seed stream so it reproduces identically whether generated
     # standalone or after the others.
+    # ADVICE r12: once sf100 reassigns rng to its own stream, any
+    # shared-stream size processed AFTER it in the same invocation
+    # (e.g. `gen_scale_tables.py sf100 sf1`) would silently draw from
+    # the wrong, partially-consumed stream and no longer match the
+    # committed r8/r9 corpora.  Reject such orders outright.
+    if "sf100" in wanted:
+        after = wanted[wanted.index("sf100") + 1 :]
+        shared_after = [w for w in after if w != "sf100"]
+        if shared_after:
+            raise SystemExit(
+                f"sf100 must come LAST: {shared_after} after sf100 would "
+                "draw from the wrong rng stream (shared sf1/sf10 stream "
+                "is sequential; sf100 reseeds). Re-order as "
+                f"{shared_after + ['sf100']}."
+            )
     rng = np.random.RandomState(SEED)
     for name in wanted:
         if name == "sf100":

@@ -274,6 +274,9 @@ def main() -> None:
         )
         results[step] = step_res
         print(f"{step}: {step_res}", file=sys.stderr)
+        # ADVICE r12: release the sharded tier's per-call codebook
+        # broadcasts between decades — each ships up to ~128 MB
+        similarity.release_sharded_broadcasts(destroy=True)
 
     payload = {
         "protocol": (

@@ -198,6 +198,10 @@ def clear_caches() -> None:
     _classify._FEAT_CACHE.invalidate(blocking=True)
     # r9 addition: pagerank's persisted link table
     _graph._LINKS_CACHE.invalidate(blocking=True)
+    # r13 addition (ADVICE r12): knn_join_sharded codebook broadcasts —
+    # ladder runs call the sharded tier once per decade per run and the
+    # ~128 MB/call broadcasts would otherwise accumulate all session
+    _sim.release_sharded_broadcasts(destroy=True)
 
 
 def _extra_queries() -> dict:

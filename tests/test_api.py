@@ -344,3 +344,36 @@ def test_file_ops_refuse_path_traversal(env, tmp_path_factory):
     r = client.post("/api/delete/input/../secret.txt")
     assert r.status_code in (400, 404)
     assert outside.exists()
+
+
+def test_upload_refuses_escaping_source_directory(env, tmp_path):
+    """default_directory is client-settable; a '../' or absolute value must
+    not let an upload (or the spec-save template side effect) land outside
+    the input root."""
+    client, tmp_path, cfg = env
+    # spec-save validation: hostile directory is rejected at create time
+    r = client.post("/api/specs/sources", json={
+        "name": "Evil", "default_directory": "../escape",
+        "columns": [{"name": "A", "type": "string"}],
+    })
+    assert r.status_code == 400
+    r = client.post("/api/specs/sources", json={
+        "name": "Evil Abs", "default_directory": "/tmp/abs_escape",
+        "columns": [{"name": "A", "type": "string"}],
+    })
+    assert r.status_code == 400
+    assert not (tmp_path / "escape").exists()
+    # upload guard: a pre-validation persisted spec with a hostile path
+    # still cannot receive files
+    store = SpecStore(str(cfg))
+    spec = store.get_source("src1")
+    spec.default_directory = "../evil"
+    store.save_source(spec)
+    import io
+    r = client.post(
+        "/api/upload/src1",
+        data={"file": (io.BytesIO(b"A\n1\n"), "x.csv")},
+        content_type="multipart/form-data",
+    )
+    assert r.status_code == 400
+    assert not (tmp_path / "evil").exists()

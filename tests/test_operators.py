@@ -3820,6 +3820,69 @@ def test_knn_join_sharded_exact_spellings(spark):
     assert same / len(rowsout) > 0.95
 
 
+def test_knn_join_sharded_degenerate_codebook_drops_nothing(spark):
+    """ADVICE r12: a probe routed only to memberless supers used to get
+    an empty _cells list and silently vanish from the graph.  The fix
+    falls back to flat routing over the whole codebook.  Degenerate
+    all-identical codebooks are the configuration most likely to leave
+    supers empty (stable-argmax ties send every member to the earliest
+    duplicate); the contract pinned here is no-drop: every probe returns
+    its full top-k regardless of routing pathology."""
+    import random as _random
+
+    rng = _random.Random(17)
+    rows = [
+        (i, [1.0 + rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05)])
+        for i in range(60)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 6 near-identical centroids: k-means collapses them onto one super,
+    # leaving the other supers memberless
+    cents = (
+        e.orderBy("vec_id").limit(6)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    out = similarity.knn_join_sharded(
+        probes, e, cents, k=2, nprobe=2, m_super=1, n_super=3, spill=1,
+        exclude_same_id=True,
+    ).collect()
+    assert len(out) == 60 * 2  # nothing silently dropped
+
+
+def test_sharded_broadcast_registry_release(spark):
+    """ADVICE r12: every knn_join_sharded call ships a codebook broadcast;
+    the registry must track them and release_sharded_broadcasts must
+    drain it (bench/ladder loops call it between passes)."""
+    similarity.release_sharded_broadcasts(destroy=True)  # clean slate
+    e = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = (
+        e.orderBy("vec_id").limit(3)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    before = len(similarity._SHARDED_BROADCASTS)
+    similarity.knn_join_sharded(probes, e, cents, k=1, nprobe=1).collect()
+    similarity.knn_join_sharded(probes, e, cents, k=1, nprobe=1).collect()
+    assert len(similarity._SHARDED_BROADCASTS) == before + 2
+    released = similarity.release_sharded_broadcasts(destroy=True)
+    assert released == before + 2
+    assert similarity._SHARDED_BROADCASTS == []
+
+
 def test_codebook_arrays_large_cap(spark):
     """The sharded codebook collect must still be bounded — at its own
     (higher) cap — and must sort by centroid_id like the 4096 spelling."""
