@@ -6286,12 +6286,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 TIER_SCALE = "scale-path"            # the recommended production spelling
+TIER_SCALE_BOUNDED = "scale-path-bounded"  # recommended UP TO a measured
+#   size bound, past which a named successor takes over; the bound and
+#   successor are machine-readable in tier_bounds()
 TIER_TWIN = "verification-twin"      # exact/oracle sibling of a scale path:
 #   correct at every SF but deliberately NOT the 100×-safe plan (quadratic
 #   pair generation, route-every-cell, flat routing over a bounded
 #   codebook); each twin's docstring names its scale sibling
 TIER_ROWS_ONLY = "rows-only"         # estimate-valued; driver row carries
 #   no value-hash signal, verified by pytest against the exact twin
+
+# Size bounds for the bounded scale paths (r12 verdict ask #3): the flat
+# √N-cell kNN graph's total work is N^1.5 BY DESIGN (routing N·√N +
+# scanning N·nprobe·√N — measured α 1.17 at the 2M decade,
+# BENCHNOTES_r11_knn2.json), so past ~16M vectors the bounded-cell
+# ``knn_join_sharded`` tier (linear scan term, ~N^1.25 routing,
+# SCALE.md-measured α 0.99) is the plan a 100-TB user needs.  The
+# registry previously carried this switch only in docstrings.
+_TIER_BOUNDS = {
+    "knn_graph": {
+        "recommended_max_n": 16_000_000,   # vectors on the corpus side
+        "successor": "knn_join_sharded",   # operator (similarity.py)
+        "successor_query": "knn_graph_sharded",  # its contract spelling
+        "why": "flat sqrt(N)-cell IVF graph is N^1.5 past the bound; "
+               "knn_join_sharded bounds cells at max(isqrt(N), N/512) "
+               "for a linear scan term (SCALE.md alpha 0.99 at 2M)",
+    },
+}
+
+
+def tier_bounds() -> dict[str, dict]:
+    """Machine-readable validity bounds for every ``scale-path-bounded``
+    registry entry: ``recommended_max_n`` (input size past which the
+    tag's recommendation expires) and the ``successor`` operator/query
+    to switch to.  Keys are exactly the entries ``tiers()`` tags
+    ``scale-path-bounded`` (asserted in test_registry_tier_tags_complete)."""
+    return {k: dict(v) for k, v in _TIER_BOUNDS.items()}
+
 
 _NON_SCALE_TIERS = {
     # quadratic exact n-gram Jaccard — scale sibling: dedup_jaccard_capped
@@ -6315,8 +6346,16 @@ _NON_SCALE_TIERS = {
 
 def tiers() -> dict[str, str]:
     """Tier tag for every ``queries()`` entry (complete by construction:
-    keys are the same ``_R12_ORDER`` set the registry asserts)."""
-    return {k: _NON_SCALE_TIERS.get(k, TIER_SCALE) for k in _R12_ORDER}
+    keys are the same ``_R12_ORDER`` set the registry asserts).
+    ``scale-path-bounded`` entries carry their size bound + successor in
+    ``tier_bounds()``."""
+    out = {}
+    for k in _R12_ORDER:
+        if k in _TIER_BOUNDS:
+            out[k] = TIER_SCALE_BOUNDED
+        else:
+            out[k] = _NON_SCALE_TIERS.get(k, TIER_SCALE)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

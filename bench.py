@@ -151,6 +151,46 @@ HEADLINE = [
 ]
 
 
+def _env_stamp() -> dict:
+    """Machine-state markers recorded per snapshot (r12 verdict ask #8):
+    cross-session absolute timings drift ~1 s, which made bench_diff's
+    >30% flags ambiguous between machine state and code.  The stamp lets
+    a future diff separate the two: load averages, and the number of
+    CONCURRENT java/python processes outside this bench's own process
+    tree (the scale-bench exclusivity discipline says that number should
+    be 0 — a non-zero count marks the snapshot as contended)."""
+    stamp: dict = {"pid": os.getpid()}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        stamp["loadavg"] = [round(la1, 2), round(la5, 2), round(la15, 2)]
+    except OSError:
+        pass
+    # own process tree: this python + the Spark JVM (+ python workers) it
+    # spawned all share this process's session id; anything ELSE running
+    # java/python concurrently is contention
+    try:
+        own_sid = os.getsid(0)
+        foreign = []
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/comm") as fh:
+                    comm = fh.read().strip()
+                if not (comm.startswith("java") or comm.startswith("python")):
+                    continue
+                if os.getsid(int(p)) == own_sid:
+                    continue
+                foreign.append(comm)
+            except (OSError, ProcessLookupError):
+                continue
+        stamp["foreign_jvm_py"] = len(foreign)
+        stamp["exclusive"] = not foreign
+    except OSError:
+        pass
+    return stamp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -222,6 +262,8 @@ def main() -> None:
         # is safe here — every returned frame was consumed by the timed pass
         _sim.release_sharded_broadcasts(destroy=True)
 
+    env_start = _env_stamp()
+
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # optional subset (comma-separated names): regression re-timing runs
     # a few queries at higher n_runs without paying for the full matrix
@@ -276,6 +318,11 @@ def main() -> None:
                 "spread": spread,
                 "n_runs": n_runs,
                 "sf": sf,
+                # r13 (verdict ask #8): machine-state markers at start and
+                # end of the timed passes — bench_diff surfaces these so a
+                # >30% flag on a contended snapshot reads as machine state,
+                # not code
+                "env": {"start": env_start, "end": _env_stamp()},
             },
             indent=1,
         )

@@ -797,7 +797,15 @@ def knn_join(
     as BLAS flops spread over cells; skewed cells are AQE-splittable
     because the grouping key is a plain shuffle.  The codebook stays
     ≤4096 cells — for larger codebooks compose with the two-level
-    assignment (``assign_two_level``) as ``ivf_two_level_topk`` does."""
+    assignment (``assign_two_level``) as ``ivf_two_level_topk`` does.
+
+    VALIDITY BOUND (r12 tier map): with the FLOP-optimal √N codebook
+    this tier's total work is N^1.5 by design — measured α 1.17 at the
+    2M-vector decade — and √N outgrows the 4096-literal codebook cap at
+    ~16M vectors.  Past ``KNN_FLAT_MAX_N`` use :func:`knn_join_sharded`
+    (bounded cells, hierarchical routing, measured α 0.99), or call
+    :func:`knn_join_auto` which dispatches on corpus size
+    automatically."""
     # probe routing on the same Arrow kernel as assignment: one batched
     # UDF computes the fold-exact similarity matrix and takes the
     # nprobe best cells per probe via a STABLE argsort on -sims — equal
@@ -1311,6 +1319,77 @@ def knn_join_sharded(
     return _grouped_cell_topk(
         routed, assigned, k, exclude_same_id, right_id_col, right_vec_col
     )
+
+
+# Crossover between the flat √N-cell kNN-graph tier and the bounded-cell
+# sharded tier: the flat design's total work is N^1.5 by construction
+# (BENCHNOTES_r11_knn2.json measured the asymptote), and √N also hits the
+# 4096 Catalyst-literal codebook cap at 4096² ≈ 16.8M vectors — past ~16M
+# BOTH the cost model and the codebook representation say switch.
+# Mirrored machine-readably in __spark_entry__.tier_bounds().
+KNN_FLAT_MAX_N = 16_000_000
+
+
+def knn_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    nprobe: int | None = 2,
+    m_super: int | None = 4,
+    left_id_col: str = "probe_id",
+    left_vec_col: str = "probe_vec",
+    right_id_col: str = "vec_id",
+    right_vec_col: str = "embedding",
+    exclude_same_id: bool = False,
+    n_right: int | None = None,
+) -> DataFrame:
+    """kNN join/graph with AUTOMATIC tier dispatch (r12 verdict ask #6)
+    — the user-facing entry point that picks between the two measured
+    tiers instead of leaving the switch in docstrings, mirroring
+    ``freq_cap``'s auto-switch discipline:
+
+    * ``N ≤ KNN_FLAT_MAX_N`` (16M): :func:`knn_join` over a flat
+      ``max(8, min(4096, ⌊√N⌋))``-cell codebook — the FLOP-optimal flat
+      IVF balance, recommended below the crossover (N^1.5 total but the
+      constant wins at these sizes; measured α 1.17 at 2M).
+    * ``N > KNN_FLAT_MAX_N``: :func:`knn_join_sharded` over a bounded
+      ``max(⌊√N⌋, ⌈N/512⌉)``-cell codebook with hierarchical
+      ``m_super``-routed super-centroids — linear scan term, ~N^1.25
+      routing (measured α 0.99 at the 2M decade, SCALE.md).
+
+    The codebook is built here by the deterministic smallest-id
+    convention both registry contract queries use (first ``cells``
+    vectors of ``right`` by id), so results are replicable; callers who
+    trained k-means codebooks should call the tier functions directly.
+    ``n_right`` skips the sizing ``count()`` when the caller already
+    knows it (e.g. from parquet metadata).  Everything else passes
+    through unchanged; result schema and tie rules are identical across
+    tiers (same grouped-cell scorer)."""
+    n = int(n_right) if n_right is not None else right.count()
+    if n <= KNN_FLAT_MAX_N:
+        cells = max(8, min(4096, math.isqrt(n)))
+    else:
+        cells = max(8, math.isqrt(n), -(-n // 512))
+    cents = (
+        right.orderBy(right_id_col)
+        .limit(cells)
+        .select(
+            F.col(right_id_col).cast("int").alias("centroid_id"),
+            F.col(right_vec_col).alias("centroid_vec"),
+        )
+    )
+    common = dict(
+        k=k,
+        nprobe=nprobe,
+        left_id_col=left_id_col,
+        left_vec_col=left_vec_col,
+        right_id_col=right_id_col,
+        right_vec_col=right_vec_col,
+        exclude_same_id=exclude_same_id,
+    )
+    if n <= KNN_FLAT_MAX_N:
+        return knn_join(left, right, cents, **common)
+    return knn_join_sharded(left, right, cents, m_super=m_super, **common)
 
 
 def fine_centroid_table(

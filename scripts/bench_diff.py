@@ -62,9 +62,34 @@ def diff(prev: dict, curr: dict, threshold: float) -> dict:
             improvements.append(q)
     regressions.sort(key=lambda q: -per_query[q]["delta_sec"])
     improvements.sort(key=lambda q: per_query[q]["delta_sec"])
+    # r13 (verdict ask #8): surface each snapshot's machine-state stamp
+    # (loadavg + foreign jvm/python process count at start/end) so a
+    # flagged regression on a contended or loaded snapshot reads as
+    # machine state, not code.  Older snapshots carry no stamp → null.
+    env_note = None
+    pe, ce = prev.get("env"), curr.get("env")
+    if pe or ce:
+        contended = [
+            name
+            for name, env in (("prev", pe), ("curr", ce))
+            if env
+            and any(
+                not env.get(w, {}).get("exclusive", True)
+                for w in ("start", "end")
+            )
+        ]
+        if contended:
+            env_note = (
+                f"snapshot(s) {contended} ran with foreign jvm/python "
+                "processes alive — timings are contended; treat flags "
+                "as machine state unless reproduced exclusively"
+            )
     return {
         "threshold_pct": threshold,
         "abs_floor_sec": ABS_FLOOR_SEC,
+        "env_prev": pe,
+        "env_curr": ce,
+        "env_note": env_note,
         "prev_total": prev.get("value"),
         "curr_total": curr.get("value"),
         "n_shared": len(shared),

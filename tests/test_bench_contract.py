@@ -88,3 +88,33 @@ def test_bench_diff_parses_snapshots(tmp_path):
     real = bench_diff._load("BENCH_FULL_r11.json")
     self_diff = bench_diff.diff(real, real, 0.3)
     assert self_diff["n_shared"] >= 80 and not self_diff["regressions"]
+
+
+def test_env_stamp_and_diff_surfacing():
+    """r12 verdict ask #8: snapshots carry machine-state markers and
+    bench_diff surfaces them, flagging contended snapshots."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import bench_diff
+
+    stamp = bench._env_stamp()
+    assert "loadavg" in stamp and len(stamp["loadavg"]) == 3
+    assert "foreign_jvm_py" in stamp and "exclusive" in stamp
+    # the pytest process itself is python in OUR session → not foreign
+    assert isinstance(stamp["foreign_jvm_py"], int)
+
+    contended = {"start": {"exclusive": False, "foreign_jvm_py": 2},
+                 "end": {"exclusive": True, "foreign_jvm_py": 0}}
+    clean = {"start": {"exclusive": True}, "end": {"exclusive": True}}
+    d = bench_diff.diff(
+        {"value": 1.0, "queries": {"a": 1.0}, "env": contended},
+        {"value": 1.0, "queries": {"a": 1.0}, "env": clean},
+        0.3,
+    )
+    assert d["env_note"] and "prev" in d["env_note"]
+    assert d["env_prev"] == contended and d["env_curr"] == clean
+    # stamp-less legacy snapshots: no note, nulls surface
+    d2 = bench_diff.diff({"queries": {}}, {"queries": {}}, 0.3)
+    assert d2["env_note"] is None

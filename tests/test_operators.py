@@ -361,11 +361,12 @@ def test_registry_tier_tags_complete():
 
     t = E.tiers()
     assert set(t) == set(E._R12_ORDER)
-    valid = {E.TIER_SCALE, E.TIER_TWIN, E.TIER_ROWS_ONLY}
+    valid = {E.TIER_SCALE, E.TIER_SCALE_BOUNDED, E.TIER_TWIN, E.TIER_ROWS_ONLY}
     assert set(t.values()) <= valid
     # every override key must be a real registry entry (a typo'd key
     # would silently tag nothing)
     assert set(E._NON_SCALE_TIERS) <= set(t)
+    assert set(E._TIER_BOUNDS) <= set(t)
     # the spellings r10/r11 verdicts called out
     assert t["dedup_jaccard_pairs"] == E.TIER_TWIN
     assert t["leakage_safe_split"] == E.TIER_TWIN
@@ -374,7 +375,17 @@ def test_registry_tier_tags_complete():
     # their scale siblings stay recommended
     assert t["dedup_jaccard_capped"] == E.TIER_SCALE
     assert t["leakage_safe_split_lsh"] == E.TIER_SCALE
-    assert t["knn_graph"] == E.TIER_SCALE
+    # r12 verdict ask #3: knn_graph's N^1.5 validity bound is machine-
+    # readable — tagged bounded, with the successor + size in tier_bounds()
+    assert t["knn_graph"] == E.TIER_SCALE_BOUNDED
+    bounds = E.tier_bounds()
+    assert set(bounds) == {k for k, v in t.items() if v == E.TIER_SCALE_BOUNDED}
+    kb = bounds["knn_graph"]
+    assert kb["recommended_max_n"] == 16_000_000
+    assert kb["successor"] == "knn_join_sharded"
+    assert kb["successor_query"] in t  # the named successor query exists
+    # the successor operator must actually exist
+    assert hasattr(similarity, kb["successor"])
 
 
 def test_resolve_duplicate_clusters(spark):
@@ -3853,6 +3864,62 @@ def test_knn_join_sharded_degenerate_codebook_drops_nothing(spark):
         exclude_same_id=True,
     ).collect()
     assert len(out) == 60 * 2  # nothing silently dropped
+
+
+def test_knn_join_auto_dispatch(spark, monkeypatch):
+    """r12 verdict ask #6: knn_join_auto picks the flat tier at or below
+    KNN_FLAT_MAX_N and the bounded-cell sharded tier above it, with the
+    threshold pinned to the machine-readable tier_bounds() value.  Both
+    dispatches produce the identical result on the same corpus (the
+    sharded m_super path's routing superset at this size)."""
+    import __spark_entry__ as E
+
+    assert similarity.KNN_FLAT_MAX_N == 16_000_000
+    assert (
+        E.tier_bounds()["knn_graph"]["recommended_max_n"]
+        == similarity.KNN_FLAT_MAX_N
+    )
+
+    rows = [(i, [float((i % 4) == b) * 2.0 - 0.5 for b in range(4)])
+            for i in range(80)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    calls = []
+    real_flat, real_sharded = similarity.knn_join, similarity.knn_join_sharded
+
+    def spy_flat(*a, **kw):
+        calls.append("flat")
+        return real_flat(*a, **kw)
+
+    def spy_sharded(*a, **kw):
+        calls.append("sharded")
+        return real_sharded(*a, **kw)
+
+    monkeypatch.setattr(similarity, "knn_join", spy_flat)
+    monkeypatch.setattr(similarity, "knn_join_sharded", spy_sharded)
+
+    def keyed(df):
+        return {(r["probe_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+                for r in df.collect()}
+
+    # N=80 ≤ bound → flat tier
+    got_flat = keyed(similarity.knn_join_auto(
+        probes, e, k=2, nprobe=2, exclude_same_id=True))
+    assert calls == ["flat"]
+    # same corpus with the threshold lowered → sharded tier, same result
+    monkeypatch.setattr(similarity, "KNN_FLAT_MAX_N", 10)
+    got_sharded = keyed(similarity.knn_join_auto(
+        probes, e, k=2, nprobe=2, m_super=None, exclude_same_id=True))
+    assert calls == ["flat", "sharded"]
+    assert got_flat == got_sharded and len(got_flat) == 80 * 2
+    # n_right skips the count and must dispatch on the GIVEN size
+    similarity.knn_join_auto(
+        probes, e, k=1, nprobe=1, n_right=5, exclude_same_id=True
+    ).collect()
+    assert calls[-1] == "flat"
+    similarity.release_sharded_broadcasts(destroy=True)
 
 
 def test_sharded_broadcast_registry_release(spark):
