@@ -5941,63 +5941,11 @@ def _leakage_split_lsh_oracle_sql() -> str:
 # checks the first 50, and next round's window is 'shift the list'.
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
-_R12_ORDER = [
-    # ==== r12 driver window (50): knn_graph_sharded (new this
-    # round, never checked), the 35 r9-green remainder, and the 14
-    # oldest r10-green.  After this round no oracle-checkable
-    # entry's driver evidence is older than r10. ====
-    "knn_graph_sharded",
-    "text_strip_html",
-    "gopher_quality",
-    "mixture_resample",
-    "image_dhash_pairs",
-    "window_funcs_orders",
-    "dedup_doc_lines",
-    "join_full_outer",
-    "tokens_to_ids",
-    "corpus_shuffle",
-    "dedup_representatives",
-    "text_top_bigrams",
-    "length_outliers",
-    "ann_quantized",
-    "image_dhash",
-    "tfidf_terms",
-    "corpus_decontaminate",
-    "sample_by_quality",
-    "etl_dynamic_mapping",
-    "etl_lookup_table",
-    "etl_aggregate_mapping",
-    "spec_validation",
-    "typed_stocks_pipeline",
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "dedup_paragraphs",
-    "range_join_buckets",
-    "pack_sequences",
-    "semantic_dedup",
-    "dedup_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "dedup_embedding",
-    "ann_bruteforce",
-    "ann_ivf_approx",
-    "text_metrics",
-    "leakage_safe_split_lsh",
-    "text_top_tokens",
-    "corpus_curation",
-    "stream_hourly_counts",
-    "stream_sessionize",
-    "dedup_incremental_bloom",
-    "chunk_documents",
-    "salted_agg_events",
-    "web_curation",
-    "events_rolling_time",
-    "stats_moments",
-    "training_mix",
-    "scd2_history",
-    "retention_cohorts",
-    # ==== past the 50-query window: the r10/r11-green remainder
-    # (due r13), then rows-only ====
+_R13_ORDER = [
+    # ==== r13 driver window (50): the r10/r11-green remainder —
+    # the oldest driver evidence in the registry.  After this
+    # round no oracle-checkable entry's driver evidence is older
+    # than r11. ====
     "bigram_logprob",
     "snapshot_diff",
     "funnel_steps",
@@ -6048,6 +5996,8 @@ _R12_ORDER = [
     "etl_chained_mappings",
     "merge_upsert_orders",
     "t7_formula",
+    # ==== past the 50-query window: the 36 next-oldest (due r14),
+    # then the r12-green window, rows-only pinned last ====
     "typed_crypto_pipeline",
     "window_top_orders",
     "rollup_orders",
@@ -6084,6 +6034,56 @@ _R12_ORDER = [
     "asof_join_purchase_click",
     "doc_length_histogram",
     "unigram_logprob",
+    "knn_graph_sharded",
+    "text_strip_html",
+    "gopher_quality",
+    "mixture_resample",
+    "image_dhash_pairs",
+    "window_funcs_orders",
+    "dedup_doc_lines",
+    "join_full_outer",
+    "tokens_to_ids",
+    "corpus_shuffle",
+    "dedup_representatives",
+    "text_top_bigrams",
+    "length_outliers",
+    "ann_quantized",
+    "image_dhash",
+    "tfidf_terms",
+    "corpus_decontaminate",
+    "sample_by_quality",
+    "etl_dynamic_mapping",
+    "etl_lookup_table",
+    "etl_aggregate_mapping",
+    "spec_validation",
+    "typed_stocks_pipeline",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "dedup_paragraphs",
+    "range_join_buckets",
+    "pack_sequences",
+    "semantic_dedup",
+    "dedup_jaccard_pairs",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_embedding",
+    "ann_bruteforce",
+    "ann_ivf_approx",
+    "text_metrics",
+    "leakage_safe_split_lsh",
+    "text_top_tokens",
+    "corpus_curation",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "dedup_incremental_bloom",
+    "chunk_documents",
+    "salted_agg_events",
+    "web_curation",
+    "events_rolling_time",
+    "stats_moments",
+    "training_mix",
+    "scd2_history",
+    "retention_cohorts",
     "distinct_users_approx",
 ]
 
@@ -6104,15 +6104,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-verified every round via scripts/check_oracle.py regardless
     # of window position.
     #
-    # Since round 9 the schedule is MATERIALIZED as _R12_ORDER (above):
+    # Since round 9 the schedule is MATERIALIZED as _R13_ORDER (above):
     # the dict literal below keeps its historical grouping for diff
     # hygiene, and the return reorders it through the list, asserting
-    # set-equality so nothing falls out of rotation.  Round-12 window:
-    # knn_graph_sharded (new this round — the bounded-cell ≥16M-vector
-    # kNN-graph tier), the 35 r9-green remainder, and the 14 oldest
-    # r10-green.  After this round no oracle-checkable entry's driver
-    # evidence is older than r10 and the steady-state ≤3-round age
-    # bound holds.
+    # set-equality so nothing falls out of rotation.  Round-13 window:
+    # the 50 oldest-evidence entries (r10/r11-green — everything the
+    # r12 window did not cover, headed by the r10-green long tail).
+    # After this round no oracle-checkable entry's driver evidence is
+    # older than r11 and the steady-state ≤3-round age bound holds.
     # Counts: 137 registered / 136 oracle-checkable — update whenever
     # the registry changes.
     base = {
@@ -6272,10 +6271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
     }
     # dict-literal order above is historical grouping; the SCHEDULE is
-    # _R12_ORDER (asserted complete so a new query cannot be silently
+    # _R13_ORDER (asserted complete so a new query cannot be silently
     # left out of the rotation)
-    assert set(base) == set(_R12_ORDER), sorted(set(base) ^ set(_R12_ORDER))
-    return {k: base[k] for k in _R12_ORDER}
+    assert set(base) == set(_R13_ORDER), sorted(set(base) ^ set(_R13_ORDER))
+    return {k: base[k] for k in _R13_ORDER}
 
 
 # ---------------------------------------------------------------------------
@@ -6346,11 +6345,11 @@ _NON_SCALE_TIERS = {
 
 def tiers() -> dict[str, str]:
     """Tier tag for every ``queries()`` entry (complete by construction:
-    keys are the same ``_R12_ORDER`` set the registry asserts).
+    keys are the same ``_R13_ORDER`` set the registry asserts).
     ``scale-path-bounded`` entries carry their size bound + successor in
     ``tier_bounds()``."""
     out = {}
-    for k in _R12_ORDER:
+    for k in _R13_ORDER:
         if k in _TIER_BOUNDS:
             out[k] = TIER_SCALE_BOUNDED
         else:
