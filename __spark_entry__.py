@@ -5545,6 +5545,25 @@ def _knn_graph_oracle_sql(
     """
 
 
+def q_knn_graph_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-DISPATCHING kNN-graph entry point (r12 verdict ask #6:
+    similarity.knn_join_auto) — picks the flat √N-codebook tier at or
+    below KNN_FLAT_MAX_N (16M vectors) and the bounded-cell sharded tier
+    above it, so a user never has to read the tier map to get the right
+    plan.  At every test scale factor the corpus is far below the bound,
+    so this dispatches to knn_join over the exact codebook q_knn_graph
+    builds (same k=3, nprobe=2, smallest-id convention) and the oracle
+    is the SAME full-pipeline SQL replay; the dispatch threshold itself
+    is pinned in test_knn_join_auto_dispatch, which forces both arms."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return similarity.knn_join_auto(
+        probes, e, k=3, nprobe=2, exclude_same_id=True
+    ).select("probe_id", "neighbor_id", "cosine", "rank")
+
+
 def q_knn_graph_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN GRAPH on the BOUNDED-CELL tier (similarity.knn_join_sharded,
     r11 verdict ask #1 — the ≥16M-vector regime's answer to the flat
@@ -5942,10 +5961,11 @@ def _leakage_split_lsh_oracle_sql() -> str:
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
 _R13_ORDER = [
-    # ==== r13 driver window (50): the r10/r11-green remainder —
-    # the oldest driver evidence in the registry.  After this
-    # round no oracle-checkable entry's driver evidence is older
-    # than r11. ====
+    # ==== r13 driver window (50): knn_graph_auto (new this round,
+    # never checked) then the r10/r11-green remainder — the oldest
+    # driver evidence in the registry.  After this round no
+    # oracle-checkable entry's driver evidence is older than r11. ====
+    "knn_graph_auto",
     "bigram_logprob",
     "snapshot_diff",
     "funnel_steps",
@@ -6131,6 +6151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_capped": q_copurchase_capped,
         "sessionize_events": q_sessionize_events,
         "knn_graph": q_knn_graph,
+        "knn_graph_auto": q_knn_graph_auto,
         "knn_graph_sharded": q_knn_graph_sharded,
         "part_pagerank": q_part_pagerank,
         "salted_join_customers": q_salted_join_customers,
@@ -6453,6 +6474,9 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_capped": _ORACLE_COPURCHASE_CAPPED,
         "sessionize_events": _ORACLE_SESSIONIZE_BATCH,
         "knn_graph": _knn_graph_oracle_sql(),  # full routing replicated in SQL
+        # auto dispatcher: below the 16M bound it IS the flat tier with
+        # the identical codebook formula, so the same replay applies
+        "knn_graph_auto": _knn_graph_oracle_sql(),
         # bounded-cell tier, m_super=None spelling: same full-pipeline
         # replay, only the codebook-size formula differs
         "knn_graph_sharded": _knn_graph_oracle_sql(

@@ -47,11 +47,17 @@ STEPS = [
     ("sf1", str(REPO / "scripts" / "scale" / "sf1")),
     ("sf10", str(REPO / "scripts" / "scale" / "sf10")),
     ("sf100", str(REPO / "scripts" / "scale" / "sf100")),
+    # r13 (verdict ask #2): HARD-MODE corpora (gen_hard_embeddings.py —
+    # √N hierarchical clusters, mixed densities) because the 10-cluster
+    # corpus saturates at 2M (every tier reads 1.000); missing dirs are
+    # skipped, so the standard run is unchanged until they're generated
+    ("sf10_hard", str(REPO / "scripts" / "scale" / "sf10_hard")),
+    ("sf100_hard", str(REPO / "scripts" / "scale" / "sf100_hard")),
 ]
 K = 5
 N_PROBES = 50
 
-# at the 2M-vector decade only the RECOMMENDED tiers run (the r10
+# at the 2M-vector decades only the RECOMMENDED tiers run (the r10
 # pruning variants are kept at the small decades as the measured
 # evidence for why the sharded default exists; re-measuring a known
 # structural ceiling at 2M buys nothing for its DuckDB-free cost)
@@ -88,14 +94,23 @@ def main() -> None:
 
     args = sys.argv[1:]
     if "--out" not in args:
-        raise SystemExit("usage: recall_bench.py --out FILE.json")
+        raise SystemExit(
+            "usage: recall_bench.py --out FILE.json [--steps sf10_hard,...]"
+        )
     out_name = args[args.index("--out") + 1]
+    steps = STEPS
+    if "--steps" in args:
+        wanted = set(args[args.index("--steps") + 1].split(","))
+        unknown = wanted - {s for s, _ in STEPS}
+        if unknown:
+            raise SystemExit(f"unknown steps {sorted(unknown)}")
+        steps = [(s, d) for s, d in STEPS if s in wanted]
 
     spark = get_spark("csv-etl-spark-recall")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict = {}
 
-    for step, sf_dir in STEPS:
+    for step, sf_dir in steps:
         p = Path(sf_dir) / "embeddings.parquet"
         if not p.exists():
             print(f"skip {step}: {p} missing", file=sys.stderr)
@@ -116,7 +131,7 @@ def main() -> None:
         step_res = {"n_vectors": n, "n_cells": n_cells, "recall_at_k": {}, "sec": {}}
 
         def run(name, fn):
-            if step == "sf100" and name not in SF100_VARIANTS:
+            if step.startswith("sf100") and name not in SF100_VARIANTS:
                 return
             t0 = time.perf_counter()
             approx = topk_sets(fn(), K)
