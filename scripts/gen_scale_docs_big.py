@@ -75,7 +75,12 @@ def main() -> None:
             lens = rng.choice(lengths_pool, size=m)
             total = int(lens.sum())
             ids = np.searchsorted(cum, rng.random(total))
+            # pa.array on a large numpy-unicode input may return a
+            # ChunkedArray; values are only ~6 B/word so combining is
+            # far under the 2 GB offset cap
             flat = pa.array(vocab[ids])
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
             offsets = pa.array(
                 np.concatenate(([0], np.cumsum(lens))).astype("int32")
             )
