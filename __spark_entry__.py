@@ -1830,6 +1830,108 @@ def _ivf_oracle_sql(
     """
 
 
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured nprobe→(recall@k, scan cost) calibration curve
+    (similarity.nprobe_recall_curve) — the sample-then-scale tuning step
+    a 100 TB ANN job runs before committing the full scan: one
+    assignment pass and one candidate join serve the whole grid, each
+    grid value re-ranks only candidates whose route rank qualifies.
+    Deterministic smallest-id codebook and probes, so the oracle replays
+    the ENTIRE curve in SQL — routing, per-nprobe top-k, the recall join
+    against brute force, and the per-probe scan counts."""
+    e = _t(spark, sf_dir, "embeddings")
+    probes = similarity.make_probes(e, n=10)
+    return similarity.nprobe_recall_curve(
+        e, probes, k=5, nprobe_grid=(1, 2, 4, 8), n_centroids=8
+    )
+
+
+def _recall_curve_oracle_sql(
+    k: int = 5,
+    n_probes: int = 10,
+    n_centroids: int = 8,
+    grid: tuple[int, ...] = (1, 2, 4, 8),
+) -> str:
+    cos_ec = _cos_sql("e.embedding", "c.centroid_vec")
+    cos_pc = _cos_sql("p.probe_vec", "c.centroid_vec")
+    cos_ap = _cos_sql("a.embedding", "r.probe_vec")
+    cos_ep = _cos_sql("e.embedding", "p.probe_vec")
+    grid_lit = ", ".join(str(int(g)) for g in sorted(grid))
+    max_np = max(int(g) for g in grid)
+    return f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS probe_vec
+      FROM embeddings ORDER BY vec_id LIMIT {n_probes}
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid_vec
+      FROM embeddings ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.centroid_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rk = 1
+    ),
+    routes AS (
+      SELECT probe_id, probe_vec, centroid_id AS cluster, rk AS route_rk FROM (
+        SELECT p.probe_id, p.probe_vec, c.centroid_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {cos_pc} DESC, c.centroid_id ASC) AS rk
+        FROM probes p CROSS JOIN cents c)
+      WHERE rk <= {max_np}
+    ),
+    cand AS (
+      SELECT r.probe_id, a.vec_id AS neighbor_id,
+             round({cos_ap}, 6) AS cosine, r.route_rk
+      FROM assigned a JOIN routes r ON a.cluster = r.cluster
+      WHERE a.vec_id <> r.probe_id
+    ),
+    exact AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.probe_id
+                                  ORDER BY {cos_ep} DESC, e.vec_id ASC) AS rank
+        FROM embeddings e CROSS JOIN probes p
+        WHERE e.vec_id <> p.probe_id)
+      WHERE rank <= {k}
+    ),
+    grid AS (SELECT unnest([{grid_lit}]) AS nprobe),
+    exploded AS (
+      SELECT g.nprobe, c.probe_id, c.neighbor_id, c.cosine
+      FROM cand c JOIN grid g ON c.route_rk <= g.nprobe
+    ),
+    approx AS (
+      SELECT nprobe, probe_id, neighbor_id FROM (
+        SELECT nprobe, probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY nprobe, probe_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM exploded)
+      WHERE rk <= {k}
+    ),
+    hits AS (
+      SELECT a.nprobe, a.probe_id, count(*) AS n_hit
+      FROM approx a JOIN exact e
+        ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY a.nprobe, a.probe_id
+    ),
+    scanned AS (
+      SELECT nprobe, probe_id, count(*) AS n_scan
+      FROM exploded GROUP BY nprobe, probe_id
+    ),
+    universe AS (SELECT g.nprobe, p.probe_id FROM grid g CROSS JOIN probes p)
+    SELECT u.nprobe,
+           round(avg(coalesce(h.n_hit, 0) / {float(k)}), 6) AS recall_at_k,
+           round(avg(coalesce(s.n_scan, 0)), 6) AS avg_scanned
+    FROM universe u
+    LEFT JOIN hits h ON u.nprobe = h.nprobe AND u.probe_id = h.probe_id
+    LEFT JOIN scanned s ON u.nprobe = s.nprobe AND u.probe_id = s.probe_id
+    GROUP BY u.nprobe
+    """
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means clusters bound the pairwise
     term, dedup compares only within a cluster (similarity.semantic_dedup).
@@ -5966,6 +6068,7 @@ _R13_ORDER = [
     # driver evidence in the registry.  After this round no
     # oracle-checkable entry's driver evidence is older than r11. ====
     "knn_graph_auto",
+    "ann_recall_curve",
     "bigram_logprob",
     "snapshot_diff",
     "funnel_steps",
@@ -6250,6 +6353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf_approx": q_ann_ivf_approx,
+        "ann_recall_curve": q_ann_recall_curve,
         "text_metrics": q_text_metrics,
         "text_top_tokens": q_text_top_tokens,
         "corpus_curation": q_corpus_curation,
@@ -6441,6 +6545,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_two_level": _ORACLE_ANN_BRUTE,  # exhaustive routing ⇒ brute force
         "url_registered_domain": _url_registered_domain_oracle(),
         "ann_ivf_approx": _ivf_oracle_sql(),  # deterministic IVF replicated in SQL
+        "ann_recall_curve": _recall_curve_oracle_sql(),  # full curve replayed in SQL
         "text_metrics": _ORACLE_TEXT_METRICS,
         "text_top_tokens": _ORACLE_TOP_TOKENS,
         "text_repetition": _ORACLE_TEXT_REPETITION,

@@ -1734,6 +1734,204 @@ def ivf_two_level_sharded(
     )
 
 
+def nprobe_recall_curve(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe_grid: tuple[int, ...] = (1, 2, 4, 8),
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k AND scan cost per nprobe, as ONE distributed
+    plan — the calibration primitive behind :func:`calibrate_nprobe`.
+
+    The 100 TB workflow this exists for: you cannot brute-force the full
+    corpus, but you CAN brute-force a hash_sample of it against a probe
+    sample, sweep nprobe on the sampled index, and then run the big job
+    at the cheapest nprobe that clears the recall target (RECALL_r13's
+    hard-corpus rows are exactly this curve, measured by hand until
+    now).  One assignment pass and one candidate join serve the WHOLE
+    grid: candidates are generated once at max(grid) routes with their
+    route rank retained, the grid is exploded over them, and each grid
+    value re-ranks only the candidates whose route rank qualifies — no
+    per-nprobe rescan of the corpus.
+
+    Returns ``(nprobe int, recall_at_k double, avg_scanned double)``,
+    one row per grid value: recall@k vs the exact brute-force top-k
+    over the same probes, and the mean per-probe candidate count (the
+    cost axis — scan rows/probe = nprobe × N/cells, so the curve is
+    directly a cost/recall frontier).  Probes whose candidate set is
+    empty count as recall 0, not dropped.  ``centroids`` defaults to
+    the deterministic smallest-id codebook (the registry convention, so
+    a SQL oracle can replay the whole curve); pass
+    ``kmeans_centroids(...)`` to calibrate the quality path."""
+    grid = sorted({int(g) for g in nprobe_grid})
+    if not grid or grid[0] < 1:
+        raise ValueError(f"nprobe_grid must be positive ints, got {nprobe_grid}")
+    max_np = grid[-1]
+    if centroids is None:
+        centroids = (
+            vectors.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+        )
+
+    exact = brute_force_topk(
+        vectors, probes, k=k, id_col=id_col, vec_col=vec_col
+    ).select("probe_id", "neighbor_id")
+
+    assigned = assign_to_centroids(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, keep_norm=True
+    )
+    routes = (
+        probes.withColumn("_pnorm", l2_norm(F.col("probe_vec")))
+        .crossJoin(
+            F.broadcast(
+                centroids.withColumn("_cnorm", l2_norm(F.col("centroid_vec")))
+            )
+        )
+        .select(
+            "probe_id",
+            "probe_vec",
+            "_pnorm",
+            "centroid_id",
+            cosine_with_norms(
+                F.col("probe_vec"),
+                F.col("centroid_vec"),
+                F.col("_pnorm"),
+                F.col("_cnorm"),
+            ).alias("_sim"),
+        )
+        .withColumn(
+            "_route_rk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.col("_sim").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("_route_rk") <= max_np)
+        .select(
+            "probe_id",
+            "probe_vec",
+            "_pnorm",
+            F.col("centroid_id").alias("cluster"),
+            "_route_rk",
+        )
+    )
+    cand = (
+        assigned.join(F.broadcast(routes), "cluster")
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                cosine_with_norms_arrow(
+                    F.col(vec_col),
+                    F.col("probe_vec"),
+                    F.col("_vnorm"),
+                    F.col("_pnorm"),
+                ),
+                6,
+            ).alias("cosine"),
+            "_route_rk",
+        )
+    )
+    # one candidate row fans out to every grid value it qualifies for;
+    # |grid| × candidates rows total — calibration runs on samples, and
+    # the window key (nprobe, probe_id) spreads across |grid| × |probes|
+    # reducers
+    grid_col = F.explode(
+        F.array(*[F.lit(g) for g in grid])
+    ).alias("nprobe")
+    exploded = cand.select("*", grid_col).filter(
+        F.col("_route_rk") <= F.col("nprobe")
+    )
+    approx = (
+        exploded.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "probe_id").orderBy(
+                    F.col("cosine").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("_rk") <= k)
+        .select("nprobe", "probe_id", "neighbor_id")
+    )
+    hits = approx.join(exact, ["probe_id", "neighbor_id"]).groupBy(
+        "nprobe", "probe_id"
+    ).agg(F.count("*").alias("_n_hit"))
+    scanned = exploded.groupBy("nprobe", "probe_id").agg(
+        F.count("*").alias("_n_scan")
+    )
+    universe = probes.select("probe_id").select("probe_id", grid_col)
+    per_probe = (
+        universe.join(hits, ["nprobe", "probe_id"], "left")
+        .join(scanned, ["nprobe", "probe_id"], "left")
+        .select(
+            "nprobe",
+            F.coalesce(F.col("_n_hit"), F.lit(0)).alias("_n_hit"),
+            F.coalesce(F.col("_n_scan"), F.lit(0)).alias("_n_scan"),
+        )
+    )
+    return (
+        per_probe.groupBy("nprobe")
+        .agg(
+            F.round(
+                F.avg(F.col("_n_hit").cast("double") / F.lit(float(k))), 6
+            ).alias("recall_at_k"),
+            F.round(F.avg(F.col("_n_scan").cast("double")), 6).alias(
+                "avg_scanned"
+            ),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def calibrate_nprobe(
+    vectors: DataFrame,
+    probes: DataFrame,
+    target_recall: float = 0.9,
+    k: int = 5,
+    nprobe_grid: tuple[int, ...] = (1, 2, 4, 8),
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, list[dict]]:
+    """Pick the CHEAPEST nprobe meeting a recall target, from the
+    measured :func:`nprobe_recall_curve` — the sample-then-scale tuning
+    step a 100 TB ANN job runs before committing the full scan.
+
+    Returns ``(nprobe, curve)`` where curve is the collected list of
+    ``{nprobe, recall_at_k, avg_scanned}`` rows (bounded by
+    ``len(nprobe_grid)`` — the ONLY driver-side materialization here).
+    If no grid value reaches the target the largest is returned with
+    the curve as evidence; callers should then widen the grid, grow the
+    codebook, or switch tiers (see ``knn_join_auto``)."""
+    curve_df = nprobe_recall_curve(
+        vectors,
+        probes,
+        k=k,
+        nprobe_grid=nprobe_grid,
+        n_centroids=n_centroids,
+        centroids=centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    curve = [r.asDict() for r in curve_df.collect()]
+    for row in curve:
+        if row["recall_at_k"] >= target_recall:
+            return int(row["nprobe"]), curve
+    return int(curve[-1]["nprobe"]) if curve else max(nprobe_grid), curve
+
+
 def _hyperplanes_cached(dim: int, n_planes: int):
     """numpy dim × n_planes plane matrix, cached per (dim, n_planes)."""
     key = (dim, n_planes)

@@ -193,6 +193,53 @@ def test_ivf_approx_recall_reasonable(spark):
     assert recall >= 0.4, f"IVF nprobe=2/4 recall too low: {recall}"
 
 
+def test_nprobe_recall_curve_monotone_and_exact_at_full_routing(spark):
+    """The calibration curve's two invariants: recall and scanned volume
+    are non-decreasing in nprobe (each grid value's candidate set is a
+    superset of the previous one's), and at nprobe == n_centroids every
+    cell is routed, so the candidate set IS the corpus and recall must
+    read exactly 1.0 (same rounded-cosine/neighbor-id ordering as
+    brute_force_topk)."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = similarity.make_probes(e, n=5)
+    rows = (
+        similarity.nprobe_recall_curve(
+            e, probes, k=3, nprobe_grid=(1, 2, 4), n_centroids=4
+        )
+        .orderBy("nprobe")
+        .collect()
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    recalls = [r["recall_at_k"] for r in rows]
+    scanned = [r["avg_scanned"] for r in rows]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert scanned == sorted(scanned), f"scan cost not monotone: {scanned}"
+    assert recalls[-1] == 1.0, f"full routing must equal brute force: {recalls}"
+    n = e.count()
+    # full routing scans every non-self vector exactly once per probe
+    assert scanned[-1] == float(n - 1)
+
+
+def test_calibrate_nprobe_picks_cheapest_meeting_target(spark):
+    """calibrate_nprobe returns the SMALLEST grid nprobe whose measured
+    recall clears the target (the full-routing point always exists at
+    nprobe == n_centroids), and falls back to the largest grid value —
+    with the curve as evidence — when the target is unreachable."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = similarity.make_probes(e, n=5)
+    got, curve = similarity.calibrate_nprobe(
+        e, probes, target_recall=1.0, k=3, nprobe_grid=(1, 2, 4), n_centroids=4
+    )
+    by_np = {c["nprobe"]: c["recall_at_k"] for c in curve}
+    assert by_np[4] == 1.0
+    assert got == min(np for np, r in by_np.items() if r >= 1.0)
+    # unreachable target: largest grid value, curve still returned
+    got2, curve2 = similarity.calibrate_nprobe(
+        e, probes, target_recall=1.1, k=3, nprobe_grid=(1, 2), n_centroids=4
+    )
+    assert got2 == 2 and len(curve2) == 2
+
+
 # ---------------------------------------------------------------------------
 # text
 # ---------------------------------------------------------------------------
