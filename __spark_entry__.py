@@ -6220,7 +6220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with never-checked queries (including operators new this round)
     # first.  With N oracle-checkable entries this bounds every query's
     # driver-evidence age to ceil(N/50) rounds in steady state — 3 rounds
-    # at the current N=136 (137 registered minus distinct_users_approx,
+    # at the current N=138 (139 registered minus distinct_users_approx,
     # the one remaining rows-only-by-design entry, which yields its slot
     # permanently: an HLL estimate's driver row carries no value-hash
     # signal; it is pytest-verified instead).  ALL entries additionally stay locally
@@ -6235,7 +6235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r12 window did not cover, headed by the r10-green long tail).
     # After this round no oracle-checkable entry's driver evidence is
     # older than r11 and the steady-state ≤3-round age bound holds.
-    # Counts: 137 registered / 136 oracle-checkable — update whenever
+    # (r13 adds knn_graph_auto + ann_recall_curve at the head as
+    # never-checked entries; the two window-edge entries they displace
+    # are r12-judge-green.)
+    # Counts: 139 registered / 138 oracle-checkable — update whenever
     # the registry changes.
     base = {
         # ---- never driver-checked: new in r9 ----

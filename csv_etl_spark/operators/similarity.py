@@ -1328,6 +1328,35 @@ def knn_join_sharded(
 # BOTH the cost model and the codebook representation say switch.
 # Mirrored machine-readably in __spark_entry__.tier_bounds().
 KNN_FLAT_MAX_N = 16_000_000
+KNN_SHARDED_NPROBE_CAP = 16
+
+
+def sharded_nprobe_auto(
+    n: int, cells: int, nprobe: int, cap: int = KNN_SHARDED_NPROBE_CAP
+) -> int:
+    """Volume-equalizing nprobe raise for the bounded-cell sharded tier
+    (r13, measured in KNN_NPROBE_r13.json / RECALL_r13.json).
+
+    The bounded rule ``cells = max(√N, ⌈N/512⌉)`` shrinks the per-probe
+    scanned volume by ``cells/√N`` relative to the flat √N reference
+    once N passes 512² — the measured recall cost on the hard 2M corpus
+    is 0.940 → 0.884 at nprobe=2 (a 2.76× volume deficit).  Raising
+    nprobe by that ratio restores flat-equivalent volume; each raised
+    probe still scans a CONSTANT nprobe_eff × 512 rows, so the graph's
+    linear total scan term survives (measured: 53–57 s at 2M across
+    nprobe 2..8 — the raise is ~free where it matters).
+
+    The CAP keeps the term linear long-term: uncapped, the ratio grows
+    as √N/512 and the graph would be N^1.5 again.  cap=16 holds volume
+    parity exactly to the 16M tier switch (16×512 ≈ 2×√16M); past it
+    the per-probe deficit grows as √N/4096 — ~2.4× at 100M, ~7.7× at
+    1B — and recall follows the measured decay curve.  Corpora out
+    there need :func:`calibrate_nprobe` on a sample (or an explicit
+    nprobe) instead of this default."""
+    if cells <= 0 or nprobe <= 0:
+        raise ValueError(f"cells/nprobe must be positive: {cells}, {nprobe}")
+    root = max(1, math.isqrt(max(1, n)))
+    return min(int(cap), max(int(nprobe), -(-int(nprobe) * int(cells) // root)))
 
 
 def knn_join_auto(
@@ -1389,6 +1418,13 @@ def knn_join_auto(
     )
     if n <= KNN_FLAT_MAX_N:
         return knn_join(left, right, cents, **common)
+    # bounded regime: cells = max(√N, N/512) exceeds √N, so the default
+    # nprobe would scan cells/√N× fewer rows per probe than the flat
+    # reference and recall drops (0.884 vs 0.940 measured at 2M on the
+    # hard corpus) — auto-raise by the volume ratio, capped to keep the
+    # scan term linear (see sharded_nprobe_auto)
+    if nprobe is not None:
+        common["nprobe"] = sharded_nprobe_auto(n, cells, int(nprobe))
     return knn_join_sharded(left, right, cents, m_super=m_super, **common)
 
 

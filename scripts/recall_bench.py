@@ -68,6 +68,7 @@ SF100_VARIANTS = {
     "knn_graph_cells",
     "knn_sharded_exact",
     "knn_sharded_m4",
+    "knn_sharded_m4_auto",
 }
 
 
@@ -285,6 +286,18 @@ def main() -> None:
             lambda: similarity.knn_join_sharded(
                 probes, e, bounded_cents, k=K, nprobe=2, m_super=4,
                 exclude_same_id=True,
+            ),
+        )
+        # r13: the production default — knn_join_auto's volume-equalizing
+        # nprobe raise (ceil(2·cells/√N), capped at 16) over the same
+        # bounded codebook; this is the spelling a user gets past the 16M
+        # tier switch, so its recall row is the one that matters
+        run(
+            "knn_sharded_m4_auto",
+            lambda: similarity.knn_join_sharded(
+                probes, e, bounded_cents, k=K,
+                nprobe=similarity.sharded_nprobe_auto(n, n_cells_bounded, 2),
+                m_super=4, exclude_same_id=True,
             ),
         )
         results[step] = step_res

@@ -3969,6 +3969,57 @@ def test_knn_join_auto_dispatch(spark, monkeypatch):
     similarity.release_sharded_broadcasts(destroy=True)
 
 
+def test_sharded_nprobe_auto_rule():
+    """r13: the bounded-cell tier's volume-equalizing nprobe raise,
+    pinned at the measured decision points (KNN_NPROBE_r13.json).  The
+    raise multiplies nprobe by cells/sqrt(N) — restoring the flat
+    reference's per-probe scanned volume — and is capped so the graph's
+    scan term stays linear (uncapped the ratio grows as sqrt(N)/512)."""
+    assert similarity.KNN_SHARDED_NPROBE_CAP == 16
+    # below 512^2 the bounded rule IS sqrt(N): no raise
+    assert similarity.sharded_nprobe_auto(200_000, 447, 2) == 2
+    # the measured 2M hard-corpus point: 3907 cells, ratio 2.76 -> 6
+    # (recall 0.884 at nprobe=2 recovers to 0.936 at the raised value)
+    assert similarity.sharded_nprobe_auto(2_000_000, 3907, 2) == 6
+    # at the 16M tier switch the cap holds volume parity exactly
+    n = 16_000_000
+    cells = max(similarity.math.isqrt(n), -(-n // 512))
+    assert similarity.sharded_nprobe_auto(n, cells, 2) == 16
+    # far past the switch the cap binds: linearity beats volume parity
+    assert similarity.sharded_nprobe_auto(10**9, 10**9 // 512, 2) == 16
+    # never lowers an explicit nprobe
+    assert similarity.sharded_nprobe_auto(80, 8, 4) == 4
+    with pytest.raises(ValueError):
+        similarity.sharded_nprobe_auto(80, 0, 2)
+
+
+def test_knn_join_auto_applies_nprobe_raise(spark, monkeypatch):
+    """In the bounded regime knn_join_auto must pass the RAISED nprobe to
+    knn_join_sharded (n_right pins a fake 2M corpus size over a small
+    frame: cells outgrow sqrt(N) and the deficit rule kicks in)."""
+    rows = [(i, [float((i % 4) == b) for b in range(4)]) for i in range(40)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = e.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    seen = {}
+    real = similarity.knn_join_sharded
+
+    def spy(*a, **kw):
+        seen["nprobe"] = kw.get("nprobe")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(similarity, "knn_join_sharded", spy)
+    monkeypatch.setattr(similarity, "KNN_FLAT_MAX_N", 10)
+    similarity.knn_join_auto(
+        probes, e, k=1, nprobe=2, m_super=None, n_right=2_000_000,
+        exclude_same_id=True,
+    ).collect()
+    # cells = max(sqrt(2M), 2M/512) = 3907 -> ceil(2*3907/1414) = 6
+    assert seen["nprobe"] == 6
+    similarity.release_sharded_broadcasts(destroy=True)
+
+
 def test_sharded_broadcast_registry_release(spark):
     """ADVICE r12: every knn_join_sharded call ships a codebook broadcast;
     the registry must track them and release_sharded_broadcasts must
