@@ -131,6 +131,11 @@ def minhash_affine_params(num_hashes: int = 16) -> list[tuple[int, int]]:
 # their SparkSession; FIFO-bounded, evictees unpersisted.
 _SHINGLE_CACHE = BoundedPersistCache(max_entries=8)
 
+# driver-side bound for the LSH hot-bucket broadcast (minhash_lsh_pairs
+# max_bucket_size): ~1M (band, 2-long bucket) rows ≈ 40 MB — past it the
+# anti-join runs distributed instead (freq_cap discipline)
+_MAX_HOT_BUCKETS = 1_000_000
+
 
 def clear_shingle_cache() -> None:
     """Invalidation hook: call after rewriting a corpus in place (same
@@ -360,6 +365,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH: signature → band keys → bucket join →
     exact-Jaccard verify.  Output schema matches ngram_jaccard_pairs (the
@@ -369,7 +375,30 @@ def minhash_lsh_pairs(
     ``portable``: engine-agnostic hashing throughout (poly-hash shingles,
     affine minhash, band keys joined on raw signature slices instead of a
     re-hash) so a SQL oracle can replicate the full pipeline exactly.
-    xxhash64 (default) is the scale path — cheaper per token."""
+    xxhash64 (default) is the scale path — cheaper per token.
+
+    ``max_bucket_size`` (r13, REQUIRED at corpus scale on natural-
+    vocabulary text): drop band buckets holding more than this many
+    docs before the self-join.  Zipf vocabularies produce HOT SHINGLES
+    whose (low) hash is the band minimum for every doc containing them,
+    so a handful of buckets go quadratic: measured on the 5M-doc
+    real-vocabulary corpus, the uncapped self-join emits Σ|bucket|² =
+    841M rows of which ~600M come from the top TEN buckets (top bucket
+    20,746 docs = 430M alone), and the verify join ships both shingle
+    arrays per candidate — the r13 ladder exhausted a 65 GB disk before
+    finishing ONE 5M-doc run (BENCHNOTES_r13_lsh_big.json).  Mega-
+    buckets are almost entirely false candidates (docs sharing only hot
+    shingles verify-fail the Jaccard threshold), while true near-dup
+    pairs also collide in rarer buckets in other bands, so the cap
+    costs little recall at small caps (measured planted-dup recall in
+    the ladder note).  CAVEAT: a true near-duplicate CLUSTER larger
+    than the cap saturates ALL its band buckets and is lost entirely —
+    run exact/normalized dedup first (dedup_exact / dedup_normalized)
+    so only small near-dup families remain, the composition
+    leakage_safe_split_lsh's production guidance documents.  The hot
+    set is removed with a broadcast anti-join while it fits the
+    ``_MAX_HOT_BUCKETS`` driver bound, else a distributed left_anti
+    (the freq_cap auto-switch discipline, affinity.py)."""
     rows_per_band = num_hashes // bands
     docs = _shingle_docs(df, text_col, id_col, n, portable=portable)
     sig = docs.select(
@@ -394,6 +423,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(
+                f"max_bucket_size must be >= 2 (a pair), got {max_bucket_size}"
+            )
+        sizes = band_rows.groupBy("band", "bucket").agg(
+            F.count("*").alias("_bsz")
+        )
+        hot = sizes.filter(F.col("_bsz") > max_bucket_size).select(
+            "band", "bucket"
+        )
+        # hot-bucket count is bounded by docs*bands/max_bucket_size; the
+        # limit-capped count never collects more than the bound + 1
+        n_hot = hot.limit(_MAX_HOT_BUCKETS + 1).count()
+        if n_hot <= _MAX_HOT_BUCKETS:
+            band_rows = band_rows.join(
+                F.broadcast(hot), ["band", "bucket"], "left_anti"
+            )
+        else:
+            band_rows = band_rows.join(hot, ["band", "bucket"], "left_anti")
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")

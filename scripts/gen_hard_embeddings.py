@@ -39,7 +39,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 OUT_ROOT = Path(__file__).resolve().parent / "scale"
-SIZES = {"sf1": 20_000, "sf10": 200_000, "sf100": 2_000_000}
+SIZES = {
+    "sf1": 20_000,
+    "sf10": 200_000,
+    "sf100": 2_000_000,
+    "sf1000": 20_000_000,  # r13: past the 16M tier switch (4472 clusters)
+}
 DEFAULT_SIZES = ["sf10", "sf100"]
 SEED = 77
 CHUNK = 250_000

@@ -26,7 +26,15 @@ import pyarrow.parquet as pq
 
 BASE = "/root/testdata/sf0.1/embeddings.parquet"
 OUT_ROOT = Path(__file__).resolve().parent / "scale"
-SIZES = {"sf1": 20_000, "sf10": 200_000, "sf100": 2_000_000}
+SIZES = {
+    "sf1": 20_000,
+    "sf10": 200_000,
+    "sf100": 2_000_000,
+    # r13: the decade PAST the 16M tier switch — the first corpus where
+    # cells = N/512 genuinely exceeds sqrt(N)*2.8 and knn_join_auto's
+    # raised-nprobe sharded path is the production spelling
+    "sf1000": 20_000_000,
+}
 DEFAULT_SIZES = ["sf1", "sf10"]
 SEED = 45
 CHUNK = 500_000

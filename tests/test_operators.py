@@ -69,6 +69,33 @@ def test_jaccard_pairs_exact_and_lsh_agree(spark):
         assert j == pytest.approx(exact[pair])
 
 
+def test_minhash_lsh_bucket_cap(spark):
+    """r13 hot-bucket guard: max_bucket_size drops oversized band buckets
+    BEFORE the candidate self-join.  A cluster of identical docs larger
+    than the cap saturates all its band buckets and is dropped (the
+    documented exact-dedup-first caveat); an unrelated small pair
+    survives unchanged; the capped pair set is always a subset of the
+    uncapped one."""
+    big = [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)]
+    small = [
+        (100, "completely different words about spark query engines"),
+        (101, "completely different words about spark query engines"),
+    ]
+    df = spark.createDataFrame(big + small, ["doc_id", "text"])
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in dedup.minhash_lsh_pairs(df, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.minhash_lsh_pairs(
+                  df, threshold=0.5, max_bucket_size=4).collect()}
+    assert capped.issubset(uncapped)
+    # the identical-10 cluster fills every one of its band buckets past
+    # the cap of 4 -> all its pairs are dropped
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert (100, 101) in capped  # small bucket untouched
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dedup.minhash_lsh_pairs(df, max_bucket_size=1)
+
+
 def test_simhash_near_duplicates_close(spark):
     docs = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),
