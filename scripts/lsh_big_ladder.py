@@ -120,7 +120,7 @@ def main() -> None:
             continue
         d = spark.read.parquet(str(SCALE / size / "documents.parquet"))
         doc_counts[size] = d.count()
-        n = n_runs if size != "big50M" else min(n_runs, 1)
+        n = n_runs if size not in ("big15M", "big50M") else min(n_runs, 1)
         results[size] = []
         for i in range(n):
             t0 = time.perf_counter()
@@ -183,10 +183,19 @@ def main() -> None:
         "leak_recall": leak_recall,
         "env": {"start": env_start, "end": bench._env_stamp()},
     }
-    if "big5M" in med and "big50M" in med:
-        payload["decade_alpha_big"] = {
-            OP: {"5M->50M": round(math.log10(med["big50M"] / med["big5M"]), 3)}
-        }
+    # exponent between consecutive measured sizes, normalized per decade
+    # (t = c·n^α ⇒ α = log(t2/t1)/log(n2/n1)); big15M is the sanctioned
+    # fallback when the 50M verify-join shuffle exceeds the sandbox disk
+    ordered = [s for s in ("big5M", "big15M", "big50M") if s in med]
+    for lo, hi in zip(ordered, ordered[1:]):
+        a = round(
+            math.log10(med[hi] / med[lo])
+            / math.log10(doc_counts[hi] / doc_counts[lo]),
+            3,
+        )
+        payload.setdefault("decade_alpha_big", {}).setdefault(OP, {})[
+            f"{lo[3:]}->{hi[3:]}"
+        ] = a
     out_path = REPO / "bench_records" / out_name
     out_path.write_text(json.dumps(payload, indent=1))
     print(json.dumps(payload, indent=1))
