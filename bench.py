@@ -148,6 +148,12 @@ HEADLINE = [
     # spelling (m_super=None flat routing — the SQL-oracle twin; the
     # m_super=4 production routing is ladder-measured in SCALE.md)
     "knn_graph_sharded",
+    # round 13 additions: the auto-dispatching kNN entry (flat arm at
+    # sf0.1), the nprobe calibration curve, and the hot-bucket-capped
+    # LSH spelling
+    "knn_graph_auto",
+    "ann_recall_curve",
+    "dedup_lsh_capped",
 ]
 
 
