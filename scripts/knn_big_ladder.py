@@ -53,6 +53,9 @@ def main() -> None:
     n_runs = 3
     if "--runs" in args:
         n_runs = int(args[args.index("--runs") + 1])
+    only_variants: set[str] | None = None
+    if "--variants" in args:
+        only_variants = set(args[args.index("--variants") + 1].split(","))
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from pyspark.sql import functions as F
@@ -99,9 +102,20 @@ def main() -> None:
         )
 
     variants = {
-        "knn_graph_sharded_m4_auto": lambda s, d: graph(s, d, True),
+        # np2 FIRST: the fixed-scan control is the feasible spelling on a
+        # single-disk sandbox; the raised spelling at 20M shuffles
+        # N×nprobe_eff=320M full-vector probe rows (~90 GB) and exceeded
+        # the scratch disk (r13, measured) — on a cluster that shuffle
+        # spreads across executor disks, and its α equals np2's by
+        # construction once the raise caps (constant per-probe volume)
         "knn_graph_sharded_m4_np2": lambda s, d: graph(s, d, False),
+        "knn_graph_sharded_m4_auto": lambda s, d: graph(s, d, True),
     }
+    if only_variants is not None:
+        unknown = only_variants - set(variants)
+        if unknown:
+            raise SystemExit(f"unknown variants {sorted(unknown)}")
+        variants = {k: v for k, v in variants.items() if k in only_variants}
     results: dict = {v: {} for v in variants}
     nprobes: dict = {}
     for size in sizes:
