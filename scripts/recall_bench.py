@@ -53,6 +53,9 @@ STEPS = [
     # skipped, so the standard run is unchanged until they're generated
     ("sf10_hard", str(REPO / "scripts" / "scale" / "sf10_hard")),
     ("sf100_hard", str(REPO / "scripts" / "scale" / "sf100_hard")),
+    # r13: 20M hard — the first recall point PAST the 16M tier switch,
+    # where cells = N/512 dominates √N and the nprobe raise is at cap
+    ("sf1000_hard", str(REPO / "scripts" / "scale" / "sf1000_hard")),
 ]
 K = 5
 N_PROBES = 50
@@ -65,6 +68,17 @@ SF100_VARIANTS = {
     "ivf",
     "two_level_sharded_auto",
     "two_level_sharded_cap64",
+    "knn_graph_cells",
+    "knn_sharded_exact",
+    "knn_sharded_m4",
+    "knn_sharded_m4_auto",
+}
+
+# at 20M vectors (past the tier switch) only the tier-decision variants
+# run: the flat 4096-capped controls and the bounded-cell tier's three
+# spellings (each variant re-assigns the full corpus, ~minutes at 20M)
+SF1000_VARIANTS = {
+    "ivf",
     "knn_graph_cells",
     "knn_sharded_exact",
     "knn_sharded_m4",
@@ -132,7 +146,10 @@ def main() -> None:
         step_res = {"n_vectors": n, "n_cells": n_cells, "recall_at_k": {}, "sec": {}}
 
         def run(name, fn):
-            if step.startswith("sf100") and name not in SF100_VARIANTS:
+            if step.startswith("sf1000"):
+                if name not in SF1000_VARIANTS:
+                    return
+            elif step.startswith("sf100") and name not in SF100_VARIANTS:
                 return
             t0 = time.perf_counter()
             approx = topk_sets(fn(), K)
