@@ -436,13 +436,24 @@ def minhash_lsh_pairs(
             "band", "bucket"
         )
         # hot-bucket count is bounded by docs*bands/max_bucket_size; the
-        # limit-capped count never collects more than the bound + 1
-        n_hot = hot.limit(_MAX_HOT_BUCKETS + 1).count()
-        if n_hot <= _MAX_HOT_BUCKETS:
+        # limit-capped collect never pulls more than the bound + 1 rows
+        # (~40 MB worst case).  Collecting — rather than counting and
+        # re-joining `hot` — runs the sizes aggregation ONCE: the
+        # broadcast side is rebuilt from the collected rows instead of
+        # recomputing the whole signature/band pipeline (r13 advice).
+        hot_rows = hot.limit(_MAX_HOT_BUCKETS + 1).collect()
+        if len(hot_rows) == 0:
+            pass  # no hot buckets: skip the anti-join entirely
+        elif len(hot_rows) <= _MAX_HOT_BUCKETS:
+            hot_lit = band_rows.sparkSession.createDataFrame(
+                hot_rows, schema=hot.schema
+            )
             band_rows = band_rows.join(
-                F.broadcast(hot), ["band", "bucket"], "left_anti"
+                F.broadcast(hot_lit), ["band", "bucket"], "left_anti"
             )
         else:
+            # past the driver bound the anti-join runs distributed; the
+            # recompute is unavoidable (and dwarfed by the join itself)
             band_rows = band_rows.join(hot, ["band", "bucket"], "left_anti")
 
     a = band_rows.alias("a")

@@ -1352,11 +1352,17 @@ def sharded_nprobe_auto(
     the per-probe deficit grows as √N/4096 — ~2.4× at 100M, ~7.7× at
     1B — and recall follows the measured decay curve.  Corpora out
     there need :func:`calibrate_nprobe` on a sample (or an explicit
-    nprobe) instead of this default."""
+    nprobe) instead of this default.  The cap bounds only the
+    auto-raise: a caller's explicit nprobe is never lowered, even when
+    it exceeds the cap (that's the user buying recall with scan cost,
+    a decision this default must not override)."""
     if cells <= 0 or nprobe <= 0:
         raise ValueError(f"cells/nprobe must be positive: {cells}, {nprobe}")
     root = max(1, math.isqrt(max(1, n)))
-    return min(int(cap), max(int(nprobe), -(-int(nprobe) * int(cells) // root)))
+    # the cap bounds only the AUTO-raise; an explicit nprobe above the
+    # cap is the caller overriding the default cost/recall trade and is
+    # honored verbatim (r13 advice: min-outside silently lowered it)
+    return max(int(nprobe), min(int(cap), -(-int(nprobe) * int(cells) // root)))
 
 
 def knn_join_auto(

@@ -4016,6 +4016,10 @@ def test_sharded_nprobe_auto_rule():
     assert similarity.sharded_nprobe_auto(10**9, 10**9 // 512, 2) == 16
     # never lowers an explicit nprobe
     assert similarity.sharded_nprobe_auto(80, 8, 4) == 4
+    # ...INCLUDING one above the cap (r13 advice: the cap bounds only
+    # the auto-raise, not a caller's explicit cost/recall override)
+    assert similarity.sharded_nprobe_auto(10**9, 10**9 // 512, 32) == 32
+    assert similarity.sharded_nprobe_auto(2_000_000, 3907, 24) == 24
     with pytest.raises(ValueError):
         similarity.sharded_nprobe_auto(80, 0, 2)
 
