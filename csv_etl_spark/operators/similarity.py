@@ -1399,7 +1399,14 @@ def knn_join_auto(
     ``n_right`` skips the sizing ``count()`` when the caller already
     knows it (e.g. from parquet metadata).  Everything else passes
     through unchanged; result schema and tie rules are identical across
-    tiers (same grouped-cell scorer)."""
+    tiers (same grouped-cell scorer).
+
+    Past the 16M switch, don't trust the default nprobe raise on your
+    own corpus: sample ~1–2M vectors, run :func:`nprobe_recall_curve`,
+    and pass the cheapest nprobe clearing your recall target explicitly
+    (never lowered, even above the cap) — see README "Past 16M vectors:
+    calibrate, don't trust" and bench_records/KNN_NPROBE_r13.json for
+    the worked example."""
     n = int(n_right) if n_right is not None else right.count()
     if n <= KNN_FLAT_MAX_N:
         cells = max(8, min(4096, math.isqrt(n)))

@@ -36,7 +36,15 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 SCALE = REPO / "scripts" / "scale"
-N_AT = {"sf100": 2_000_000, "sf1000": 20_000_000}
+# *_16 = the 16-dim truncated surrogates (gen_embeddings_16d.py, r14):
+# same corpora projected to 16 dims so the raised-nprobe spelling's
+# ~22 GB probe shuffle fits the sandbox disk at 20M
+N_AT = {
+    "sf100": 2_000_000,
+    "sf1000": 20_000_000,
+    "sf100_16": 2_000_000,
+    "sf1000_16": 20_000_000,
+}
 
 
 def main() -> None:
@@ -126,7 +134,7 @@ def main() -> None:
         n = N_AT[size]
         cells = max(8, math.isqrt(n), -(-n // 512))
         nprobes[size] = similarity.sharded_nprobe_auto(n, cells, 2)
-        runs = n_runs if size != "sf1000" else min(n_runs, 1)
+        runs = n_runs if not size.startswith("sf1000") else min(n_runs, 1)
         for v, fn in variants.items():
             results[v][size] = []
             for i in range(runs):
@@ -158,10 +166,14 @@ def main() -> None:
         "env": {"start": env_start, "end": bench._env_stamp()},
     }
     for v, by in med.items():
-        if "sf100" in by and "sf1000" in by:
-            payload.setdefault("decade_alpha_big", {})[v] = {
-                "2M->20M": round(math.log10(by["sf1000"] / by["sf100"]), 3)
-            }
+        for lo, hi, tag in (
+            ("sf100", "sf1000", "2M->20M"),
+            ("sf100_16", "sf1000_16", "2M->20M_16d"),
+        ):
+            if lo in by and hi in by:
+                payload.setdefault("decade_alpha_big", {}).setdefault(v, {})[
+                    tag
+                ] = round(math.log10(by[hi] / by[lo]), 3)
     out_path = REPO / "bench_records" / out_name
     out_path.write_text(json.dumps(payload, indent=1))
     print(json.dumps(payload, indent=1))

@@ -110,10 +110,20 @@ def main() -> None:
     args = sys.argv[1:]
     if "--out" not in args:
         raise SystemExit(
-            "usage: recall_bench.py --out FILE.json [--steps sf10_hard,...]"
+            "usage: recall_bench.py --out FILE.json "
+            "[--steps sf10_hard,...] [--variants a,b] [--classic]"
         )
     out_name = args[args.index("--out") + 1]
-    steps = STEPS
+    # r14 (verdict ask #8): the DEFAULT is the hard-corpus family — the
+    # classic 10-cluster corpora saturate (1.000 across tiers at 2M,
+    # RECALL_r12.json) and stopped discriminating; they stay available
+    # behind --classic as the saturation evidence they are.
+    only_variants: set[str] | None = None
+    if "--variants" in args:
+        only_variants = set(args[args.index("--variants") + 1].split(","))
+    steps = [(s, d) for s, d in STEPS if s.endswith("_hard")]
+    if "--classic" in args:
+        steps = STEPS
     if "--steps" in args:
         wanted = set(args[args.index("--steps") + 1].split(","))
         unknown = wanted - {s for s, _ in STEPS}
@@ -146,6 +156,8 @@ def main() -> None:
         step_res = {"n_vectors": n, "n_cells": n_cells, "recall_at_k": {}, "sec": {}}
 
         def run(name, fn):
+            if only_variants is not None and name not in only_variants:
+                return
             if step.startswith("sf1000"):
                 if name not in SF1000_VARIANTS:
                     return

@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""SCALE ladder for ``semantic_dedup`` (r13 verdict ask #3).
+
+SemDeDup is the op a 100 TB curation run leans on, and it was the only
+major dedup family with no measured per-decade exponent.  Its scale
+claim is structural — clustering bounds the pairwise term to
+Σ|cluster|², so with ``n_centroids ∝ N`` (constant expected cluster
+size) total cost is linear — and this ladder measures that claim on the
+HARD embedding corpora (gen_hard_embeddings.py: √N hierarchical
+clusters, Zipf sizes, mixed densities — the family where k-means cells
+genuinely cut neighborhoods and sizes are skewed, i.e. the unflattering
+regime for a Σ|cluster|² bound).
+
+Measured per decade (200k → 2M vectors, same corpus family):
+
+* ``semantic_dedup_prop`` — the PRODUCTION spelling: n_centroids =
+  max(8, N // 512) (constant ~512-row expected cells, the bounded-cell
+  tier's discipline), threshold 0.9, default max_cluster_size guard.
+* the FAIL-OPEN guard exercised for real (verdict "done" condition): a
+  run with max_cluster_size small enough that the Zipf skew trips it —
+  oversized clusters must come back kept=true (no wrong drops) and the
+  run must complete at the capped cost, with the skipped-cluster census
+  recorded.
+
+Usage: python scripts/semantic_ladder.py --out FILE.json
+       [--sizes sf10_hard,sf100_hard] [--runs 3] [--guard-cap 2000]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+from pathlib import Path
+from statistics import median
+
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SCALE = REPO / "scripts" / "scale"
+N_AT = {"sf10_hard": 200_000, "sf100_hard": 2_000_000}
+OP = "semantic_dedup_prop"
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if "--out" not in args:
+        raise SystemExit(
+            "usage: semantic_ladder.py --out FILE.json "
+            "[--sizes sf10_hard,sf100_hard] [--runs 3] [--guard-cap 2000]"
+        )
+    out_name = args[args.index("--out") + 1]
+    sizes = ["sf10_hard", "sf100_hard"]
+    if "--sizes" in args:
+        sizes = args[args.index("--sizes") + 1].split(",")
+    n_runs = 3
+    if "--runs" in args:
+        n_runs = int(args[args.index("--runs") + 1])
+    guard_cap = 2000
+    if "--guard-cap" in args:
+        guard_cap = int(args[args.index("--guard-cap") + 1])
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from pyspark.sql import functions as F
+
+    import bench
+    from csv_etl_spark import get_spark
+    from csv_etl_spark.operators import similarity
+
+    spark = get_spark("semantic-ladder")
+    spark.sparkContext.setLogLevel("ERROR")
+    env_start = bench._env_stamp()
+
+    @F.pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(0, 1024, 1, 32).select(_noop(F.col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    from scale_bench import clear_caches
+
+    def run_dedup(sf_dir: str, n: int, cap: int | None):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return similarity.semantic_dedup(
+            e,
+            n_centroids=max(8, n // 512),
+            threshold=0.9,
+            kmeans_iters=2,
+            # the k-means fit only needs a representative sample; at 2M a
+            # 0.5 fraction would fit 3907 centroids on 1M rows for no
+            # structural gain — cap the fit input at ~100k rows
+            sample_fraction=min(0.5, 100_000 / n),
+            max_cluster_size=cap,
+        )
+
+    results: dict[str, list[float]] = {}
+    stats: dict[str, dict] = {}
+    for size in sizes:
+        sf_dir = str(SCALE / size)
+        if not (SCALE / size / "embeddings.parquet").exists():
+            print(f"skip {size}: corpus missing", file=sys.stderr)
+            continue
+        n = N_AT[size]
+        results[size] = []
+        for i in range(n_runs if size != "sf100_hard" else min(n_runs, 2)):
+            t0 = time.perf_counter()
+            run_dedup(sf_dir, n, 100_000).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = round(time.perf_counter() - t0, 3)
+            results[size].append(dt)
+            print(f"{size} run{i}: {dt}s", file=sys.stderr, flush=True)
+            clear_caches()
+        # one measured pass for the result shape: kept fraction + the
+        # cluster-size census the Σ|cluster|² claim rides on
+        out = run_dedup(sf_dir, n, 100_000)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept"),
+        ).collect()[0]
+        csizes = (
+            out.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.count(F.lit(1)).alias("n_clusters"),
+                F.max("sz").alias("max_sz"),
+                F.sum(F.col("sz") * F.col("sz")).alias("sum_sq"),
+            )
+            .collect()[0]
+        )
+        stats[size] = {
+            "rows": int(agg["rows"]),
+            "kept": int(agg["kept"]),
+            "n_centroids": max(8, n // 512),
+            "n_clusters_used": int(csizes["n_clusters"]),
+            "max_cluster": int(csizes["max_sz"]),
+            "sum_sq_pairs": int(csizes["sum_sq"]),
+            "sum_sq_over_linear": round(
+                csizes["sum_sq"] / (n * 512), 3
+            ),
+        }
+        print(f"{size} stats: {stats[size]}", file=sys.stderr, flush=True)
+        clear_caches()
+
+    # FAIL-OPEN GUARD, exercised at the big size: cap far below the
+    # measured max cluster so the skip branch runs for real.  Oversized
+    # clusters' members must ALL come back kept=true.
+    guard: dict = {}
+    big = sizes[-1]
+    if (SCALE / big / "embeddings.parquet").exists():
+        n = N_AT[big]
+        sf_dir = str(SCALE / big)
+        t0 = time.perf_counter()
+        out = run_dedup(sf_dir, n, guard_cap)
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sizes_df = out.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("dropped"),
+        )
+        over = sizes_df.filter(F.col("sz") > guard_cap)
+        row = over.agg(
+            F.count(F.lit(1)).alias("n_over"),
+            F.sum("dropped").alias("drops_in_over"),
+            F.sum("sz").alias("rows_in_over"),
+        ).collect()[0]
+        guard = {
+            "cap": guard_cap,
+            "sec": round(time.perf_counter() - t0, 3),
+            "oversized_clusters": int(row["n_over"] or 0),
+            "rows_in_oversized": int(row["rows_in_over"] or 0),
+            # the whole guarantee: fail-open means ZERO drops inside
+            # skipped clusters
+            "drops_in_oversized": int(row["drops_in_over"] or 0),
+            "total_rows": e.count(),
+        }
+        print(f"guard: {guard}", file=sys.stderr, flush=True)
+        clear_caches()
+
+    med = {s: round(median(r), 3) for s, r in results.items() if r}
+    payload: dict = {
+        "median_sec_hard": {OP: med},
+        "protocol": (
+            "semantic_dedup (SemDeDup ε-graph) over the HARD embedding "
+            "corpora; n_centroids = max(8, N//512) (constant ~512-row "
+            "expected cells), threshold 0.9, kmeans_iters 2, fit sample "
+            "capped at 100k rows, default max_cluster_size=100k; "
+            "noop-write timed, caches cleared between runs; "
+            f"n_runs {n_runs} (sf100_hard: <=2); one session; guard = "
+            f"fail-open run at max_cluster_size={guard_cap}"
+        ),
+        "runs_sec": results,
+        "stats": stats,
+        "fail_open_guard": guard,
+        "env": {"start": env_start, "end": bench._env_stamp()},
+    }
+    if "sf10_hard" in med and "sf100_hard" in med:
+        payload["decade_alpha_hard"] = {
+            OP: {
+                "200k->2M": round(
+                    math.log10(med["sf100_hard"] / med["sf10_hard"]), 3
+                )
+            }
+        }
+    out_path = REPO / "bench_records" / out_name
+    out_path.write_text(json.dumps(payload, indent=1))
+    print(json.dumps(payload, indent=1))
+
+
+if __name__ == "__main__":
+    main()
