@@ -6119,152 +6119,153 @@ def _leakage_split_lsh_oracle_sql() -> str:
 # checks the first 50, and next round's window is 'shift the list'.
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
-_R13_ORDER = [
-    # ==== r13 driver window (50): knn_graph_auto (new this round,
-    # never checked) then the r10/r11-green remainder — the oldest
-    # driver evidence in the registry.  After this round no
-    # oracle-checkable entry's driver evidence is older than r11. ====
-    "knn_graph_auto",
+_R14_ORDER = [
+    # ==== r14 driver window (50): the 39 r11-green entries (the oldest
+    # driver evidence in the registry) plus the 11 alphabetically-first
+    # r12-green entries to fill the window.  After this round no
+    # oracle-checkable entry's driver evidence is older than r12 and
+    # the steady-state <=3-round age bound holds.
+    # distinct_users_approx stays LAST (rows-only by design: an HLL
+    # estimate's driver row carries no value-hash signal). ====
+    "ann_ivf_two_level",
+    "anti_join_customers",
+    "asof_join_purchase_click",
+    "dedup_exact",
+    "dedup_incremental",
+    "dedup_simhash",
+    "distinct_users",
+    "doc_length_histogram",
+    "embedding_standardize",
+    "etl_chained_mappings",
+    "events_rolling",
+    "f4_not_in",
+    "f5_is_empty",
+    "join_left_outer",
+    "json_extract_props",
+    "knn_graph",
+    "leakage_safe_split",
+    "merge_upsert_orders",
+    "multimodal_features",
+    "part_pagerank",
+    "pivot_orders",
+    "rollup_orders",
+    "salted_join_customers",
+    "sample_deterministic",
+    "sessionize_events",
+    "t3_date_format",
+    "t4_lookup",
+    "t7_formula",
+    "temperature_mix",
+    "text_filter_lines",
+    "text_pii_scrub",
+    "text_repetition",
+    "topk_revenue_orders",
+    "typed_crypto_pipeline",
+    "unigram_logprob",
+    "unpivot_customer",
+    "url_registered_domain",
+    "value_percentiles",
+    "window_top_orders",
+    "agg_pricing_summary",
+    "ann_bruteforce",
+    "ann_ivf_approx",
+    "ann_quantized",
+    "chunk_documents",
+    "corpus_curation",
+    "corpus_decontaminate",
+    "corpus_shuffle",
+    "dedup_clusters",
+    "dedup_doc_lines",
+    "dedup_embedding",
+    "dedup_incremental_bloom",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_paragraphs",
+    "dedup_representatives",
+    "etl_aggregate_mapping",
+    "etl_dynamic_mapping",
+    "etl_lookup_table",
+    "events_rolling_time",
+    "gopher_quality",
+    "image_dhash",
+    "image_dhash_pairs",
+    "join_full_outer",
+    "join_revenue_by_nation",
+    "knn_graph_sharded",
+    "leakage_safe_split_lsh",
+    "length_outliers",
+    "mixture_resample",
+    "pack_sequences",
+    "range_join_buckets",
+    "retention_cohorts",
+    "salted_agg_events",
+    "sample_by_quality",
+    "scd2_history",
+    "semantic_dedup",
+    "spec_validation",
+    "stats_moments",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "text_metrics",
+    "text_strip_html",
+    "text_top_bigrams",
+    "text_top_tokens",
+    "tfidf_terms",
+    "tokens_to_ids",
+    "training_mix",
+    "typed_stocks_pipeline",
+    "web_curation",
+    "window_funcs_orders",
+    "ann_ivf_exact",
     "ann_recall_curve",
-    "dedup_lsh_capped",
-    "bigram_logprob",
-    "snapshot_diff",
-    "funnel_steps",
-    "image_dup_clusters",
-    "profile_events",
-    "asof_join_forward",
-    "value_histogram",
-    "events_anomalies",
-    "sample_weighted",
-    "bm25_terms",
-    "perplexity_buckets",
-    "boilerplate_lines",
-    "token_budget_mix",
-    "duplicate_spans",
-    "contamination_report",
-    "source_cap",
-    "events_winsorized",
-    "interval_overlap",
-    "remove_dup_spans",
-    "dsir_selection",
-    "corpus_report",
     "apply_merges",
-    "quality_classifier",
-    "fuzzy_join",
-    "pct_rank_events",
-    "corr_lineitem",
-    "mad_outliers",
+    "asof_join_forward",
+    "bigram_logprob",
+    "bm25_terms",
+    "boilerplate_lines",
+    "bpe_merges",
+    "contamination_report",
+    "copurchase_capped",
     "copurchase_pairs",
-    "record_clusters",
-    "url_dedup",
+    "corpus_report",
+    "corr_lineitem",
+    "cube_orders",
+    "dedup_jaccard_capped",
+    "dedup_lsh_capped",
+    "dedup_normalized",
+    "dsir_selection",
+    "duplicate_spans",
+    "events_anomalies",
     "events_drift",
-    "key_skew_events",
+    "events_winsorized",
     "f1_equals",
     "f2_not_equals",
     "f3_in",
     "f6_is_not_empty",
-    "copurchase_capped",
-    "bpe_merges",
     "f7_contains",
-    "cube_orders",
+    "funnel_steps",
+    "fuzzy_join",
     "grouping_sets_orders",
-    "dedup_jaccard_capped",
-    "ann_ivf_exact",
+    "image_dup_clusters",
+    "interval_overlap",
+    "key_skew_events",
+    "knn_graph_auto",
+    "mad_outliers",
+    "pct_rank_events",
+    "perplexity_buckets",
+    "profile_events",
+    "quality_classifier",
+    "record_clusters",
+    "remove_dup_spans",
     "sample_stratified",
-    "dedup_normalized",
+    "sample_weighted",
     "semi_join_parts",
+    "snapshot_diff",
+    "source_cap",
+    "token_budget_mix",
     "union_distinct_nations",
-    "etl_chained_mappings",
-    "merge_upsert_orders",
-    "t7_formula",
-    # ==== past the 50-query window: the 36 next-oldest (due r14),
-    # then the r12-green window, rows-only pinned last ====
-    "typed_crypto_pipeline",
-    "window_top_orders",
-    "rollup_orders",
-    "anti_join_customers",
-    "sample_deterministic",
-    "json_extract_props",
-    "value_percentiles",
-    "dedup_exact",
-    "dedup_simhash",
-    "multimodal_features",
-    "f4_not_in",
-    "f5_is_empty",
-    "t3_date_format",
-    "t4_lookup",
-    "join_left_outer",
-    "topk_revenue_orders",
-    "pivot_orders",
-    "unpivot_customer",
-    "distinct_users",
-    "text_repetition",
-    "text_pii_scrub",
-    "ann_ivf_two_level",
-    "url_registered_domain",
-    "sessionize_events",
-    "knn_graph",
-    "part_pagerank",
-    "salted_join_customers",
-    "temperature_mix",
-    "embedding_standardize",
-    "leakage_safe_split",
-    "text_filter_lines",
-    "events_rolling",
-    "dedup_incremental",
-    "asof_join_purchase_click",
-    "doc_length_histogram",
-    "unigram_logprob",
-    "knn_graph_sharded",
-    "text_strip_html",
-    "gopher_quality",
-    "mixture_resample",
-    "image_dhash_pairs",
-    "window_funcs_orders",
-    "dedup_doc_lines",
-    "join_full_outer",
-    "tokens_to_ids",
-    "corpus_shuffle",
-    "dedup_representatives",
-    "text_top_bigrams",
-    "length_outliers",
-    "ann_quantized",
-    "image_dhash",
-    "tfidf_terms",
-    "corpus_decontaminate",
-    "sample_by_quality",
-    "etl_dynamic_mapping",
-    "etl_lookup_table",
-    "etl_aggregate_mapping",
-    "spec_validation",
-    "typed_stocks_pipeline",
-    "agg_pricing_summary",
-    "join_revenue_by_nation",
-    "dedup_paragraphs",
-    "range_join_buckets",
-    "pack_sequences",
-    "semantic_dedup",
-    "dedup_jaccard_pairs",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "dedup_embedding",
-    "ann_bruteforce",
-    "ann_ivf_approx",
-    "text_metrics",
-    "leakage_safe_split_lsh",
-    "text_top_tokens",
-    "corpus_curation",
-    "stream_hourly_counts",
-    "stream_sessionize",
-    "dedup_incremental_bloom",
-    "chunk_documents",
-    "salted_agg_events",
-    "web_curation",
-    "events_rolling_time",
-    "stats_moments",
-    "training_mix",
-    "scd2_history",
-    "retention_cohorts",
+    "url_dedup",
+    "value_histogram",
     "distinct_users_approx",
 ]
 
@@ -6285,17 +6286,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle-verified every round via scripts/check_oracle.py regardless
     # of window position.
     #
-    # Since round 9 the schedule is MATERIALIZED as _R13_ORDER (above):
+    # Since round 9 the schedule is MATERIALIZED as _R14_ORDER (above):
     # the dict literal below keeps its historical grouping for diff
     # hygiene, and the return reorders it through the list, asserting
-    # set-equality so nothing falls out of rotation.  Round-13 window:
-    # the 50 oldest-evidence entries (r10/r11-green — everything the
-    # r12 window did not cover, headed by the r10-green long tail).
-    # After this round no oracle-checkable entry's driver evidence is
-    # older than r11 and the steady-state ≤3-round age bound holds.
-    # (r13 adds knn_graph_auto + ann_recall_curve + dedup_lsh_capped at
-    # the head as never-checked entries; the three window-edge entries
-    # they displace are r12-judge-green.)
+    # set-equality so nothing falls out of rotation.  Round-14 window:
+    # the 39 r11-green entries (the oldest driver evidence left in the
+    # registry) plus the 11 alphabetically-first r12-green entries to
+    # fill the 50.  After this round no oracle-checkable entry's driver
+    # evidence is older than r12 and the steady-state ≤3-round age
+    # bound holds.
     # Counts: 140 registered / 139 oracle-checkable — update whenever
     # the registry changes.
     base = {
@@ -6458,10 +6457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
     }
     # dict-literal order above is historical grouping; the SCHEDULE is
-    # _R13_ORDER (asserted complete so a new query cannot be silently
+    # _R14_ORDER (asserted complete so a new query cannot be silently
     # left out of the rotation)
-    assert set(base) == set(_R13_ORDER), sorted(set(base) ^ set(_R13_ORDER))
-    return {k: base[k] for k in _R13_ORDER}
+    assert set(base) == set(_R14_ORDER), sorted(set(base) ^ set(_R14_ORDER))
+    return {k: base[k] for k in _R14_ORDER}
 
 
 # ---------------------------------------------------------------------------
@@ -6532,11 +6531,11 @@ _NON_SCALE_TIERS = {
 
 def tiers() -> dict[str, str]:
     """Tier tag for every ``queries()`` entry (complete by construction:
-    keys are the same ``_R13_ORDER`` set the registry asserts).
+    keys are the same ``_R14_ORDER`` set the registry asserts).
     ``scale-path-bounded`` entries carry their size bound + successor in
     ``tier_bounds()``."""
     out = {}
-    for k in _R13_ORDER:
+    for k in _R14_ORDER:
         if k in _TIER_BOUNDS:
             out[k] = TIER_SCALE_BOUNDED
         else:

@@ -22,14 +22,20 @@ Exit code is 0 even with regressions (it is an evidence generator, not
 a CI gate); the ``regressions`` list is the round report's input.
 
 r14 (verdict ask #4): the DRIVER's per-round artifact (repo-root
-``BENCH_r{N}.json``) is also accepted.  That format keeps only the last
-2000 characters of bench.py's stdout (``tail``) plus a truncated
-``parsed.queries`` (first ~5 entries), so per-query timings are
-reconstructed by regex over the tail fragment — coverage is PARTIAL
-(whatever queries landed in the final 2000 chars of the JSON line) and
-the result carries ``"partial": true`` plus the reconstructed/total
-counts so a diff over it cannot masquerade as a full-registry diff.
-Driver artifacts carry no env stamps; ``env_note`` says so explicitly.
+``BENCH_r{N}.json``) is also accepted — with a crucial caveat this
+round's investigation established (BENCHNOTES_r14_driverdiff.json).
+The driver captures COMBINED stdout+stderr and keeps the last 2000
+characters: that window holds (a) the tail of bench.py's STDERR
+``{"runs": ..., "spread": ...}`` dump — per-query max−min SPREADS, not
+timings — and (b) the final stdout contract line, whose ``queries``
+dict is the 5-query BASELINE parity subset of medians.  The r13
+verdict's "driver tail churn" table (record_clusters 0.84→1.36 s,
+part_pagerank 1.64→0.42 s) was unknowingly comparing SPREADS across
+rounds (committed r13 medians for those queries are 3.76 s and 5.17 s).
+The loader therefore exposes only the parity medians as ``queries``
+(diffed as timings) and the reconstructed spread fragment separately as
+``spread_partial`` (surfaced, never diffed as a timing).  Driver
+artifacts carry no env stamps; ``env_note`` says so explicitly.
 """
 
 from __future__ import annotations
@@ -59,21 +65,26 @@ _TAIL_PAIR = re.compile(r'(?<=[{,])"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)')
 def _from_driver(doc: dict) -> dict:
     """Normalize a driver BENCH_r{N}.json into the BENCH_FULL shape.
 
-    Reconstructs per-query seconds from ``parsed.queries`` (truncated)
-    plus a regex sweep of the stdout ``tail`` fragment; meta keys that
-    share the pair shape are excluded.  The driver format has no env
-    stamps and no medians beyond what bench.py itself printed."""
+    MEDIANS come only from ``parsed.queries`` — the stdout contract
+    line's fixed 5-query BASELINE parity subset.  Everything the tail
+    regex finds on NON-final lines is the stderr spread dump (max−min
+    across runs, not a timing) and is exposed separately as
+    ``spread_partial`` so nobody diffs spreads as timings again."""
     parsed = doc.get("parsed") or {}
     queries: dict[str, float] = {
         k: float(v) for k, v in (parsed.get("queries") or {}).items()
     }
-    for m in _TAIL_PAIR.finditer(doc.get("tail", "")):
-        name, val = m.group(1), float(m.group(2))
-        if name not in _TAIL_META_KEYS:
-            queries[name] = val
+    spread_partial: dict[str, float] = {}
+    lines = doc.get("tail", "").strip().splitlines()
+    for ln in lines[:-1]:
+        for m in _TAIL_PAIR.finditer(ln):
+            name = m.group(1)
+            if name not in _TAIL_META_KEYS:
+                spread_partial[name] = float(m.group(2))
     total = parsed.get("n_queries")
     return {
         "queries": queries,
+        "spread_partial": spread_partial,
         "value": parsed.get("value"),
         "env": None,
         "format": "driver_tail",
@@ -144,9 +155,11 @@ def diff(prev: dict, curr: dict, threshold: float) -> dict:
     ]
     if partial:
         note = (
-            f"snapshot(s) {partial} are driver tail-reconstructions: "
-            "PARTIAL query coverage, no env stamps — flags here need an "
-            "exclusive local retime before being called real"
+            f"snapshot(s) {partial} are driver artifacts: medians exist "
+            "only for the 5-query BASELINE parity subset (the rest of "
+            "the tail is the stderr SPREAD dump — never a timing), no "
+            "env stamps — flags here need an exclusive local full-bench "
+            "A/B before being called real"
         )
         env_note = f"{env_note}; {note}" if env_note else note
     return {

@@ -428,13 +428,13 @@ def test_approx_distinct_within_tolerance(spark):
 def test_registry_tier_tags_complete():
     """tiers() (r11 verdict ask #3): every registry entry carries a
     machine-readable tier tag, the tag table covers the registry exactly
-    (same set-equality discipline as the _R13_ORDER assert), and the
+    (same set-equality discipline as the _R14_ORDER assert), and the
     documented verification-only spellings can no longer be mistaken for
     recommended paths programmatically."""
     import __spark_entry__ as E
 
     t = E.tiers()
-    assert set(t) == set(E._R13_ORDER)
+    assert set(t) == set(E._R14_ORDER)
     valid = {E.TIER_SCALE, E.TIER_SCALE_BOUNDED, E.TIER_TWIN, E.TIER_ROWS_ONLY}
     assert set(t.values()) <= valid
     # every override key must be a real registry entry (a typo'd key
