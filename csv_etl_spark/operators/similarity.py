@@ -207,6 +207,14 @@ def topk_per_probe(scored: DataFrame, k: int, probe_col: str = "probe_id") -> Da
     return pruned.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# brute_force_topk collects the probe set to the driver when it fits this
+# bound and scores it with ONE pass of the corpus through Arrow (the
+# per-batch cosine matrix is row-blocked to ~32 MB).  1024 probes × 64
+# dims × 8 B ≈ 0.5 MB of closure — driver-safe by construction.  Larger
+# probe sets fall back to the crossJoin spelling.
+_BRUTE_BLAS_MAX_PROBES = 1024
+
+
 def brute_force_topk(
     vectors: DataFrame,
     probes: DataFrame,
@@ -216,11 +224,35 @@ def brute_force_topk(
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_vec",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast probes × all vectors.  Excludes
-    self-matches (same id).  Deterministic tie-break on neighbor id.
-    Both sides' norms are hoisted ahead of the pair fan-out
-    (``cosine_with_norms``): each vector's norm is computed once, not
-    once per probe."""
+    """Exact cosine top-k.  Excludes self-matches (same id);
+    deterministic tie-break on neighbor id; cosine rounded to 6 places.
+
+    Scale path (r14): when the probe set fits ``_BRUTE_BLAS_MAX_PROBES``
+    it is collected and closed over, and scoring is ONE ``mapInPandas``
+    pass of the corpus — each corpus row crosses Arrow once, and each
+    batch emits only its per-probe top-(k+1) shortlist.  The previous
+    crossJoin spelling shipped N × m pair rows (each carrying BOTH
+    full vectors) through the Python runner: ~500 GB of Arrow traffic
+    at 20M × 50 — measured stalling the 20M-hard recall protocol
+    (BENCHNOTES_r14 driver-stall finding).  The kernel reproduces the
+    Catalyst fold exactly (per-dimension double accumulate for norms
+    and dots, same ``denom > 0`` guard), so cosines are bit-identical
+    to the crossJoin spelling and every SQL oracle replays unchanged;
+    per-batch selection keeps a 2×10⁻⁶ value margin so no row that
+    could enter the global top-k under ROUNDED ordering is dropped by
+    an unrounded shortlist.  Probe sets above the bound (rare: probes-
+    as-corpus belongs to ``knn_join``) take the old broadcast-crossJoin
+    path unchanged."""
+    probe_rows = (
+        probes.select(probe_id_col, probe_vec_col)
+        .limit(_BRUTE_BLAS_MAX_PROBES + 1)
+        .collect()
+    )
+    if len(probe_rows) <= _BRUTE_BLAS_MAX_PROBES:
+        scored = _brute_scored_blas(
+            vectors, probe_rows, k, id_col, vec_col, probe_id_col, probes
+        )
+        return topk_per_probe(scored, k, probe_id_col)
     joined = (
         vectors.withColumn("_vnorm", l2_norm(F.col(vec_col)))
         .crossJoin(
@@ -241,6 +273,87 @@ def brute_force_topk(
         ).alias("cosine"),
     )
     return topk_per_probe(scored, k, probe_id_col)
+
+
+def _brute_scored_blas(
+    vectors: DataFrame,
+    probe_rows: list,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    probe_id_col: str,
+    probes: DataFrame,
+) -> DataFrame:
+    """(probe_id, neighbor_id, cosine) shortlist rows for the collected
+    probe set — one Arrow pass of the corpus, per-batch top-(k+1) with a
+    2e-6 raw-cosine margin (see brute_force_topk), cosine rounded
+    JVM-side with the same F.round the crossJoin spelling uses."""
+    pids = [r[0] for r in probe_rows]
+    pmat = np.array([list(r[1]) for r in probe_rows], dtype=np.float64)
+    m, dim = pmat.shape
+    # probe norms: same per-dimension double fold as l2_norm
+    pn = np.zeros(m)
+    for j in range(dim):
+        pn += pmat[:, j] * pmat[:, j]
+    pn = np.sqrt(pn)
+    pid_arr = np.asarray(pids)
+    # row-block so the per-block cosine matrix stays ~32 MB
+    block = max(256, 4_000_000 // max(1, m))
+    margin = 2e-6
+    keep_n = k + 1  # +1 absorbs the (single possible) self-match
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_all = pdf[id_col].to_numpy()
+            vecs = pdf[vec_col].to_numpy()
+            out_p, out_n, out_c = [], [], []
+            for lo in range(0, len(pdf), block):
+                hi = min(lo + block, len(pdf))
+                V = np.stack(vecs[lo:hi]).astype(np.float64)
+                b = V.shape[0]
+                ids = ids_all[lo:hi]
+                vn = np.zeros(b)
+                dots = np.zeros((b, m))
+                for j in range(dim):
+                    col = V[:, j]
+                    vn += col * col
+                    dots += col[:, None] * pmat[None, :, j]
+                vn = np.sqrt(vn)
+                denom = vn[:, None] * pn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom > 0, dots / denom, 0.0)
+                for p in range(m):
+                    c = cos[:, p]
+                    if b > keep_n:
+                        thr = np.partition(c, b - keep_n)[b - keep_n]
+                        sel = np.flatnonzero(c >= thr - margin)
+                    else:
+                        sel = np.arange(b)
+                    sel = sel[ids[sel] != pid_arr[p]]
+                    if len(sel) == 0:
+                        continue
+                    out_p.append(np.full(len(sel), pid_arr[p]))
+                    out_n.append(ids[sel])
+                    out_c.append(c[sel])
+            if out_p:
+                yield pd.DataFrame(
+                    {
+                        probe_id_col: np.concatenate(out_p),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    ptype = probes.schema[probe_id_col].dataType.simpleString()
+    ntype = vectors.schema[id_col].dataType.simpleString()
+    shortlist = vectors.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{probe_id_col} {ptype}, neighbor_id {ntype}, cosine double"
+    )
+    return shortlist.select(
+        probe_id_col, "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
 
 
 def quantize_embeddings(

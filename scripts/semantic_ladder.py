@@ -184,7 +184,7 @@ def main() -> None:
 
     med = {s: round(median(r), 3) for s, r in results.items() if r}
     payload: dict = {
-        "median_sec_hard": {OP: med},
+        "median_sec_big": {OP: med},
         "protocol": (
             "semantic_dedup (SemDeDup ε-graph) over the HARD embedding "
             "corpora; n_centroids = max(8, N//512) (constant ~512-row "
@@ -200,7 +200,7 @@ def main() -> None:
         "env": {"start": env_start, "end": bench._env_stamp()},
     }
     if "sf10_hard" in med and "sf100_hard" in med:
-        payload["decade_alpha_hard"] = {
+        payload["decade_alpha_big"] = {
             OP: {
                 "200k->2M": round(
                     math.log10(med["sf100_hard"] / med["sf10_hard"]), 3

@@ -160,6 +160,21 @@ def test_brute_force_topk_correctness(spark):
             assert got_cos == pytest.approx(exp_cos, abs=1e-5)
 
 
+def test_brute_force_blas_path_bit_identical(spark, monkeypatch):
+    """r14: brute_force_topk's collected-probe mapInPandas path (one
+    Arrow pass, per-dimension double fold) must be ROW-IDENTICAL to the
+    crossJoin spelling — same cosines to the last bit (same fold order),
+    same rounded values, same tie-breaks.  Also pins the dispatch: the
+    BLAS path runs within the probe bound, the crossJoin spelling past
+    it."""
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = similarity.make_probes(e, n=40)
+    blas = sorted(map(tuple, similarity.brute_force_topk(e, probes, k=4).collect()))
+    monkeypatch.setattr(similarity, "_BRUTE_BLAS_MAX_PROBES", 0)
+    cross = sorted(map(tuple, similarity.brute_force_topk(e, probes, k=4).collect()))
+    assert blas == cross and len(blas) == 40 * 4
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     e = spark.read.parquet(f"{SF}/embeddings.parquet")
     probes = similarity.make_probes(e, n=5)
