@@ -555,9 +555,23 @@ def resolve_duplicate_clusters(
     """
     from pyspark.storagelevel import StorageLevel
 
+    # one-pass symmetric edge build: explode [(a,b),(b,a)] per pair row.
+    # The previous union-of-two-selects spelling scanned `pairs` TWICE
+    # before the persist boundary — for LSH callers that is the whole
+    # shingle→signature→banding→verify pipeline re-run, measured as the
+    # composed leakage_safe_split_lsh costing ~2× its staged sum
+    # (BENCHNOTES_r14_lsh_stages.json: staged pairs 107 s vs composed
+    # 207 s at 5M docs).  Same edge set, one scan.
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("u"), F.col(id_b).alias("v")),
+                    F.struct(F.col(id_b).alias("u"), F.col(id_a).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
