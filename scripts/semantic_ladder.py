@@ -86,16 +86,31 @@ def main() -> None:
     from scale_bench import clear_caches
 
     def run_dedup(sf_dir: str, n: int, cap: int | None):
+        # deterministic first-(N//512) codebook — the contract queries'
+        # convention, same as the knn ladders.  NOT kmeans_centroids: its
+        # engine-portable Lloyd step rebuilds an O(k x dim) broadcast-
+        # LITERAL expression tree per iteration, and Catalyst ANALYSIS of
+        # that tree is the bottleneck past a few hundred centroids
+        # (measured: the 390-centroid fit at 200k sat idle for minutes in
+        # analysis; 3907 at 2M would be hours).  Fitting large codebooks
+        # belongs to the sampled table-codebook discipline
+        # (ivf_two_level / knn_join_sharded); the ladder measures the
+        # OPERATOR's scale shape — assignment + bounded per-cluster
+        # self-join — which is codebook-source-independent.
         e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cells = max(8, n // 512)
+        cents = (
+            e.orderBy("vec_id")
+            .limit(cells)
+            .select(
+                F.col("vec_id").cast("int").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
         return similarity.semantic_dedup(
             e,
-            n_centroids=max(8, n // 512),
             threshold=0.9,
-            kmeans_iters=2,
-            # the k-means fit only needs a representative sample; at 2M a
-            # 0.5 fraction would fit 3907 centroids on 1M rows for no
-            # structural gain — cap the fit input at ~100k rows
-            sample_fraction=min(0.5, 100_000 / n),
+            centroids=cents,
             max_cluster_size=cap,
         )
 
@@ -187,12 +202,13 @@ def main() -> None:
         "median_sec_big": {OP: med},
         "protocol": (
             "semantic_dedup (SemDeDup ε-graph) over the HARD embedding "
-            "corpora; n_centroids = max(8, N//512) (constant ~512-row "
-            "expected cells), threshold 0.9, kmeans_iters 2, fit sample "
-            "capped at 100k rows, default max_cluster_size=100k; "
-            "noop-write timed, caches cleared between runs; "
-            f"n_runs {n_runs} (sf100_hard: <=2); one session; guard = "
-            f"fail-open run at max_cluster_size={guard_cap}"
+            "corpora; codebook = deterministic first-(N//512) vectors "
+            "(constant ~512-row expected cells; kmeans_centroids' literal-"
+            "tree Lloyd step is analysis-bound past a few hundred cells — "
+            "see source comment), threshold 0.9, default "
+            "max_cluster_size=100k; noop-write timed, caches cleared "
+            f"between runs; n_runs {n_runs} (sf100_hard: <=2); one "
+            f"session; guard = fail-open run at max_cluster_size={guard_cap}"
         ),
         "runs_sec": results,
         "stats": stats,
