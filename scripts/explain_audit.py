@@ -52,12 +52,15 @@ EXPECT_BROADCAST = {
     "join_revenue_by_nation",
     "etl_lookup_table",
     "range_join_buckets",
-    "ann_bruteforce",
+    # r14: ann_bruteforce left this set — brute_force_topk's collected-
+    # probe path scores in ONE mapInPandas pass (no broadcast join in the
+    # plan at all); the broadcast-crossJoin spelling remains only for
+    # probe sets past _BRUTE_BLAS_MAX_PROBES
     "ann_ivf_exact",
     "ann_ivf_approx",
 }
 # queries where a broadcast nested-loop / cross join is the intended shape
-CROSS_OK = {"ann_bruteforce", "ann_ivf_exact", "ann_ivf_approx"}
+CROSS_OK = {"ann_bruteforce", "ann_ivf_exact", "ann_ivf_approx"}  # ann_bruteforce kept for the >1024-probe fallback spelling
 
 # columns that uniquely identify a row of their table: a Window partitioned
 # by one of these computes a per-row value via a full shuffle — always
