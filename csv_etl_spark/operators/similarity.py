@@ -557,6 +557,74 @@ def kmeans_centroids(
     )
 
 
+# past this many centroids, kmeans_centroids' engine-portable Lloyd step
+# is ANALYSIS-bound: each iteration rebuilds an O(k × dim) broadcast-
+# literal expression tree and Catalyst analysis of it dominates (r14
+# semantic ladder: a 390-cell fit at 200k rows sat idle-CPU for minutes;
+# 3907 cells projects to hours).  Larger codebooks are fitted
+# hierarchically as a TABLE (kmeans_codebook_table).
+_KMEANS_LITERAL_MAX = 256
+
+
+def kmeans_codebook_table(
+    vectors: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    sample_fraction: float | None = None,
+    sample_per_cell: int = 2048,
+) -> DataFrame:
+    """Data-adapted FLAT codebook of ~``n_centroids`` cells as a TABLE —
+    the fit path for codebooks past ``_KMEANS_LITERAL_MAX`` (SemDeDup at
+    100 TB wants ~100k clusters; the literal-tree Lloyd step cannot go
+    there, see the constant above).
+
+    Hierarchical composition of the two existing fitters: a small coarse
+    k-means (√k cells, literal path — cheap by construction) routes the
+    corpus once, then one Lloyd k-means of ⌈k/√k⌉ cells runs INSIDE each
+    coarse cell via ``applyInPandas`` (``fine_centroid_table_kmeans``),
+    so fitting is fully distributed and bounded by ``sample_per_cell``
+    per task regardless of corpus size.  Deterministic (hash sample +
+    first-n init, no RNG), NOT SQL-replicable — like the fine-table
+    fitter it composes, it is the production-quality mode; contract
+    queries keep the deterministic first-k convention.  Returns
+    ``(centroid_id int, centroid_vec)`` — drop-in wherever a codebook
+    table is accepted (``assign_to_centroids``, ``semantic_dedup``,
+    ``knn_join_sharded``; ≥100k-cell ASSIGNMENT should go through the
+    sharded tier's torrent-broadcast discipline rather than the plain
+    collected closure).  Cells smaller than their fine quota yield
+    fewer centroids, so the codebook size is approximate — the callers'
+    cost model (cells ∝ N) only needs the scale, not the exact count."""
+    if n_centroids <= 0:
+        raise ValueError(f"n_centroids must be positive: {n_centroids}")
+    n_coarse = max(8, min(_KMEANS_LITERAL_MAX, math.isqrt(n_centroids)))
+    fine_per = -(-n_centroids // n_coarse)
+    coarse = kmeans_centroids(
+        vectors,
+        n_centroids=n_coarse,
+        iters=kmeans_iters,
+        sample_fraction=sample_fraction,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    fine = fine_centroid_table_kmeans(
+        vectors,
+        coarse,
+        n_fine_per_cell=fine_per,
+        id_col=id_col,
+        vec_col=vec_col,
+        kmeans_iters=max(2, kmeans_iters),
+        sample_per_cell=sample_per_cell,
+    )
+    return fine.select(
+        (F.col("coarse_id").cast("long") * fine_per + F.col("fine_id"))
+        .cast("int")
+        .alias("centroid_id"),
+        F.col("fine_vec").alias("centroid_vec"),
+    )
+
+
 def assign_to_centroids(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -705,14 +773,28 @@ def semantic_dedup(
     ≤ n_centroids-row agg, broadcast back).  Default 100k ≈ SemDeDup's
     own cluster granularity; pass None to disable."""
     if centroids is None:
-        centroids = kmeans_centroids(
-            vectors,
-            n_centroids=n_centroids,
-            iters=kmeans_iters,
-            sample_fraction=sample_fraction,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
+        if n_centroids > _KMEANS_LITERAL_MAX:
+            # the literal-tree Lloyd fit is Catalyst-analysis-bound past
+            # a few hundred cells (measured, r14 semantic ladder) — fit
+            # hierarchically as a table instead.  100 TB guidance:
+            # n_centroids ∝ N (SemDeDup's own granularity) lands here.
+            centroids = kmeans_codebook_table(
+                vectors,
+                n_centroids=n_centroids,
+                id_col=id_col,
+                vec_col=vec_col,
+                kmeans_iters=kmeans_iters,
+                sample_fraction=sample_fraction,
+            )
+        else:
+            centroids = kmeans_centroids(
+                vectors,
+                n_centroids=n_centroids,
+                iters=kmeans_iters,
+                sample_fraction=sample_fraction,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
     # keep_norm: the per-cluster self-join below reuses the hoisted
     # norms (and they persist with the frame), so the ε-check is one
     # dot per pair instead of a full cosine

@@ -958,6 +958,42 @@ def test_semantic_dedup_drops_planted_neighbors(spark):
             assert not out[pid]["kept"], f"planted copy {pid} must be dropped"
 
 
+def test_kmeans_codebook_table_and_semantic_dispatch(spark, monkeypatch):
+    """r14: codebooks past _KMEANS_LITERAL_MAX are fitted hierarchically
+    as a TABLE (coarse literal k-means + per-cell applyInPandas Lloyd) —
+    the literal-tree Lloyd step is Catalyst-analysis-bound there.  Pins:
+    the table fitter returns ~k cells with the codebook schema and is
+    deterministic; semantic_dedup's planted-copy guarantees hold through
+    the table-fit dispatch (forced via a lowered bound)."""
+    from csv_etl_spark.operators import similarity
+
+    import random
+
+    rng = random.Random(7)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    planted = [(i + 1000, [2.0 * x for x in vec]) for i, vec in base if i % 12 == 0]
+    df = spark.createDataFrame(base + planted, ["vec_id", "embedding"])
+
+    cb = similarity.kmeans_codebook_table(df, n_centroids=12, kmeans_iters=2)
+    rows = cb.collect()
+    assert 8 <= len(rows) <= 16 and len({r["centroid_id"] for r in rows}) == len(rows)
+    # deterministic: same fit twice
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, cb.collect()))
+
+    monkeypatch.setattr(similarity, "_KMEANS_LITERAL_MAX", 4)
+    out = {r["vec_id"]: r for r in similarity.semantic_dedup(
+        df, n_centroids=12, threshold=0.99, kmeans_iters=1, sample_fraction=None
+    ).collect()}
+    assert len(out) == len(base) + len(planted)
+    for i, _ in base:
+        assert out[i]["kept"], f"original {i} must survive"
+    for i, _ in base:
+        if i % 12 == 0:
+            pid = i + 1000
+            assert out[pid]["cluster"] == out[i]["cluster"]
+            assert not out[pid]["kept"], f"planted copy {pid} must be dropped"
+
+
 def test_semantic_dedup_min_id_survives_within_cluster(spark):
     """ε-graph min-neighbor rule: among mutually-similar vectors in one
     cluster, only the lowest id survives."""
