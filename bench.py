@@ -194,6 +194,37 @@ def _env_stamp() -> dict:
         stamp["exclusive"] = not foreign
     except OSError:
         pass
+    # absolute machine-speed calibration (r15: the r13→r14 +10.6% total
+    # drift reproduced on an IDLE machine, so loadavg alone cannot
+    # adjudicate "machine state" — the box itself got slower between
+    # rounds).  Two fixed single-thread probes, medians of 5: a numpy
+    # matmul (BLAS / CPU frequency) and a pure-python loop (interpreter
+    # / branch speed).  Future bench_diffs divide totals by the
+    # calibration ratio before flagging.
+    try:
+        import numpy as _np
+
+        A = _np.arange(512 * 512, dtype="float64").reshape(512, 512) / 1e6
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            (A @ A).sum()
+            ts.append(time.perf_counter() - t0)
+        stamp["cal_matmul_ms"] = round(sorted(ts)[2] * 1000, 3)
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            s = 0
+            for i in range(200_000):
+                s += i ^ (i >> 3)
+            ts.append(time.perf_counter() - t0)
+        stamp["cal_pyloop_ms"] = round(sorted(ts)[2] * 1000, 3)
+        try:
+            stamp["kernel"] = os.uname().release
+        except OSError:
+            pass
+    except Exception:
+        pass
     return stamp
 
 

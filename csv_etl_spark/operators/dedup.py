@@ -132,9 +132,16 @@ def minhash_affine_params(num_hashes: int = 16) -> list[tuple[int, int]]:
 _SHINGLE_CACHE = BoundedPersistCache(max_entries=8)
 
 # driver-side bound for the LSH hot-bucket broadcast (minhash_lsh_pairs
-# max_bucket_size): ~1M (band, 2-long bucket) rows ≈ 40 MB — past it the
-# anti-join runs distributed instead (freq_cap discipline)
-_MAX_HOT_BUCKETS = 1_000_000
+# max_bucket_size): past it the anti-join runs distributed instead
+# (freq_cap discipline).  100k collected Rows is ~10 MB of raw fields
+# but realistically ~100 MB of driver heap as PySpark Row objects plus
+# a gateway re-serialization on createDataFrame (r14 ADVICE: the prior
+# 1M bound under-counted that overhead ~10x) — and a broadcast side
+# this large has to fit every executor anyway, so 100k is also the
+# honest broadcast ceiling.  Hot buckets number ≤ docs×bands/
+# max_bucket_size; at the measured 15M-doc ladder the observed count
+# was 4 orders of magnitude under this bound.
+_MAX_HOT_BUCKETS = 100_000
 
 
 def clear_shingle_cache() -> None:
@@ -436,11 +443,12 @@ def minhash_lsh_pairs(
             "band", "bucket"
         )
         # hot-bucket count is bounded by docs*bands/max_bucket_size; the
-        # limit-capped collect never pulls more than the bound + 1 rows
-        # (~40 MB worst case).  Collecting — rather than counting and
-        # re-joining `hot` — runs the sizes aggregation ONCE: the
-        # broadcast side is rebuilt from the collected rows instead of
-        # recomputing the whole signature/band pipeline (r13 advice).
+        # limit-capped collect never pulls more than _MAX_HOT_BUCKETS+1
+        # rows (see the constant's sizing note).  Collecting — rather
+        # than counting and re-joining `hot` — runs the sizes
+        # aggregation ONCE: the broadcast side is rebuilt from the
+        # collected rows instead of recomputing the whole signature/band
+        # pipeline (r13 advice).
         hot_rows = hot.limit(_MAX_HOT_BUCKETS + 1).collect()
         if len(hot_rows) == 0:
             pass  # no hot buckets: skip the anti-join entirely

@@ -75,6 +75,13 @@ def dot_arrow(a: Column, b: Column) -> Column:
     return _fold(a, b)
 
 
+# the Catalyst-literal / plain-collect codebook cap: assignments over
+# codebooks at or under this many cells go through _codebook_arrays and
+# the broadcast struct-array spelling; past it, callers must take the
+# torrent-broadcast sharded path (assign_to_centroids_sharded).
+_ASSIGN_LITERAL_CELLS = 4096
+
+
 def _codebook_arrays(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     """Collect a centroid table to (ids, matrix) sorted by centroid_id —
     driver-side and BOUNDED: every caller enforces the 4096-cell literal
@@ -83,8 +90,12 @@ def _codebook_arrays(centroids: DataFrame) -> tuple[np.ndarray, np.ndarray]:
     struct-array spelling already does.  The bound is also ENFORCED
     here at the collect site: a caller that slipped an unbounded frame
     through would otherwise silently pull it all onto the driver."""
-    rows = centroids.select("centroid_id", "centroid_vec").limit(4097).collect()
-    if len(rows) > 4096:
+    rows = (
+        centroids.select("centroid_id", "centroid_vec")
+        .limit(_ASSIGN_LITERAL_CELLS + 1)
+        .collect()
+    )
+    if len(rows) > _ASSIGN_LITERAL_CELLS:
         raise ValueError(
             "_codebook_arrays: centroid frame exceeds the 4096-cell "
             "driver-collect cap; shard the codebook or raise k-means k"
@@ -242,12 +253,31 @@ def brute_force_topk(
     could enter the global top-k under ROUNDED ordering is dropped by
     an unrounded shortlist.  Probe sets above the bound (rare: probes-
     as-corpus belongs to ``knn_join``) take the old broadcast-crossJoin
-    path unchanged."""
+    path unchanged.
+
+    EAGER: sizing the probe set runs a bounded Spark action
+    (``limit(1025).collect()`` on ``probes``) AT CALL TIME — unlike
+    most operators here, calling this function triggers a job even if
+    the returned frame is never executed (same documented trade as the
+    LSH hot-bucket guard; the probe rows are needed driver-side to
+    build the closure)."""
     probe_rows = (
         probes.select(probe_id_col, probe_vec_col)
         .limit(_BRUTE_BLAS_MAX_PROBES + 1)
         .collect()
     )
+    if not probe_rows:
+        # empty probe set: the pre-r14 crossJoin spelling returned an
+        # empty frame gracefully; preserve that contract (r14 ADVICE —
+        # the BLAS kernel would raise unpacking a 0-row matrix).  Empty
+        # scored rows through the normal top-k keep the schema identical.
+        scored = (
+            probes.limit(0)
+            .select(probe_id_col)
+            .crossJoin(vectors.limit(0).select(F.col(id_col).alias("neighbor_id")))
+            .withColumn("cosine", F.round(F.lit(0.0).cast("double"), 6))
+        )
+        return topk_per_probe(scored, k, probe_id_col)
     if len(probe_rows) <= _BRUTE_BLAS_MAX_PROBES:
         scored = _brute_scored_blas(
             vectors, probe_rows, k, id_col, vec_col, probe_id_col, probes
@@ -566,6 +596,25 @@ def kmeans_centroids(
 _KMEANS_LITERAL_MAX = 256
 
 
+def _codebook_table_shape(n_centroids: int) -> tuple[int, int]:
+    """(n_coarse, fine_per) for ``kmeans_codebook_table``'s hierarchy —
+    one definition so the dispatch bound below cannot drift from the
+    fitter."""
+    n_coarse = max(8, min(_KMEANS_LITERAL_MAX, math.isqrt(n_centroids)))
+    fine_per = -(-n_centroids // n_coarse)
+    return n_coarse, fine_per
+
+
+def codebook_table_cells_bound(n_centroids: int) -> int:
+    """UPPER bound on the cell count ``kmeans_codebook_table`` can emit
+    for a requested ``n_centroids``: n_coarse × fine_per (= ceil-division
+    slack above n_centroids; sparse coarse cells may yield fewer, never
+    more).  Callers use it to pick the assignment tier without counting
+    the fitted table — a count would re-run the whole fit pipeline."""
+    n_coarse, fine_per = _codebook_table_shape(n_centroids)
+    return n_coarse * fine_per
+
+
 def kmeans_codebook_table(
     vectors: DataFrame,
     n_centroids: int,
@@ -598,8 +647,7 @@ def kmeans_codebook_table(
     cost model (cells ∝ N) only needs the scale, not the exact count."""
     if n_centroids <= 0:
         raise ValueError(f"n_centroids must be positive: {n_centroids}")
-    n_coarse = max(8, min(_KMEANS_LITERAL_MAX, math.isqrt(n_centroids)))
-    fine_per = -(-n_centroids // n_coarse)
+    n_coarse, fine_per = _codebook_table_shape(n_centroids)
     coarse = kmeans_centroids(
         vectors,
         n_centroids=n_coarse,
@@ -772,6 +820,7 @@ def semantic_dedup(
     cluster-size census rides the already-persisted assignment (one tiny
     ≤ n_centroids-row agg, broadcast back).  Default 100k ≈ SemDeDup's
     own cluster granularity; pass None to disable."""
+    sharded_assign = False
     if centroids is None:
         if n_centroids > _KMEANS_LITERAL_MAX:
             # the literal-tree Lloyd fit is Catalyst-analysis-bound past
@@ -786,6 +835,14 @@ def semantic_dedup(
                 kmeans_iters=kmeans_iters,
                 sample_fraction=sample_fraction,
             )
+            # past the literal cap, assignment must take the sharded
+            # torrent-broadcast tier (r14 ADVICE: the table fit reached
+            # 100k cells but assignment still crashed at 4097).  The
+            # bound is the fitter's structural maximum, so the decision
+            # costs nothing — no count of the fitted table.
+            sharded_assign = (
+                codebook_table_cells_bound(n_centroids) > _ASSIGN_LITERAL_CELLS
+            )
         else:
             centroids = kmeans_centroids(
                 vectors,
@@ -795,12 +852,25 @@ def semantic_dedup(
                 id_col=id_col,
                 vec_col=vec_col,
             )
+    else:
+        # explicit codebook: one BOUNDED count picks the assignment tier
+        # (≤4097 rows scanned; callers pass materialized tables, so this
+        # probe is cheap — the fitted paths above never pay it)
+        sharded_assign = (
+            centroids.limit(_ASSIGN_LITERAL_CELLS + 1).count()
+            > _ASSIGN_LITERAL_CELLS
+        )
     # keep_norm: the per-cluster self-join below reuses the hoisted
     # norms (and they persist with the frame), so the ε-check is one
     # dot per pair instead of a full cosine
-    assigned = assign_to_centroids(
-        vectors, centroids, id_col=id_col, vec_col=vec_col, keep_norm=True
-    )
+    if sharded_assign:
+        assigned = assign_to_centroids_sharded(
+            vectors, centroids, id_col=id_col, vec_col=vec_col, keep_norm=True
+        )
+    else:
+        assigned = assign_to_centroids(
+            vectors, centroids, id_col=id_col, vec_col=vec_col, keep_norm=True
+        )
     # `assigned` feeds three branches (both sides of the per-cluster
     # self-join plus the final keeper left-join); without a persist the
     # broadcast-argmax assignment and the upstream scan recompute ~3x
@@ -1339,11 +1409,58 @@ def knn_join_sharded(
     population is bounded by construction (≈members_per_cell), so no
     task outgrows memory and AQE handles residual skew; the broadcast
     is ≤128 MB at the 2^18-cell cap."""
+    _guard_integral_ids(left, left_id_col, right, right_id_col)
+    mk_router, n_cells, cid_sql = _sharded_router_factory(
+        centroids,
+        m_super=m_super,
+        n_super=n_super,
+        spill=spill,
+        super_iters=super_iters,
+        caller="knn_join_sharded",
+    )
+    take = int(nprobe) if nprobe is not None else n_cells
+    routed = left.withColumn(
+        "_cells", mk_router(take)(F.col(left_vec_col))
+    ).select(
+        F.col(left_id_col).alias("probe_id"),
+        F.col(left_vec_col).alias("_pvec"),
+        F.explode(F.col("_cells")).alias("cluster"),
+    )
+    assigned = right.withColumn(
+        "_cells", mk_router(1)(F.col(right_vec_col))
+    ).select(
+        right_id_col,
+        right_vec_col,
+        F.element_at(F.col("_cells"), 1).alias("cluster"),
+    )
+    return _grouped_cell_topk(
+        routed, assigned, k, exclude_same_id, right_id_col, right_vec_col
+    )
+
+
+def _sharded_router_factory(
+    centroids: DataFrame,
+    m_super: int | None = 4,
+    n_super: int | None = None,
+    spill: int = 2,
+    super_iters: int = 3,
+    caller: str = "sharded router",
+):
+    """The sharded tier's torrent-broadcast hierarchical router, shared
+    by ``knn_join_sharded`` (both sides) and
+    ``assign_to_centroids_sharded`` (member-style single-cell routing).
+    Collects the codebook once under the 2^18-cell cap, fits the
+    super-centroid hierarchy driver-side, ships ONE broadcast
+    (registered for ``release_sharded_broadcasts``), and returns
+    ``(mk_router, n_cells, cid_sql)`` where ``mk_router(n_take)`` is a
+    pandas UDF mapping a vector column to its ``n_take`` nearest cell
+    ids (``m_super=None`` ⇒ exact flat argmax, the SQL-replayable
+    spelling).  See ``knn_join_sharded``'s docstring for the full
+    routing-design rationale."""
     ids, mat = _codebook_arrays_large(centroids)
     n_cells = len(ids)
     if n_cells == 0:
-        raise ValueError("knn_join_sharded: empty centroid frame")
-    _guard_integral_ids(left, left_id_col, right, right_id_col)
+        raise ValueError(f"{caller}: empty centroid frame")
     cid_sql = centroids.schema["centroid_id"].dataType.simpleString()
     np_dtype = {"int": "int32", "bigint": "int64"}.get(cid_sql, "int64")
     ids_t = ids.astype(np_dtype)
@@ -1389,7 +1506,7 @@ def knn_join_sharded(
         members.append(np.nonzero((spill_assign == s).any(axis=1))[0])
     cn = np.sqrt((mat * mat).sum(axis=1))
 
-    sc = left.sparkSession.sparkContext
+    sc = centroids.sparkSession.sparkContext
     bc = sc.broadcast(
         {
             "ids_t": ids_t,
@@ -1496,23 +1613,53 @@ def knn_join_sharded(
 
         return _route
 
-    take = int(nprobe) if nprobe is not None else n_cells
-    routed = left.withColumn(
-        "_cells", _mk_router(take)(F.col(left_vec_col))
-    ).select(
-        F.col(left_id_col).alias("probe_id"),
-        F.col(left_vec_col).alias("_pvec"),
-        F.explode(F.col("_cells")).alias("cluster"),
+    return _mk_router, n_cells, cid_sql
+
+
+def assign_to_centroids_sharded(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_norm: bool = False,
+    m_super: int | None = 4,
+    n_super: int | None = None,
+    spill: int = 2,
+    super_iters: int = 3,
+) -> DataFrame:
+    """``assign_to_centroids`` for codebooks PAST the 4096-cell
+    Catalyst-literal / driver-collect cap (SemDeDup at 100 TB wants
+    ~100k cells, and ``kmeans_codebook_table`` fits them — r14 ADVICE:
+    the fit path extended past 4096 cells but assignment still crashed
+    there).  Same (id, vec[, _vnorm], cluster) contract and the same
+    map-only shape — one routing pass, no shuffle — but the codebook
+    ships as ONE torrent broadcast (2^18-cell cap ≈ 128 MB) and each
+    vector routes through the sharded tier's two-level hierarchy:
+    ``m_super`` nearest super-cells, then exact argmax over their
+    spill-redundant members.  Routing cost per vector is
+    √C·(1+spill·m_super) sims instead of C — at C=100k that is ~2.9k
+    vs 100k.  Deterministic given the codebook; ``m_super=None`` makes
+    routing the EXACT flat argmax over all C cells (the stable
+    sim-desc / centroid_id-asc tie rule, bit-faithful to
+    ``assign_to_centroids``) at C-sims-per-vector cost.  Hierarchical
+    assignment may route a boundary vector to its second-nearest cell —
+    for the partition-shaped callers (``semantic_dedup``) that is the
+    same fail-open trade as its cluster-size cap (a possibly-missed
+    pair, never a wrong drop).  ``keep_norm`` hoists the row L2 norm
+    JVM-side with the identical ``l2_norm`` fold."""
+    mk_router, _, _ = _sharded_router_factory(
+        centroids,
+        m_super=m_super,
+        n_super=n_super,
+        spill=spill,
+        super_iters=super_iters,
+        caller="assign_to_centroids_sharded",
     )
-    assigned = right.withColumn(
-        "_cells", _mk_router(1)(F.col(right_vec_col))
-    ).select(
-        right_id_col,
-        right_vec_col,
-        F.element_at(F.col("_cells"), 1).alias("cluster"),
+    out_cols = [F.col(id_col), F.col(vec_col)] + (
+        [l2_norm(F.col(vec_col)).alias("_vnorm")] if keep_norm else []
     )
-    return _grouped_cell_topk(
-        routed, assigned, k, exclude_same_id, right_id_col, right_vec_col
+    return vectors.withColumn("_cells", mk_router(1)(F.col(vec_col))).select(
+        *out_cols, F.element_at(F.col("_cells"), 1).alias("cluster")
     )
 
 

@@ -994,6 +994,121 @@ def test_kmeans_codebook_table_and_semantic_dispatch(spark, monkeypatch):
             assert not out[pid]["kept"], f"planted copy {pid} must be dropped"
 
 
+def test_assign_sharded_above_literal_cap_real_codebook(spark):
+    """r15 (r14 ADVICE medium): assignment PAST the 4096-cell cap must
+    actually run — a REAL 5000-cell codebook through the sharded
+    torrent-broadcast router, no monkeypatched bounds.  Pins: planted
+    probes (exact copies of sampled centroids) land on their own cell
+    under BOTH the hierarchical default and the exact flat spelling
+    (m_super=None); the literal-path assign still refuses the same
+    codebook (the cap is real, not bypassed)."""
+    import random
+
+    import pytest
+
+    from csv_etl_spark.operators import similarity
+
+    rng = random.Random(15)
+    dim = 16
+    cents = [
+        (cid, [rng.uniform(-1, 1) for _ in range(dim)]) for cid in range(5000)
+    ]
+    cb = spark.createDataFrame(cents, "centroid_id int, centroid_vec array<double>")
+    # probes: scaled copies of every 250th centroid — cosine 1.0 with
+    # their own cell, ≪1 with any other random direction at dim=16
+    probes = [
+        (cid, [1.5 * x for x in vec]) for cid, vec in cents if cid % 250 == 0
+    ]
+    pdf = spark.createDataFrame(probes, "vec_id int, embedding array<double>")
+
+    hier = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.assign_to_centroids_sharded(pdf, cb).collect()
+    }
+    flat = {
+        r["vec_id"]: r["cluster"]
+        for r in similarity.assign_to_centroids_sharded(
+            pdf, cb, m_super=None
+        ).collect()
+    }
+    assert hier == {cid: cid for cid, _ in probes}
+    assert flat == hier
+
+    with pytest.raises(ValueError, match="4096"):
+        similarity.assign_to_centroids(pdf, cb).collect()
+
+
+def test_semantic_dedup_explicit_codebook_above_cap(spark):
+    """r15: semantic_dedup with an EXPLICIT >4096-cell codebook routes
+    assignment through the sharded tier (previously crashed in
+    _codebook_arrays) and keeps the planted-copy drop guarantees."""
+    import random
+
+    from csv_etl_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(23)
+    dim = 16
+    cents = [
+        (cid, [rng.uniform(-1, 1) for _ in range(dim)]) for cid in range(4200)
+    ]
+    cb = spark.createDataFrame(cents, "centroid_id int, centroid_vec array<double>")
+    base = [(i, [2.0 * x for x in cents[i * 100][1]]) for i in range(40)]
+    planted = [(i + 10_000, [3.0 * x for x in vec]) for i, vec in base if i % 4 == 0]
+    df = spark.createDataFrame(base + planted, "vec_id int, embedding array<double>")
+
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.99, centroids=cb
+        ).collect()
+    }
+    assert len(out) == len(base) + len(planted)
+    for i, _ in base:
+        assert out[i]["kept"], f"original {i} must survive"
+        if i % 4 == 0:
+            pid = i + 10_000
+            assert out[pid]["cluster"] == out[i]["cluster"]
+            assert not out[pid]["kept"], f"planted copy {pid} must be dropped"
+
+
+def test_codebook_table_cells_bound_matches_fitter_shape(spark):
+    """The dispatch bound and the fitter derive (n_coarse, fine_per)
+    from ONE helper — pin the structural relation: bound ≥ n_centroids,
+    bound > 4096 exactly when semantic_dedup must take the sharded
+    assignment (e.g. the SemDeDup-scale 100k-cell request)."""
+    from csv_etl_spark.operators import similarity
+
+    for n in (12, 256, 300, 4096, 5000, 100_000):
+        bound = similarity.codebook_table_cells_bound(n)
+        n_coarse, fine_per = similarity._codebook_table_shape(n)
+        assert bound == n_coarse * fine_per >= n
+    assert similarity.codebook_table_cells_bound(100_000) > 4096
+    assert similarity.codebook_table_cells_bound(256) <= 4096
+
+
+def test_brute_force_topk_empty_probes(spark):
+    """r15 (r14 ADVICE low): an empty probe frame returns an empty
+    result with the contract schema — the BLAS scale path used to crash
+    unpacking a 0-row matrix where the old crossJoin spelling degraded
+    gracefully."""
+    from csv_etl_spark.operators.similarity import brute_force_topk
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id int, embedding array<double>"
+    )
+    probes = spark.createDataFrame(
+        [], "probe_id int, probe_vec array<double>"
+    )
+    out = brute_force_topk(vecs, probes, k=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "probe_id",
+        "neighbor_id",
+        "cosine",
+        "rank",
+    ]
+
+
 def test_semantic_dedup_min_id_survives_within_cluster(spark):
     """ε-graph min-neighbor rule: among mutually-similar vectors in one
     cluster, only the lowest id survives."""
