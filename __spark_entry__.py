@@ -1546,12 +1546,31 @@ _MH_SIG_ITEMS = ", ".join(
     for a, b in _MH_PARAMS
 )
 
-# the minhash-LSH pipeline as a reusable CTE chain: shared by the
-# dedup_minhash_lsh oracle, the LSH-fed leakage_safe_split_lsh oracle
-# (which chains connected components + the md5 grouped split on top) and
-# the r13 capped spelling (dedup_lsh_capped: max_bucket_size drops hot
-# band buckets before the self-join — see _minhash_ctes)
-_MINHASH_CTES = f"""th AS (
+def _minhash_ctes(max_bucket_size: int | None = None) -> str:
+    """The minhash-LSH pipeline as a reusable CTE chain — ONE template
+    for both spellings (r14 ADVICE: the capped variant used to be built
+    by exact string-replace of the shared chain, so an innocent reformat
+    silently flipped behavior until an import-time assert fired).
+    ``max_bucket_size=None`` is the uncapped chain (dedup_minhash_lsh,
+    and leakage_safe_split_lsh chains connected components + the md5
+    grouped split on top); an integer inserts the r13 hot-bucket cap —
+    band buckets holding more than that many docs are dropped before the
+    candidate self-join via a windowed count (dedup.minhash_lsh_pairs
+    max_bucket_size, the measured Zipf-vocabulary mega-bucket guard)."""
+    if max_bucket_size is None:
+        kept_cte = ""
+        cand_src = "bands"
+    else:
+        kept_cte = f"""bands_kept AS (
+      SELECT doc_id, band, vals FROM (
+        SELECT doc_id, band, vals,
+               count(*) OVER (PARTITION BY band, vals) AS _bsz
+        FROM bands)
+      WHERE _bsz <= {int(max_bucket_size)}
+    ),
+    """
+        cand_src = "bands_kept"
+    return f"""th AS (
       SELECT doc_id, list_transform(toks, t -> {_poly_sql('t')}) AS th
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
       WHERE len(toks) >= 3
@@ -1569,9 +1588,9 @@ _MINHASH_CTES = f"""th AS (
       SELECT doc_id, band, [sig[2 * band + 1], sig[2 * band + 2]] AS vals
       FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bnd
     ),
-    cand AS (
+    {kept_cte}cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
+      FROM {cand_src} a JOIN {cand_src} b
         ON a.band = b.band AND a.vals = b.vals AND a.doc_id < b.doc_id
     ),
     mh_pairs AS (
@@ -1585,44 +1604,16 @@ _MINHASH_CTES = f"""th AS (
             / len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.35
     )"""
 
+
+_MINHASH_CTES = _minhash_ctes()
+
 _ORACLE_MINHASH_LSH = f"""
     WITH {_MINHASH_CTES}
     SELECT id_a, id_b, jaccard FROM mh_pairs
 """
 
-
-def _minhash_ctes_capped(max_bucket_size: int) -> str:
-    """The _MINHASH_CTES chain with the r13 hot-bucket cap: band buckets
-    holding more than ``max_bucket_size`` docs are dropped before the
-    candidate self-join (dedup.minhash_lsh_pairs max_bucket_size — the
-    measured Zipf-vocabulary mega-bucket guard).  Implemented by
-    rewriting the ``cand`` CTE to read from a size-filtered ``bands``
-    so the shared chain stays single-sourced."""
-    capped = _MINHASH_CTES.replace(
-        """cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.vals = b.vals AND a.doc_id < b.doc_id
-    )""",
-        f"""bands_kept AS (
-      SELECT doc_id, band, vals FROM (
-        SELECT doc_id, band, vals,
-               count(*) OVER (PARTITION BY band, vals) AS _bsz
-        FROM bands)
-      WHERE _bsz <= {int(max_bucket_size)}
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands_kept a JOIN bands_kept b
-        ON a.band = b.band AND a.vals = b.vals AND a.doc_id < b.doc_id
-    )""",
-    )
-    assert "bands_kept" in capped, "cand CTE text drifted; update the rewrite"
-    return capped
-
-
 _ORACLE_LSH_CAPPED = f"""
-    WITH {_minhash_ctes_capped(2)}
+    WITH {_minhash_ctes(2)}
     SELECT id_a, id_b, jaccard FROM mh_pairs
 """
 
