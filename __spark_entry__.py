@@ -4912,6 +4912,75 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.quality_classifier(d, labels, n_features=4096)
 
 
+def q_lang_id_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language ID (operators/classify.py:lang_id_model — r14
+    verdict ask #5, replacing text.lang_id's stopword voting as the
+    production operator; the heuristic stays as the documented
+    fallback).  Char-trigram multinomial NB fitted deterministically at
+    import time from literal seed corpora (pure counting, micro-unit
+    weights — no RNG, no external model file); scoring is all-JVM:
+    trigram explode → (doc, trigram) count → broadcast model join →
+    (doc, lang) micro-unit sum → struct-min argmax.  The DuckDB oracle
+    replays SCORING in full with the fitted weights inlined as VALUES
+    (~900 rows), so the learned pipeline is value-hash-checked end to
+    end, with the exact (score desc, lang asc) tie rule."""
+    from csv_etl_spark.operators import classify
+
+    d = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
+    return classify.lang_id_model(d)
+
+
+def _lang_id_oracle() -> str:
+    """The lang_id_model scoring pipeline in DuckDB, model weights
+    inlined from the SAME ``lang_trigram_model()`` fit the Spark side
+    uses — one source of truth, zero drift by construction."""
+    from csv_etl_spark.operators.classify import lang_trigram_model
+
+    model_rows, lang_rows = lang_trigram_model()
+    mv = ",\n      ".join(
+        "('{}', '{}', {})".format(t.replace("'", "''"), lg, w)
+        for t, lg, w in model_rows
+    )
+    lv = ", ".join(f"('{lg}', {p}, {dw})" for lg, p, dw in lang_rows)
+    return f"""
+    WITH low AS (SELECT doc_id, lower(text) AS s FROM documents),
+    model(trigram, lang, adj_w) AS (VALUES {mv}),
+    langs(lang, prior_w, default_w) AS (VALUES {lv}),
+    spine AS (SELECT doc_id, greatest(length(s) - 2, 0) AS n3 FROM low),
+    tris AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(s) - 2, 0) + 1),
+                                   i -> substring(s, CAST(i AS INTEGER), 3)))
+               AS trigram
+      FROM low
+    ),
+    counts AS (SELECT doc_id, trigram, count(*) AS n FROM tris GROUP BY 1, 2),
+    adj AS (
+      SELECT c.doc_id, m.lang, sum(c.n * m.adj_w) AS a
+      FROM counts c JOIN model m USING (trigram) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT s.doc_id, s.n3, l.lang,
+             l.prior_w + s.n3 * l.default_w + coalesce(a.a, 0) AS sm
+      FROM spine s CROSS JOIN langs l
+      LEFT JOIN adj a ON a.doc_id = s.doc_id AND a.lang = l.lang
+    ),
+    best AS (
+      SELECT doc_id, n3, lang, sm,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sm DESC, lang ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id,
+           CASE WHEN n3 = 0 THEN 'unknown' ELSE lang END AS lang_pred,
+           round(CAST(sm AS DOUBLE) / 1000000.0, 6) AS lang_score
+    FROM best WHERE rk = 1
+"""
+
+
+_ORACLE_LANG_ID_MODEL = _lang_id_oracle()
+
+
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy (edit-distance ≤ 1) string join
     (operators/joins.py:fuzzy_string_join — PassJoin pigeonhole segments
@@ -6111,13 +6180,103 @@ def _leakage_split_lsh_oracle_sql() -> str:
 # Regenerate by sorting on (last driver-green round, registry order);
 # never-checked entries first, the 2 rows-only entries pinned last.
 _R14_ORDER = [
-    # ==== r14 driver window (50): the 39 r11-green entries (the oldest
-    # driver evidence in the registry) plus the 11 alphabetically-first
-    # r12-green entries to fill the window.  After this round no
-    # oracle-checkable entry's driver evidence is older than r12 and
-    # the steady-state <=3-round age bound holds.
-    # distinct_users_approx stays LAST (rows-only by design: an HLL
-    # estimate's driver row carries no value-hash signal). ====
+    # ==== r15 driver window (50): never-driver-checked first
+    # (lang_id_model, new this round), then the 49 oldest-evidence
+    # entries (green r12/r13 — the r14 window, now the NEWEST
+    # evidence, rotates to the back).  distinct_users_approx stays
+    # LAST (rows-only by design: an HLL estimate driver row carries
+    # no value-hash signal). ====
+    "lang_id_model",
+    "dedup_incremental_bloom",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_paragraphs",
+    "dedup_representatives",
+    "etl_aggregate_mapping",
+    "etl_dynamic_mapping",
+    "etl_lookup_table",
+    "events_rolling_time",
+    "gopher_quality",
+    "image_dhash",
+    "image_dhash_pairs",
+    "join_full_outer",
+    "join_revenue_by_nation",
+    "knn_graph_sharded",
+    "leakage_safe_split_lsh",
+    "length_outliers",
+    "mixture_resample",
+    "pack_sequences",
+    "range_join_buckets",
+    "retention_cohorts",
+    "salted_agg_events",
+    "sample_by_quality",
+    "scd2_history",
+    "semantic_dedup",
+    "spec_validation",
+    "stats_moments",
+    "stream_hourly_counts",
+    "stream_sessionize",
+    "text_metrics",
+    "text_strip_html",
+    "text_top_bigrams",
+    "text_top_tokens",
+    "tfidf_terms",
+    "tokens_to_ids",
+    "training_mix",
+    "typed_stocks_pipeline",
+    "web_curation",
+    "window_funcs_orders",
+    "ann_ivf_exact",
+    "ann_recall_curve",
+    "apply_merges",
+    "asof_join_forward",
+    "bigram_logprob",
+    "bm25_terms",
+    "boilerplate_lines",
+    "bpe_merges",
+    "contamination_report",
+    "copurchase_capped",
+    # ==== below: r14-green (newest driver evidence) ====
+    "copurchase_pairs",
+    "corpus_report",
+    "corr_lineitem",
+    "cube_orders",
+    "dedup_jaccard_capped",
+    "dedup_lsh_capped",
+    "dedup_normalized",
+    "dsir_selection",
+    "duplicate_spans",
+    "events_anomalies",
+    "events_drift",
+    "events_winsorized",
+    "f1_equals",
+    "f2_not_equals",
+    "f3_in",
+    "f6_is_not_empty",
+    "f7_contains",
+    "funnel_steps",
+    "fuzzy_join",
+    "grouping_sets_orders",
+    "image_dup_clusters",
+    "interval_overlap",
+    "key_skew_events",
+    "knn_graph_auto",
+    "mad_outliers",
+    "pct_rank_events",
+    "perplexity_buckets",
+    "profile_events",
+    "quality_classifier",
+    "record_clusters",
+    "remove_dup_spans",
+    "sample_stratified",
+    "sample_weighted",
+    "semi_join_parts",
+    "snapshot_diff",
+    "source_cap",
+    "token_budget_mix",
+    "union_distinct_nations",
+    "url_dedup",
+    "value_histogram",
     "ann_ivf_two_level",
     "anti_join_customers",
     "asof_join_purchase_click",
@@ -6168,95 +6327,6 @@ _R14_ORDER = [
     "dedup_clusters",
     "dedup_doc_lines",
     "dedup_embedding",
-    "dedup_incremental_bloom",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_paragraphs",
-    "dedup_representatives",
-    "etl_aggregate_mapping",
-    "etl_dynamic_mapping",
-    "etl_lookup_table",
-    "events_rolling_time",
-    "gopher_quality",
-    "image_dhash",
-    "image_dhash_pairs",
-    "join_full_outer",
-    "join_revenue_by_nation",
-    "knn_graph_sharded",
-    "leakage_safe_split_lsh",
-    "length_outliers",
-    "mixture_resample",
-    "pack_sequences",
-    "range_join_buckets",
-    "retention_cohorts",
-    "salted_agg_events",
-    "sample_by_quality",
-    "scd2_history",
-    "semantic_dedup",
-    "spec_validation",
-    "stats_moments",
-    "stream_hourly_counts",
-    "stream_sessionize",
-    "text_metrics",
-    "text_strip_html",
-    "text_top_bigrams",
-    "text_top_tokens",
-    "tfidf_terms",
-    "tokens_to_ids",
-    "training_mix",
-    "typed_stocks_pipeline",
-    "web_curation",
-    "window_funcs_orders",
-    "ann_ivf_exact",
-    "ann_recall_curve",
-    "apply_merges",
-    "asof_join_forward",
-    "bigram_logprob",
-    "bm25_terms",
-    "boilerplate_lines",
-    "bpe_merges",
-    "contamination_report",
-    "copurchase_capped",
-    "copurchase_pairs",
-    "corpus_report",
-    "corr_lineitem",
-    "cube_orders",
-    "dedup_jaccard_capped",
-    "dedup_lsh_capped",
-    "dedup_normalized",
-    "dsir_selection",
-    "duplicate_spans",
-    "events_anomalies",
-    "events_drift",
-    "events_winsorized",
-    "f1_equals",
-    "f2_not_equals",
-    "f3_in",
-    "f6_is_not_empty",
-    "f7_contains",
-    "funnel_steps",
-    "fuzzy_join",
-    "grouping_sets_orders",
-    "image_dup_clusters",
-    "interval_overlap",
-    "key_skew_events",
-    "knn_graph_auto",
-    "mad_outliers",
-    "pct_rank_events",
-    "perplexity_buckets",
-    "profile_events",
-    "quality_classifier",
-    "record_clusters",
-    "remove_dup_spans",
-    "sample_stratified",
-    "sample_weighted",
-    "semi_join_parts",
-    "snapshot_diff",
-    "source_cap",
-    "token_budget_mix",
-    "union_distinct_nations",
-    "url_dedup",
-    "value_histogram",
     "distinct_users_approx",
 ]
 
@@ -6270,7 +6340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with never-checked queries (including operators new this round)
     # first.  With N oracle-checkable entries this bounds every query's
     # driver-evidence age to ceil(N/50) rounds in steady state — 3 rounds
-    # at the current N=139 (140 registered minus distinct_users_approx,
+    # at the current N=140 (141 registered minus distinct_users_approx,
     # the one remaining rows-only-by-design entry, which yields its slot
     # permanently: an HLL estimate's driver row carries no value-hash
     # signal; it is pytest-verified instead).  ALL entries additionally stay locally
@@ -6286,7 +6356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fill the 50.  After this round no oracle-checkable entry's driver
     # evidence is older than r12 and the steady-state ≤3-round age
     # bound holds.
-    # Counts: 140 registered / 139 oracle-checkable — update whenever
+    # Counts: 141 registered / 140 oracle-checkable — update whenever
     # the registry changes.
     base = {
         # ---- never driver-checked: new in r9 ----
@@ -6297,6 +6367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "apply_merges": q_apply_merges,
         "quality_classifier": q_quality_classifier,
+        "lang_id_model": q_lang_id_model,
         "fuzzy_join": q_fuzzy_join,
         "pct_rank_events": q_pct_rank_events,
         "corr_lineitem": q_corr_lineitem,
@@ -6624,6 +6695,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_merges": _apply_merges_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
+        "lang_id_model": _ORACLE_LANG_ID_MODEL,
         "fuzzy_join": _ORACLE_FUZZY_JOIN,
         "pct_rank_events": _ORACLE_PCT_RANK,
         "corr_lineitem": _corr_lineitem_oracle_sql(),

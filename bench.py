@@ -154,6 +154,8 @@ HEADLINE = [
     "knn_graph_auto",
     "ann_recall_curve",
     "dedup_lsh_capped",
+    # round 15 addition: trained char-trigram NB language ID
+    "lang_id_model",
 ]
 
 

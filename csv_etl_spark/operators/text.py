@@ -85,10 +85,12 @@ def quality_score(col: Column) -> Column:
 
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: stopword-hit voting between English and a tiny
-    Romance-language list; ties/none → 'unknown'.  (A production system
-    plugs fastText/CLD3 in via mapInPandas — this operator keeps the same
-    signature with a pure-SQL heuristic, since model libs aren't available
-    here.)"""
+    Romance-language list; ties/none → 'unknown'.  FALLBACK ONLY (r15):
+    the production operator is ``classify.lang_id_model`` — a trained
+    char-trigram multinomial NB with the same all-JVM scale shape and a
+    full value-hash oracle; this zero-model heuristic stays for
+    expression contexts (``text_metrics`` keeps it as a cheap inline
+    column) and as the no-dependency baseline."""
     toks = ws_tokens(col)
     lowered = F.transform(toks, lambda t: F.lower(t))
     en_hits = F.size(F.filter(lowered, lambda t: t.isin(EN_STOPWORDS)))
