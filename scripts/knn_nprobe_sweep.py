@@ -9,6 +9,15 @@ raising it preserves the linear total scan term.  This sweep measures
 the recall-vs-nprobe curve to pick the auto-raise rule's default.
 
 Usage: python scripts/knn_nprobe_sweep.py --out FILE.json [--step sf100_hard]
+       [--grid 16,32]
+
+r15 (verdict ask #4): ``--grid`` overrides the sweep points — used to
+measure the HONORED explicit-nprobe-above-cap path (the r14 ADVICE fix,
+sharded_nprobe_auto never lowers an explicit value): nprobe=32 at 2M is
+2x the cap, so recall must rise vs nprobe=16 and the scan term must
+scale ~linearly in nprobe.  Each point also records what
+sharded_nprobe_auto would return for that request (the honoring proof:
+above the cap the value passes through verbatim).
 """
 
 from __future__ import annotations
@@ -57,6 +66,9 @@ def main():
     step = "sf100_hard"
     if "--step" in args:
         step = args[args.index("--step") + 1]
+    grid = GRID
+    if "--grid" in args:
+        grid = [int(x) for x in args[args.index("--grid") + 1].split(",")]
 
     spark = get_spark("knn-nprobe-sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -82,7 +94,7 @@ def main():
         )
     )
     res = {"n_vectors": n, "n_cells": n_cells, "grid": {}}
-    for nprobe in GRID:
+    for nprobe in grid:
         t0 = time.perf_counter()
         approx = topk_sets(
             similarity.knn_join_sharded(
@@ -93,7 +105,15 @@ def main():
         )
         sec = round(time.perf_counter() - t0, 2)
         r = round(recall(approx, exact, K), 4)
-        res["grid"][str(nprobe)] = {"recall": r, "sec": sec}
+        res["grid"][str(nprobe)] = {
+            "recall": r,
+            "sec": sec,
+            # honoring proof: what the auto rule returns for this
+            # explicit request (above the cap it must pass verbatim)
+            "sharded_nprobe_auto": similarity.sharded_nprobe_auto(
+                n, n_cells, nprobe
+            ),
+        }
         print(f"nprobe={nprobe}: recall {r} ({sec}s)", file=sys.stderr, flush=True)
         similarity.release_sharded_broadcasts(destroy=True)
 
