@@ -1998,6 +1998,56 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assign_sharded_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r15 >4096-cell assignment tier
+    (similarity.assign_to_centroids_sharded) in its SQL-replayable
+    spelling: ``m_super=None`` makes routing the EXACT flat argmax
+    (sim desc, centroid_id asc on ties — bit-faithful selection via the
+    matmul + risky-gap refold kernel), so the torrent-broadcast router
+    is value-hash-checked against a plain SQL argmax.  Codebook = the
+    deterministic first-64 vectors (the contract convention); the
+    hierarchical m_super default and the genuinely-above-cap regime are
+    covered by the real-5000-cell unit tests and the r15 semantic
+    ladder's 39k-cell point."""
+    e = _t(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "embedding"
+    )
+    cents = (
+        e.orderBy("vec_id")
+        .limit(64)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+    )
+    return similarity.assign_to_centroids_sharded(
+        e, cents, m_super=None
+    ).select("vec_id", "cluster")
+
+
+def _assign_sharded_oracle_sql() -> str:
+    cos = _cos_sql("e.embedding", "c.centroid_vec")
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT CAST(vec_id AS INT) AS centroid_id, embedding AS centroid_vec
+      FROM e ORDER BY vec_id LIMIT 64
+    )
+    SELECT vec_id, cluster FROM (
+      SELECT e.vec_id, c.centroid_id AS cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cos} DESC, c.centroid_id ASC) AS rk
+      FROM e CROSS JOIN cents c) WHERE rk = 1
+    """
+
+
+_ORACLE_ASSIGN_SHARDED = _assign_sharded_oracle_sql()
+
+
 def _semdedup_oracle_sql(
     n_centroids: int = 8,
     threshold: float = 0.9,
@@ -6181,12 +6231,13 @@ def _leakage_split_lsh_oracle_sql() -> str:
 # never-checked entries first, the 2 rows-only entries pinned last.
 _R14_ORDER = [
     # ==== r15 driver window (50): never-driver-checked first
-    # (lang_id_model, new this round), then the 49 oldest-evidence
-    # entries (green r12/r13 — the r14 window, now the NEWEST
+    # (lang_id_model + assign_sharded_flat, new this round), then the
+    # 48 oldest-evidence entries (green r12/r13 — the r14 window, now the NEWEST
     # evidence, rotates to the back).  distinct_users_approx stays
     # LAST (rows-only by design: an HLL estimate driver row carries
     # no value-hash signal). ====
     "lang_id_model",
+    "assign_sharded_flat",
     "dedup_incremental_bloom",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
@@ -6340,7 +6391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # with never-checked queries (including operators new this round)
     # first.  With N oracle-checkable entries this bounds every query's
     # driver-evidence age to ceil(N/50) rounds in steady state — 3 rounds
-    # at the current N=140 (141 registered minus distinct_users_approx,
+    # at the current N=141 (142 registered minus distinct_users_approx,
     # the one remaining rows-only-by-design entry, which yields its slot
     # permanently: an HLL estimate's driver row carries no value-hash
     # signal; it is pytest-verified instead).  ALL entries additionally stay locally
@@ -6356,7 +6407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fill the 50.  After this round no oracle-checkable entry's driver
     # evidence is older than r12 and the steady-state ≤3-round age
     # bound holds.
-    # Counts: 141 registered / 140 oracle-checkable — update whenever
+    # Counts: 142 registered / 141 oracle-checkable — update whenever
     # the registry changes.
     base = {
         # ---- never driver-checked: new in r9 ----
@@ -6368,6 +6419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_merges": q_apply_merges,
         "quality_classifier": q_quality_classifier,
         "lang_id_model": q_lang_id_model,
+        "assign_sharded_flat": q_assign_sharded_flat,
         "fuzzy_join": q_fuzzy_join,
         "pct_rank_events": q_pct_rank_events,
         "corr_lineitem": q_corr_lineitem,
@@ -6696,6 +6748,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle_sql(),
         "quality_classifier": _ORACLE_QUALITY_CLASSIFIER,
         "lang_id_model": _ORACLE_LANG_ID_MODEL,
+        "assign_sharded_flat": _ORACLE_ASSIGN_SHARDED,
         "fuzzy_join": _ORACLE_FUZZY_JOIN,
         "pct_rank_events": _ORACLE_PCT_RANK,
         "corr_lineitem": _corr_lineitem_oracle_sql(),

@@ -154,8 +154,10 @@ HEADLINE = [
     "knn_graph_auto",
     "ann_recall_curve",
     "dedup_lsh_capped",
-    # round 15 addition: trained char-trigram NB language ID
+    # round 15 additions: trained char-trigram NB language ID, the
+    # >4096-cell assignment tier's flat contract spelling
     "lang_id_model",
+    "assign_sharded_flat",
 ]
 
 

@@ -387,11 +387,22 @@ def _brute_scored_blas(
 
 
 def quantize_embeddings(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dtype: str = "int",
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization: ``scale = max(|v|)/127``,
     ``q_i = round(v_i / scale)`` ∈ [-127, 127] (zero vector → all-zero q,
-    scale 0).  Returns ``(id_col, qvec: array<int>, scale: double)``.
+    scale 0).  Returns ``(id_col, qvec: array<dtype>, scale: double)``.
+
+    ``dtype="tinyint"`` stores the codes as actual int8 — the REAL 4×
+    byte cut for shuffle-bound paths (array<int> elements serialize at
+    4 B, same as the float32 source; the r14 20M kNN probe shuffle was
+    ~90 GB at float32 and only tinyint brings it under this sandbox's
+    disk).  The default stays ``int`` because the oracle-checked
+    ``ann_quantized`` contract pins that schema; the VALUES are
+    identical either way ([-127, 127] fits both).
 
     This is the storage/shuffle scale path for every embedding operator:
     an int8 codebook is 4× smaller than float32, so ANN scans, near-dup
@@ -424,9 +435,9 @@ def quantize_embeddings(
     q = F.when(
         F.col("_scale") > 0,
         F.transform(
-            v, lambda x: F.round(x.cast("double") / F.col("_scale")).cast("int")
+            v, lambda x: F.round(x.cast("double") / F.col("_scale")).cast(dtype)
         ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast(dtype)))
     return staged.select(
         F.col(id_col), q.alias("qvec"), F.col("_scale").alias("scale")
     )

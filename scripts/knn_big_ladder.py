@@ -109,6 +109,40 @@ def main() -> None:
             exclude_same_id=True,
         )
 
+    def graph_q8(spark, sf_dir, raised: bool):
+        # r15 (verdict optional ask #8): int8-quantized spelling — the
+        # disk-fitting protocol for the raised-nprobe 20M point.  Both
+        # sides quantize to array<tinyint> (REAL 1 B/component; cosine
+        # is scale-invariant so the router/scorer run on the codes
+        # directly), cutting the 320M-row probe shuffle ~4x to ~25 GB.
+        # Absolute seconds carry the quantized-kernel caveat; recall of
+        # the quantized spelling is measured by quantized_topk's tests
+        # and the ann_quantized recall rows.
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = e.count()
+        cells = max(8, math.isqrt(n), -(-n // 512))
+        q = similarity.quantize_embeddings(e, dtype="tinyint").select(
+            "vec_id", F.col("qvec").alias("embedding")
+        )
+        cents = (
+            q.orderBy("vec_id").limit(cells)
+            .select(
+                F.col("vec_id").cast("int").alias("centroid_id"),
+                F.col("embedding").alias("centroid_vec"),
+            )
+        )
+        probes = q.select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+        )
+        nprobe = (
+            similarity.sharded_nprobe_auto(n, cells, 2) if raised else 2
+        )
+        return similarity.knn_join_sharded(
+            probes, q, cents, k=3, nprobe=nprobe, m_super=4,
+            exclude_same_id=True,
+        )
+
     variants = {
         # np2 FIRST: the fixed-scan control is the feasible spelling on a
         # single-disk sandbox; the raised spelling at 20M shuffles
@@ -118,6 +152,8 @@ def main() -> None:
         # construction once the raise caps (constant per-probe volume)
         "knn_graph_sharded_m4_np2": lambda s, d: graph(s, d, False),
         "knn_graph_sharded_m4_auto": lambda s, d: graph(s, d, True),
+        "knn_graph_sharded_m4_auto_q8": lambda s, d: graph_q8(s, d, True),
+        "knn_graph_sharded_m4_np2_q8": lambda s, d: graph_q8(s, d, False),
     }
     if only_variants is not None:
         unknown = only_variants - set(variants)

@@ -88,6 +88,11 @@ def main() -> None:
     guard_size = None
     if "--guard-size" in args:
         guard_size = args[args.index("--guard-size") + 1]
+    # table mode reports under its own operator key so SCALE.md keeps
+    # the r14 firstn-codebook row alongside instead of overwriting it
+    global OP
+    if codebook == "table":
+        OP = "semantic_dedup_prop_tablefit"
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from pyspark.sql import functions as F

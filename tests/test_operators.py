@@ -2811,6 +2811,27 @@ def test_lang_id_model_held_out_sentences(spark):
     assert out[3]["lang_score"] == round(-best[0] / 1_000_000, 6)
 
 
+def test_quantize_embeddings_tinyint_parity(spark):
+    """r15: dtype='tinyint' stores the same codes as the default int
+    schema (values in [-127,127] fit both) — only the storage width
+    changes, so the shuffle-bound q8 spelling is value-identical."""
+    from csv_etl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [3.0, 2.0, -3.0])],
+        "vec_id int, embedding array<double>",
+    )
+    as_int = {r["vec_id"]: (list(r["qvec"]), r["scale"])
+              for r in quantize_embeddings(df).collect()}
+    as_i8 = {r["vec_id"]: (list(r["qvec"]), r["scale"])
+             for r in quantize_embeddings(df, dtype="tinyint").collect()}
+    assert as_int == as_i8
+    t = dict(quantize_embeddings(df, dtype="tinyint").dtypes)
+    assert t["qvec"] == "array<tinyint>"
+    assert as_int[2] == ([0, 0, 0], 0.0)
+    assert as_int[3][0] == [127, 85, -127]
+
+
 def test_lang_id_model_deterministic_and_bounded(spark):
     """Model fit is import-time deterministic (no RNG) and bounded:
     two fits are identical, the model stays broadcast-sized, and the
