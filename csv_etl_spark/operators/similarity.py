@@ -602,28 +602,20 @@ def kmeans_centroids(
 # is ANALYSIS-bound: each iteration rebuilds an O(k × dim) broadcast-
 # literal expression tree and Catalyst analysis of it dominates (r14
 # semantic ladder: a 390-cell fit at 200k rows sat idle-CPU for minutes;
-# 3907 cells projects to hours).  Larger codebooks are fitted
-# hierarchically as a TABLE (kmeans_codebook_table).
+# 3907 cells projects to hours).  Larger codebooks are fitted by the
+# global table-Lloyd (kmeans_codebook_table).
 _KMEANS_LITERAL_MAX = 256
-
-
-def _codebook_table_shape(n_centroids: int) -> tuple[int, int]:
-    """(n_coarse, fine_per) for ``kmeans_codebook_table``'s hierarchy —
-    one definition so the dispatch bound below cannot drift from the
-    fitter."""
-    n_coarse = max(8, min(_KMEANS_LITERAL_MAX, math.isqrt(n_centroids)))
-    fine_per = -(-n_centroids // n_coarse)
-    return n_coarse, fine_per
 
 
 def codebook_table_cells_bound(n_centroids: int) -> int:
     """UPPER bound on the cell count ``kmeans_codebook_table`` can emit
-    for a requested ``n_centroids``: n_coarse × fine_per (= ceil-division
-    slack above n_centroids; sparse coarse cells may yield fewer, never
-    more).  Callers use it to pick the assignment tier without counting
-    the fitted table — a count would re-run the whole fit pipeline."""
-    n_coarse, fine_per = _codebook_table_shape(n_centroids)
-    return n_coarse * fine_per
+    for a requested ``n_centroids`` — exactly ``n_centroids`` since r15
+    (init is the first n rows by id and Lloyd never adds cells; a corpus
+    smaller than n yields fewer).  Kept as a function so the dispatch
+    sites stay decoupled from the fitter's internals: callers pick the
+    assignment tier from the request without counting the fitted table —
+    a count would re-run the whole fit pipeline."""
+    return n_centroids
 
 
 def kmeans_codebook_table(
@@ -633,55 +625,97 @@ def kmeans_codebook_table(
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
     sample_fraction: float | None = None,
-    sample_per_cell: int = 2048,
+    round_digits: int = 6,
 ) -> DataFrame:
-    """Data-adapted FLAT codebook of ~``n_centroids`` cells as a TABLE —
+    """Data-adapted FLAT codebook of ≤ ``n_centroids`` cells as a TABLE —
     the fit path for codebooks past ``_KMEANS_LITERAL_MAX`` (SemDeDup at
     100 TB wants ~100k clusters; the literal-tree Lloyd step cannot go
     there, see the constant above).
 
-    Hierarchical composition of the two existing fitters: a small coarse
-    k-means (√k cells, literal path — cheap by construction) routes the
-    corpus once, then one Lloyd k-means of ⌈k/√k⌉ cells runs INSIDE each
-    coarse cell via ``applyInPandas`` (``fine_centroid_table_kmeans``),
-    so fitting is fully distributed and bounded by ``sample_per_cell``
-    per task regardless of corpus size.  Deterministic (hash sample +
-    first-n init, no RNG), NOT SQL-replicable — like the fine-table
-    fitter it composes, it is the production-quality mode; contract
-    queries keep the deterministic first-k convention.  Returns
-    ``(centroid_id int, centroid_vec)`` — drop-in wherever a codebook
-    table is accepted (``assign_to_centroids``, ``semantic_dedup``,
-    ``knn_join_sharded``; ≥100k-cell ASSIGNMENT should go through the
-    sharded tier's torrent-broadcast discipline rather than the plain
-    collected closure).  Cells smaller than their fine quota yield
-    fewer centroids, so the codebook size is approximate — the callers'
-    cost model (cells ∝ N) only needs the scale, not the exact count."""
+    GLOBAL distributed Lloyd with the exact semantics of
+    ``kmeans_centroids`` — md5-hash training sample, first-``n`` by-id
+    init, cosine assignment (ties → lowest centroid id), per-cluster
+    element-wise means rounded to ``round_digits``, empty clusters keep
+    their previous centroid — but every step stays a TABLE:
+
+    * assignment goes through ``assign_to_centroids_sharded`` (one
+      torrent broadcast of the codebook instead of an O(k × dim)
+      Catalyst literal tree): EXACT flat routing (``m_super=None``,
+      bit-faithful to ``assign_to_centroids``) up to the 4096-cell
+      literal cap, hierarchical m_super routing past it (approximate
+      assignment inside Lloyd — the standard large-k trade; centroid
+      placement stays globally free, unlike a coarse-partition-
+      constrained fit, which CODEBOOK_QUALITY_r15 measured 16+ recall
+      points below a flat literal fit at equal cell count);
+    * means are one (cluster, pos) aggregation of the sample — never
+      collected: the driver sees no codebook at any point, so the fit
+      scales to ~2^18 cells (the torrent-broadcast cap).
+
+    Per-iteration cost = one routing pass + one bounded aggregation over
+    the SAMPLE (pass ``sample_fraction`` ≪ 1 at scale), i.e. the same
+    assignment pass the downstream consumer (``semantic_dedup``,
+    ``knn_join_sharded``) pays once anyway.  Deterministic: no RNG, and
+    the mean rounding collapses distributed summation-order drift
+    run-to-run exactly as in ``kmeans_centroids``.  NOT SQL-replicable
+    (the sharded router is the production spelling) — contract queries
+    keep the deterministic first-k convention.  Returns
+    ``(centroid_id int, centroid_vec array<double>)`` — drop-in wherever
+    a codebook table is accepted."""
+    from csv_etl_spark.operators.sampling import hash_sample
+
     if n_centroids <= 0:
         raise ValueError(f"n_centroids must be positive: {n_centroids}")
-    n_coarse, fine_per = _codebook_table_shape(n_centroids)
-    coarse = kmeans_centroids(
-        vectors,
-        n_centroids=n_coarse,
-        iters=kmeans_iters,
-        sample_fraction=sample_fraction,
-        id_col=id_col,
-        vec_col=vec_col,
+
+    sample = vectors.select(F.col(id_col), F.col(vec_col))
+    if sample_fraction is not None:
+        sample = hash_sample(sample, id_col, sample_fraction)
+
+    codebook = (
+        vectors.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(Window.orderBy(F.col(id_col))) - 1)
+            .cast("int")
+            .alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid_vec"),
+        )
     )
-    fine = fine_centroid_table_kmeans(
-        vectors,
-        coarse,
-        n_fine_per_cell=fine_per,
-        id_col=id_col,
-        vec_col=vec_col,
-        kmeans_iters=max(2, kmeans_iters),
-        sample_per_cell=sample_per_cell,
-    )
-    return fine.select(
-        (F.col("coarse_id").cast("long") * fine_per + F.col("fine_id"))
-        .cast("int")
-        .alias("centroid_id"),
-        F.col("fine_vec").alias("centroid_vec"),
-    )
+    m_super = None if n_centroids <= _ASSIGN_LITERAL_CELLS else 4
+
+    for _ in range(int(kmeans_iters)):
+        assigned = assign_to_centroids_sharded(
+            sample, codebook, id_col=id_col, vec_col=vec_col, m_super=m_super
+        )
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), round_digits).alias("val"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+            .select(
+                F.col("cluster").alias("centroid_id"),
+                F.transform("pv", lambda s: s.getField("val")).alias("new_vec"),
+            )
+        )
+        # empty clusters keep their previous centroid (same rule as the
+        # literal fitter); one small broadcast join, codebook-sized.
+        # localCheckpoint materializes THIS iteration's codebook and
+        # truncates lineage (codebook-sized, ≤ torrent-broadcast cap), so
+        # iterations don't recompute each other and the router broadcast
+        # can be released immediately
+        codebook = (
+            codebook.join(F.broadcast(means), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_vec"), F.col("centroid_vec")).alias(
+                    "centroid_vec"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_sharded_broadcasts()
+
+    return codebook
 
 
 def assign_to_centroids(
@@ -835,8 +869,8 @@ def semantic_dedup(
     if centroids is None:
         if n_centroids > _KMEANS_LITERAL_MAX:
             # the literal-tree Lloyd fit is Catalyst-analysis-bound past
-            # a few hundred cells (measured, r14 semantic ladder) — fit
-            # hierarchically as a table instead.  100 TB guidance:
+            # a few hundred cells (measured, r14 semantic ladder) — run
+            # the global table-Lloyd instead.  100 TB guidance:
             # n_centroids ∝ N (SemDeDup's own granularity) lands here.
             centroids = kmeans_codebook_table(
                 vectors,
@@ -1872,13 +1906,18 @@ def fine_centroid_table_kmeans(
         V = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
         k = min(m, len(V))
         cents = V[:k].copy()
+        vsq = (V * V).sum(axis=1)
         for _ in range(iters):
-            d2 = ((V[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # argmin ||v-c||² via the matmul identity: the explicit
+            # (n, k, dim) difference tensor is O(n·k·dim) memory; BLAS
+            # keeps this at O(n·k)
+            d2 = vsq[:, None] - 2.0 * (V @ cents.T) + (cents * cents).sum(axis=1)[None, :]
             lab = d2.argmin(axis=1)
-            for c in range(k):
-                mask = lab == c
-                if mask.any():
-                    cents[c] = V[mask].mean(axis=0)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, lab, V)
+            cnt = np.bincount(lab, minlength=k).astype("float64")
+            nz = cnt > 0
+            cents[nz] = sums[nz] / cnt[nz, None]
         cluster = pdf["cluster"].iloc[0]
         return pd.DataFrame(
             {

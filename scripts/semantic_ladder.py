@@ -29,12 +29,12 @@ Usage: python scripts/semantic_ladder.py --out FILE.json
 ``--codebook table`` (r15, verdict ask #1) switches the codebook source
 from the deterministic first-(N//512) rows to the PRODUCTION fit:
 ``semantic_dedup(n_centroids=N//512)`` dispatches internally to
-``kmeans_codebook_table`` (coarse literal k-means + per-cell
-applyInPandas Lloyd) and, past the 4096-cell assignment cap (the 20M
-point: ~39k cells), to ``assign_to_centroids_sharded`` — measuring the
-exact path a 100 TB SemDeDup (n_centroids ∝ N) takes end to end.  The
-coarse-fit sample is capped at ~400k rows (the literal-tree Lloyd step
-is interpreter-bound; the sample only steers 197 coarse cells).
+``kmeans_codebook_table`` (since r15: global distributed Lloyd over a
+TABLE codebook, sharded routing) and, past the 4096-cell assignment cap
+(the 20M point: ~39k cells), to ``assign_to_centroids_sharded`` —
+measuring the exact path a 100 TB SemDeDup (n_centroids ∝ N) takes end
+to end.  The fit sample is capped at ~400k rows (Lloyd only steers the
+codebook; the downstream assignment always sees the full corpus).
 """
 
 from __future__ import annotations

@@ -959,8 +959,8 @@ def test_semantic_dedup_drops_planted_neighbors(spark):
 
 
 def test_kmeans_codebook_table_and_semantic_dispatch(spark, monkeypatch):
-    """r14: codebooks past _KMEANS_LITERAL_MAX are fitted hierarchically
-    as a TABLE (coarse literal k-means + per-cell applyInPandas Lloyd) —
+    """r14/r15: codebooks past _KMEANS_LITERAL_MAX are fitted as a TABLE
+    (global distributed Lloyd, sharded table assignment — r15 rewrite) —
     the literal-tree Lloyd step is Catalyst-analysis-bound there.  Pins:
     the table fitter returns ~k cells with the codebook schema and is
     deterministic; semantic_dedup's planted-copy guarantees hold through
@@ -976,7 +976,8 @@ def test_kmeans_codebook_table_and_semantic_dispatch(spark, monkeypatch):
 
     cb = similarity.kmeans_codebook_table(df, n_centroids=12, kmeans_iters=2)
     rows = cb.collect()
-    assert 8 <= len(rows) <= 16 and len({r["centroid_id"] for r in rows}) == len(rows)
+    assert len(rows) == 12  # exactly n: first-n init, empty cells kept
+    assert len({r["centroid_id"] for r in rows}) == len(rows)
     # deterministic: same fit twice
     assert sorted(map(tuple, rows)) == sorted(map(tuple, cb.collect()))
 
@@ -1072,16 +1073,15 @@ def test_semantic_dedup_explicit_codebook_above_cap(spark):
 
 
 def test_codebook_table_cells_bound_matches_fitter_shape(spark):
-    """The dispatch bound and the fitter derive (n_coarse, fine_per)
-    from ONE helper — pin the structural relation: bound ≥ n_centroids,
-    bound > 4096 exactly when semantic_dedup must take the sharded
-    assignment (e.g. the SemDeDup-scale 100k-cell request)."""
+    """The dispatch bound must track the fitter: since the r15 global
+    table-Lloyd rewrite the fit emits at most exactly n_centroids cells
+    (first-n init, Lloyd never adds cells), and the bound decides when
+    semantic_dedup must take the sharded assignment (e.g. the
+    SemDeDup-scale 100k-cell request)."""
     from csv_etl_spark.operators import similarity
 
     for n in (12, 256, 300, 4096, 5000, 100_000):
-        bound = similarity.codebook_table_cells_bound(n)
-        n_coarse, fine_per = similarity._codebook_table_shape(n)
-        assert bound == n_coarse * fine_per >= n
+        assert similarity.codebook_table_cells_bound(n) == n
     assert similarity.codebook_table_cells_bound(100_000) > 4096
     assert similarity.codebook_table_cells_bound(256) <= 4096
 
@@ -4708,3 +4708,29 @@ def test_fine_centroid_kmeans_mode(spark):
     r_first = rec(fine_centroid_table(e, coarse, 4))
     r_kmeans = rec(fine_centroid_table_kmeans(e, coarse, 4))
     assert r_kmeans >= r_first
+
+
+def test_kmeans_codebook_table_matches_literal_fit(spark):
+    """r15 (CODEBOOK_QUALITY_r15): below the 4096-cell literal cap the
+    table fitter routes EXACTLY (m_super=None flat sharded assignment)
+    and shares the literal fitter's init / tie / mean-rounding / empty-
+    cell rules — so at equal (n, iters, sample) the fitted codebooks
+    must MATCH.  This is the quality contract that replaced the r14
+    coarse-partition-constrained hierarchy, which measured 16+ recall
+    points below the literal fit at equal cell count."""
+    from csv_etl_spark.operators import similarity
+
+    e = _toy_embeddings(spark, n=300)
+    lit = {
+        r["centroid_id"]: r["centroid_vec"]
+        for r in similarity.kmeans_centroids(e, n_centroids=10, iters=2).collect()
+    }
+    tab = {
+        r["centroid_id"]: r["centroid_vec"]
+        for r in similarity.kmeans_codebook_table(
+            e, n_centroids=10, kmeans_iters=2
+        ).collect()
+    }
+    assert set(lit) == set(tab)
+    for cid, vec in lit.items():
+        assert vec == pytest.approx(tab[cid], abs=1e-9), f"centroid {cid}"
