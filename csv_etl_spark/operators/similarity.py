@@ -680,7 +680,15 @@ def kmeans_codebook_table(
             F.col(vec_col).cast("array<double>").alias("centroid_vec"),
         )
     )
-    m_super = None if n_centroids <= _ASSIGN_LITERAL_CELLS else 4
+    # Lloyd-internal routing: exact flat only where the LITERAL fitter
+    # could also go (≤ _KMEANS_LITERAL_MAX — there the two fitters are
+    # element-wise equal, pinned by test); past it the hierarchical
+    # m_super router cuts per-row routing from C sims to ~√C·(1+spill·m)
+    # — at 3906 cells the flat spelling's n×C sims traffic measured
+    # memory-bandwidth-bound (minutes per sample pass on this host) while
+    # approximate in-Lloyd assignment is the standard large-k trade and
+    # leaves centroid placement globally free.
+    m_super = None if n_centroids <= _KMEANS_LITERAL_MAX else 4
 
     for _ in range(int(kmeans_iters)):
         assigned = assign_to_centroids_sharded(
@@ -1583,20 +1591,38 @@ def _sharded_router_factory(
             vn = np.sqrt((V * V).sum(axis=1))
             n_rows = len(V)
             if m_val is None:
-                # exact flat routing — identical to knn_join's _route:
-                # matmul selection, risky-gap refold, stable argsort
-                # (ties keep codebook order = centroid_id asc)
+                # exact flat routing: matmul selection + O(C)
+                # argpartition of the top n_take+1 (a full per-row
+                # argsort is O(C log C) and measured 10-40× the
+                # partition cost at C~4k — it throttled the table-Lloyd
+                # fit's sample assignment), then a stable sort of the
+                # small slice.  Candidates are pre-sorted ascending so
+                # the stable argsort's ties resolve to the lowest
+                # centroid_id — the flat rule.  The boundary gap is
+                # computed from the slice VALUES (exact regardless of
+                # which tied ids argpartition picked); a gap inside the
+                # margin — which also covers any exact tie across the
+                # n_take cut — falls back to the full fold-exact
+                # ordering, so selections stay provably identical to
+                # the old full-argsort spelling.
                 sims = _sims_matmul(V, _mat)
-                order = np.argsort(-sims, axis=1, kind="stable")
-                if n_take < sims.shape[1]:
-                    srt = np.take_along_axis(sims, order, axis=1)
+                C = sims.shape[1]
+                k1 = min(n_take + 1, C)
+                part = np.sort(
+                    np.argpartition(-sims, k1 - 1, axis=1)[:, :k1], axis=1
+                )
+                pvals = np.take_along_axis(sims, part, axis=1)
+                loc = np.argsort(-pvals, axis=1, kind="stable")
+                order = np.take_along_axis(part, loc, axis=1)
+                if n_take < C:
+                    srt = np.take_along_axis(pvals, loc, axis=1)
                     risky = (
                         srt[:, n_take - 1] - srt[:, n_take]
                     ) < _SELECT_MARGIN
                     if risky.any():
                         e_order = np.argsort(
                             -_fold_sims(V[risky], _mat), axis=1, kind="stable"
-                        )
+                        )[:, :k1]
                         order[risky] = e_order
                 order = order[:, :n_take]
                 return pd.Series([_ids[row].tolist() for row in order])
