@@ -641,15 +641,21 @@ def kmeans_codebook_table(
     * assignment goes through ``assign_to_centroids_sharded`` (one
       torrent broadcast of the codebook instead of an O(k × dim)
       Catalyst literal tree): EXACT flat routing (``m_super=None``,
-      bit-faithful to ``assign_to_centroids``) up to the 4096-cell
-      literal cap, hierarchical m_super routing past it (approximate
+      bit-faithful to ``assign_to_centroids``) up to
+      ``_KMEANS_LITERAL_MAX`` (256) cells — the range where the parity
+      test pins this fitter element-wise equal to the literal one —
+      hierarchical m_super routing past it (approximate
       assignment inside Lloyd — the standard large-k trade; centroid
       placement stays globally free, unlike a coarse-partition-
       constrained fit, which CODEBOOK_QUALITY_r15 measured 16+ recall
       points below a flat literal fit at equal cell count);
     * means are one (cluster, pos) aggregation of the sample — never
-      collected: the driver sees no codebook at any point, so the fit
-      scales to ~2^18 cells (the torrent-broadcast cap).
+      collected as rows: the codebook is never materialized as a
+      Catalyst literal tree; per iteration the sharded router does
+      collect the codebook arrays driver-side to fit supers and
+      torrent-broadcast them, so driver traffic is bounded by the 2^18-
+      cell broadcast cap (~128 MB) per iteration, and the fit scales to
+      ~2^18 cells.
 
     Per-iteration cost = one routing pass + one bounded aggregation over
     the SAMPLE (pass ``sample_fraction`` ≪ 1 at scale), i.e. the same
@@ -691,6 +697,7 @@ def kmeans_codebook_table(
     m_super = None if n_centroids <= _KMEANS_LITERAL_MAX else 4
 
     for _ in range(int(kmeans_iters)):
+        _bc_mark = len(_SHARDED_BROADCASTS)
         assigned = assign_to_centroids_sharded(
             sample, codebook, id_col=id_col, vec_col=vec_col, m_super=m_super
         )
@@ -721,7 +728,10 @@ def kmeans_codebook_table(
             )
             .localCheckpoint(eager=True)
         )
-        release_sharded_broadcasts()
+        # scoped: only the broadcasts THIS iteration's router shipped —
+        # broadcasts backing still-live frames from unrelated earlier
+        # knn_join_sharded calls stay persisted (ADVICE r15)
+        release_sharded_broadcasts_since(_bc_mark)
 
     return codebook
 
@@ -1387,6 +1397,26 @@ def release_sharded_broadcasts(blocking: bool = True, destroy: bool = False) -> 
             pass  # session already stopped — nothing to free
     _SHARDED_BROADCASTS.clear()
     return n
+
+
+def release_sharded_broadcasts_since(mark: int, blocking: bool = True) -> int:
+    """Release ONLY the codebook broadcasts registered after ``mark`` (a
+    prior ``len(_SHARDED_BROADCASTS)`` snapshot) — the scoped spelling
+    for callers that spawn router broadcasts inside a loop
+    (``kmeans_codebook_table``'s Lloyd iterations) without touching
+    broadcasts backing still-live frames from unrelated earlier
+    ``knn_join_sharded`` calls (ADVICE r15: the global release inside the
+    fit loop silently degraded concurrent consumers — safe, since
+    executors refetch from the driver, but a surprising side effect).
+    Returns the number released."""
+    released = _SHARDED_BROADCASTS[mark:]
+    for bc in released:
+        try:
+            bc.unpersist(blocking=blocking)
+        except Exception:
+            pass  # session already stopped — nothing to free
+    del _SHARDED_BROADCASTS[mark:]
+    return len(released)
 
 
 def knn_join_sharded(

@@ -6,8 +6,11 @@ literal fitter handles comfortably), compare three codebook sources:
 
 * ``literal``  — kmeans_centroids (the engine-portable literal-tree
                  Lloyd fit, the quality reference)
-* ``table``    — kmeans_codebook_table (coarse 16 × fine 16 hierarchical
-                 fit — the production path for SemDeDup-scale codebooks)
+* ``table``    — kmeans_codebook_table (global table-Lloyd fit: sharded
+                 torrent-broadcast routing, exact flat below 256 cells,
+                 hierarchical m_super routing past it — the production
+                 path for SemDeDup-scale codebooks; replaced the r14
+                 coarse×fine hierarchical fitter in r15)
 * ``firstn``   — deterministic first-256 rows (the zero-cost contract
                  convention; the floor)
 
