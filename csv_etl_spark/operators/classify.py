@@ -353,6 +353,13 @@ def lang_id_model(
     ``(id_col, lang_pred, lang_score)`` with ``lang_pred = 'unknown'``
     for texts shorter than one trigram.
 
+    CLOSED-WORLD contract: the model covers exactly the five seeded
+    languages (en/es/fr/de/pt); text in any other language is assigned
+    the nearest seeded language by trigram likelihood, never
+    ``unknown`` (``unknown`` only flags sub-trigram input).  Measured
+    accuracy: QUALITY.md / bench_records/LANG_ID_QUALITY_r16.json
+    (macro-F1 1.0 on the 85-item held-out + UDHR eval fixture).
+
     All-JVM scoring, standard map-side-combinable shape at 100 TB:
     trigram explode (≈len(text) rows/doc, the tokens_to_ids shape) →
     one (doc, trigram)-keyed count groupBy (partial agg absorbs the

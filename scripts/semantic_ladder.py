@@ -88,6 +88,10 @@ def main() -> None:
     guard_size = None
     if "--guard-size" in args:
         guard_size = args[args.index("--guard-size") + 1]
+    # r16: separately time the codebook FIT per size (table mode) so an
+    # end-to-end slowdown can be attributed fit-vs-downstream — the r15
+    # 2-3x 2M regression went unadjudicated for lack of exactly this
+    stages = "--stages" in args
     # table mode reports under its own operator key so SCALE.md keeps
     # the r14 firstn-codebook row alongside instead of overwriting it
     global OP
@@ -161,6 +165,8 @@ def main() -> None:
 
     results: dict[str, list[float]] = {}
     stats: dict[str, dict] = {}
+    fit_secs: dict[str, float] = {}
+    env_runs: dict[str, list] = {}
     for size in sizes:
         sf_dir = str(SCALE / size)
         if not (SCALE / size / "embeddings.parquet").exists():
@@ -168,9 +174,34 @@ def main() -> None:
             continue
         n = N_AT[size]
         results[size] = []
+        env_runs[size] = []
+        if stages and codebook == "table":
+            # FIT STAGE alone, same params the internal dispatch uses.
+            # The codebook is discarded afterwards: the timed end-to-end
+            # runs below re-fit internally, keeping them protocol-
+            # comparable with the r14/r15 ladder rows.
+            cells = max(8, n // 512)
+            e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            t0 = time.perf_counter()
+            cb = similarity.kmeans_codebook_table(
+                e,
+                n_centroids=cells,
+                kmeans_iters=2,
+                sample_fraction=min(0.5, 400_000 / n),
+            )
+            n_cells = cb.count()
+            fit_secs[size] = round(time.perf_counter() - t0, 3)
+            print(
+                f"{size} fit-only: {fit_secs[size]}s ({n_cells} cells)",
+                file=sys.stderr,
+                flush=True,
+            )
+            similarity.release_sharded_broadcasts()
+            clear_caches()
         runs_for_size = min(n_runs, RUNS_CAP.get(size, n_runs))
         out = None
         for i in range(runs_for_size):
+            env_runs[size].append(bench._env_stamp())
             out = run_dedup(sf_dir, n, 100_000)
             last = i == runs_for_size - 1
             if last:
@@ -184,6 +215,7 @@ def main() -> None:
             out.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             results[size].append(dt)
+            env_runs[size].append(bench._env_stamp())
             print(f"{size} run{i}: {dt}s", file=sys.stderr, flush=True)
             if not last:
                 clear_caches()
@@ -283,6 +315,12 @@ def main() -> None:
         "fail_open_guard": guard,
         "env": {"start": env_start, "end": bench._env_stamp()},
     }
+    if fit_secs:
+        payload["fit_only_sec"] = fit_secs
+    if any(env_runs.values()):
+        # per-run calibration stamps (before/after each timed run, in
+        # order) — host SIMD oscillation shows up here directly
+        payload["env_runs"] = env_runs
     if "sf10_hard" in med and "sf100_hard" in med:
         payload["decade_alpha_big"] = {
             OP: {
@@ -296,6 +334,11 @@ def main() -> None:
             "2M->20M"
         ] = round(math.log10(med["sf1000_hard"] / med["sf100_hard"]), 3)
     out_path = REPO / "bench_records" / out_name
+    if out_path.exists():
+        raise SystemExit(
+            f"{out_path} exists — evidence files are append-or-version "
+            "(ARCHITECTURE.md §4); pick a new name"
+        )
     out_path.write_text(json.dumps(payload, indent=1))
     print(json.dumps(payload, indent=1))
 
