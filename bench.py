@@ -32,6 +32,7 @@ matching BASELINE.md's protocol.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -305,6 +306,32 @@ def main() -> None:
 
     env_start = _env_stamp()
 
+    # r16 (verdict ask #4): SAMPLED calibration.  A single start/end probe
+    # cannot normalize anything on this host — BENCHNOTES_r15_host.json
+    # measured the SIMD/matmul throughput swinging ~30x within SECONDS
+    # (co-tenant memory-bandwidth pressure), so a point sample is noise.
+    # Instead one quick probe pair runs AFTER every timed query (outside
+    # the timed window; ~10-15 ms typical, a few seconds over the whole
+    # bench) and the MEDIAN over ~3x n_queries samples is the run's host
+    # speed.  References are the r15 idle-box evidence: matmul ~0.9 ms
+    # (idle readings 0.84-1.17), pyloop ~18 ms at 200k iters -> 9 ms at
+    # the quick probe's 100k.
+    import numpy as _np
+
+    _cal_A = _np.arange(512 * 512, dtype="float64").reshape(512, 512) / 1e6
+    cal_samples: list[tuple[float, float]] = []
+
+    def _cal_quick() -> None:
+        t0 = time.perf_counter()
+        (_cal_A @ _cal_A).sum()
+        m = (time.perf_counter() - t0) * 1000
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(100_000):
+            s += i ^ (i >> 3)
+        p = (time.perf_counter() - t0) * 1000
+        cal_samples.append((round(m, 3), round(p, 3)))
+
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     # optional subset (comma-separated names): regression re-timing runs
     # a few queries at higher n_runs without paying for the full matrix
@@ -322,6 +349,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
+            _cal_quick()
         clear_operator_caches()
 
     from statistics import median
@@ -329,6 +357,34 @@ def main() -> None:
     timings = {n: round(median(r), 3) for n, r in runs.items()}
     spread = {n: round(max(r) - min(r), 3) for n, r in runs.items()}
     total = round(sum(timings.values()), 3)
+    # calibration profile + first-order normalized total.  The factor is
+    # the geomean of the two probe ratios vs the idle references — matmul
+    # proxies host SIMD/memory-bandwidth co-tenancy (what hit the r15
+    # driver bench 3x), pyloop proxies guest CPU contention.  A crude
+    # model by design: its job is to let bench_diff separate "the box was
+    # slow" from "the code got slower" mechanically; within-session A/Bs
+    # remain the gold standard.
+    cal_profile: dict = {}
+    value_normalized = None
+    if cal_samples:
+        mm = sorted(m for m, _ in cal_samples)
+        pp = sorted(p for _, p in cal_samples)
+        q = lambda xs, f: xs[min(len(xs) - 1, int(f * len(xs)))]
+        cal_profile = {
+            "n_samples": len(cal_samples),
+            "matmul_med_ms": round(median(mm), 3),
+            "matmul_p10_ms": round(q(mm, 0.1), 3),
+            "matmul_p90_ms": round(q(mm, 0.9), 3),
+            "pyloop_med_ms": round(median(pp), 3),
+            "pyloop_p90_ms": round(q(pp, 0.9), 3),
+            "ref_matmul_ms": 0.9,
+            "ref_pyloop_ms": 9.0,
+        }
+        factor = math.sqrt(
+            max(median(mm), 1e-6) / 0.9 * max(median(pp), 1e-6) / 9.0
+        )
+        cal_profile["host_slowdown_factor"] = round(factor, 3)
+        value_normalized = round(total / factor, 3)
     # Raw runs + spread go to STDERR: round 5's single stdout line carrying
     # them for 29 queries overflowed the driver's stdout-tail capture and
     # left BENCH_r05.json unparseable ("parsed": null).  The driver contract
@@ -364,13 +420,19 @@ def main() -> None:
                 # >30% flag on a contended snapshot reads as machine state,
                 # not code
                 "env": {"start": env_start, "end": _env_stamp()},
+                # r16 (verdict ask #4): per-query-sampled host-speed
+                # profile + first-order normalized total (see _cal_quick)
+                "cal_profile": cal_profile,
+                "value_normalized": value_normalized,
             },
             indent=1,
         )
     )
     print(
         json.dumps(
-            summary_line(total, timings, n_runs, sf, detail_path),
+            summary_line(
+                total, timings, n_runs, sf, detail_path, value_normalized
+            ),
             separators=(",", ":"),
         )
     )
@@ -396,6 +458,7 @@ def summary_line(
     n_runs: int,
     sf: float,
     detail_path: Path | None = None,
+    value_normalized: float | None = None,
 ) -> dict:
     """The driver-contract stdout payload — fixed-size by construction.
 
@@ -412,7 +475,7 @@ def summary_line(
         detail_str = str(detail_path.resolve().relative_to(repo))
     except ValueError:
         detail_str = str(detail_path)
-    return {
+    line = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
@@ -422,6 +485,11 @@ def summary_line(
         "sf": sf,
         "detail": detail_str,
     }
+    if value_normalized is not None:
+        # host-speed-normalized total (r16 — see cal_profile in the
+        # detail file); one fixed-size key, the line stays <1500 chars
+        line["value_normalized"] = value_normalized
+    return line
 
 
 if __name__ == "__main__":

@@ -162,9 +162,44 @@ def diff(prev: dict, curr: dict, threshold: float) -> dict:
             "A/B before being called real"
         )
         env_note = f"{env_note}; {note}" if env_note else note
+    # r16 (verdict ask #4): calibration-normalized totals.  When a
+    # snapshot carries the sampled cal_profile (bench.py r16+), its
+    # host_slowdown_factor divides the total so a 3x-contaminated run
+    # (like the r15 driver bench) compares mechanically instead of
+    # narratively.  Sides without a profile report raw totals and the
+    # note says so.
+    calibration = None
+    pcal, ccal = prev.get("cal_profile") or {}, curr.get("cal_profile") or {}
+    if pcal or ccal:
+        def _norm(doc, cal):
+            v = doc.get("value")
+            f = cal.get("host_slowdown_factor")
+            return (
+                round(v / f, 3) if v is not None and f else doc.get(
+                    "value_normalized"
+                )
+            )
+        pn, cn = _norm(prev, pcal), _norm(curr, ccal)
+        calibration = {
+            "prev_factor": pcal.get("host_slowdown_factor"),
+            "curr_factor": ccal.get("host_slowdown_factor"),
+            "prev_total_normalized": pn,
+            "curr_total_normalized": cn,
+        }
+        if pn and cn:
+            calibration["normalized_delta_pct"] = round((cn - pn) / pn, 4)
+        missing = [
+            n for n, c in (("prev", pcal), ("curr", ccal)) if not c
+        ]
+        if missing:
+            calibration["note"] = (
+                f"snapshot(s) {missing} predate the sampled cal_profile — "
+                "their totals are raw"
+            )
     return {
         "threshold_pct": threshold,
         "abs_floor_sec": ABS_FLOOR_SEC,
+        "calibration": calibration,
         "coverage": {
             name: {
                 "format": doc.get("format", "bench_full"),
