@@ -86,7 +86,12 @@ def main() -> None:
             )
             if writer is None:
                 writer = pq.ParquetWriter(out / "embeddings.parquet", tbl.schema)
-            writer.write_table(tbl, row_group_size=500_000)
+            # r16: 62.5k-row groups (~16-32 MB) — 500k-row groups made the
+            # 2M corpora 4-8 row groups TOTAL, and a parquet scan cannot
+            # split a row group, so every scan-side map stage (arrow
+            # assignment, quantize) ran 4-8-way on 32 cores (measured r16;
+            # the 2M absolutes in r13-r15 BENCHNOTES carry that starvation)
+            writer.write_table(tbl, row_group_size=62_500)
         writer.close()
         print(f"{name}: {n} vectors x {dim} dims, {n_labels} clusters -> {out}")
 

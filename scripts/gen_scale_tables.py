@@ -115,7 +115,7 @@ def main() -> None:
                 }
             ),
             out / "customer.parquet",
-            row_group_size=1_000_000,
+            row_group_size=100_000,  # r16: 1M-row groups starved 32-core scans (see gen_hard_embeddings),
         )
 
         n_orders = BASE_ORDERS * scale
@@ -140,7 +140,9 @@ def main() -> None:
             )
             if writer is None:
                 writer = pq.ParquetWriter(out / "lineitem.parquet", tbl.schema)
-            writer.write_table(tbl, row_group_size=1_000_000)
+            # r16: 100k-row groups — 1M-row groups left the 6M-row
+            # lineitem decade with 6 unsplittable groups (6-way scans)
+            writer.write_table(tbl, row_group_size=100_000)
         writer.close()
         print(
             f"{name}: {n_cust} customers; {n_orders} orders x "
