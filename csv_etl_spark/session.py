@@ -49,6 +49,28 @@ def get_spark(app_name: str = "csv-etl-spark", shuffle_partitions: int | None = 
             os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle_partitions * 8)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r16 (guide §2.4): let AQE re-plan CACHED plans' output
+        # partitioning.  Off (Spark's default) every persist() compiles
+        # its child with initialPartitionNum partitions and NO runtime
+        # coalescing — measured: a persisted groupBy of a 100k-row frame
+        # holds 256 partitions (the AQE initial width) instead of the
+        # 1-few AQE picks for the same query unpersisted.  Every
+        # iterative operator that persists small state (pagerank links/
+        # nodes, the CC resolver's edges/labels, the shingle/TF caches)
+        # then runs EVERY downstream stage 256-wide: profiled at sf0.1,
+        # part_pagerank burned 250 s of task time (21 s GC) on 38 MB of
+        # shuffle.  With the flag on, cached plans coalesce by AQE's own
+        # size rules — scale-adaptive by construction (a 100 GB cached
+        # frame keeps its width; a 1 MB one stops paying 256 empty-task
+        # stage launches).  Trade-off per Spark docs: downstream
+        # operations may see a different partitioning than planned for;
+        # acceptable here because every consumer of the cached frames
+        # re-shuffles by its own keys (joins/aggs) or is explicitly
+        # repartitioned (ensure_parallelism).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHED_PLAN_AQE", "true"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
