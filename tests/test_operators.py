@@ -4540,14 +4540,28 @@ def test_standardize_embeddings_moments_and_plan(spark):
     assert all(abs(rows[i][1] - rows[i][0]) < 1e-5 for i in range(8))
     # constant dimension -> 0.0, not NaN
     assert all(rows[i][2] == 0.0 for i in range(8))
-    # plan: no explode/window/python — one agg + broadcast crossJoin
+    # plan: no window/python; the z side is a map-only transform fed by a
+    # broadcast crossJoin.  The r16 moment rewrite DOES posexplode on the
+    # stats side (dim-group partial agg — shuffle is dim × n_partitions
+    # partial rows, not dim × the row count), so the explode must feed an
+    # aggregate, never the output: every Generate in the plan is followed
+    # by a HashAggregate before any join.
     buf = io.StringIO()
     with redirect_stdout(buf):
         out.explain("formatted")
     plan = buf.getvalue()
-    assert "Generate" not in plan and "Window" not in plan
+    assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+    # the one Generate sits under the moment aggregate (stats side);
+    # the data-sized output side must not explode
+    # AQE's formatted explain prints the final AND the initial plan —
+    # count nodes in the final tree only
+    tree = plan.split("== Initial Plan ==")[0].split("\n\n")[0]
+    gen_lines = [ln for ln in tree.splitlines() if "Generate" in ln]
+    assert len(gen_lines) == 1
+    agg_lines = [ln for ln in tree.splitlines() if "HashAggregate" in ln]
+    assert agg_lines, "moment explode must feed an aggregate"
 
 
 def test_grouped_split_keeps_groups_together(spark):
