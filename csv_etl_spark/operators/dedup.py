@@ -602,23 +602,27 @@ def resolve_duplicate_clusters(
             # contains rounds 1..k-1) until plan analysis overflows the JVM
             # stack on long chains.  Checkpointing truncates lineage so
             # every round starts from materialized data.
-            new_labels = (
+            #
+            # Convergence flag rides INSIDE the checkpointed row (r16): a
+            # label changes iff a neighbor min undercuts it, which is known
+            # at update time — the previous spelling re-joined new labels
+            # against old labels on id (one full shuffle of both sides per
+            # round) just to detect what `nmin < label` already said.  The
+            # flag is materialized by the checkpoint, so the convergence
+            # probe is a map-only limit-1 scan of checkpointed partitions.
+            ck = (
                 labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
                 .select(
                     "id",
                     F.least(
                         F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                     ).alias("label"),
+                    (F.col("nmin") < F.col("label")).alias("_ch"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
+            changed = ck.filter(F.col("_ch")).limit(1).count()
+            new_labels = ck.select("id", "label")
             labels.unpersist()
             labels = new_labels
             if changed == 0:
