@@ -1004,7 +1004,11 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv_etl_spark.operators.joins import range_join_buckets
 
     ev = _events(spark, sf_dir).select("event_id", "value")
-    buckets = spark.createDataFrame(_BUCKETS, ["lo", "hi", "label"])
+    from csv_etl_spark.local import local_values_frame
+
+    buckets = local_values_frame(
+        spark, _BUCKETS, "lo double, hi double, label string"
+    )
     out = range_join_buckets(ev, buckets, "value")
     return out.select("event_id", F.round("value", 6).alias("value"), "label")
 
@@ -5358,8 +5362,12 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
     )
     docs = d.select("doc_id", url.alias("url"))
-    blocked = spark.createDataFrame(
-        [("src7.com",), ("src7.co.uk",), ("src3.com",)], ["domain"]
+    from csv_etl_spark.local import local_values_frame
+
+    blocked = local_values_frame(
+        spark,
+        [("src7.com",), ("src7.co.uk",), ("src3.com",)],
+        "domain string",
     )
     # this corpus uses ?ref= as a tracking key, so the query extends the
     # default utm/click-id set explicitly (bare "ref" is opt-in since r9

@@ -370,11 +370,16 @@ def lang_id_model(
     broadcast nested-loop join (the 1-row-scalar crossJoin idiom)."""
     model_rows, lang_rows = lang_trigram_model(alpha=alpha, top_per_lang=top_per_lang)
     spark = df.sparkSession
-    model = spark.createDataFrame(
-        model_rows, "trigram string, lang string, adj_w bigint"
+    # inline-VALUES LocalRelations: both frames are broadcast-only model
+    # weights; the Python-RDD spelling paid a 32-task Python stage per
+    # broadcast build (see csv_etl_spark.local)
+    from csv_etl_spark.local import local_values_frame
+
+    model = local_values_frame(
+        spark, model_rows, "trigram string, lang string, adj_w bigint"
     )
-    langs = spark.createDataFrame(
-        lang_rows, "lang string, prior_w bigint, default_w bigint"
+    langs = local_values_frame(
+        spark, lang_rows, "lang string, prior_w bigint, default_w bigint"
     )
     low = F.lower(F.col(text_col))
     spine = df.select(

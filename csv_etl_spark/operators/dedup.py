@@ -453,8 +453,15 @@ def minhash_lsh_pairs(
         if len(hot_rows) == 0:
             pass  # no hot buckets: skip the anti-join entirely
         elif len(hot_rows) <= _MAX_HOT_BUCKETS:
-            hot_lit = band_rows.sparkSession.createDataFrame(
-                hot_rows, schema=hot.schema
+            from csv_etl_spark.local import local_values_frame
+
+            hot_lit = local_values_frame(
+                band_rows.sparkSession,
+                hot_rows,
+                ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in hot.schema.fields
+                ),
             )
             band_rows = band_rows.join(
                 F.broadcast(hot_lit), ["band", "bucket"], "left_anti"

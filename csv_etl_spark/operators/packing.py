@@ -79,31 +79,6 @@ def with_global_cumsum(
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # Persisted: the partition totals (an action, below) and the returned
-    # plan must see the SAME partitioning; registered in the bounded cache
-    # so bench/long sessions can invalidate and nothing leaks unbounded.
-    key = _CUMSUM_CACHE.key_for(part, value_col, *order_cols)
-    cached = _CUMSUM_CACHE.get(key)
-    if cached is not None:
-        part = cached
-    else:
-        part = part.persist()
-        _CUMSUM_CACHE.put(key, part)
-
-    # n_partitions rows — bounded by cluster parallelism, not data volume
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in part.groupBy("_pid")
-        .agg(F.sum(F.col(value_col).cast("long")).alias("_t"))
-        .collect()
-    }
-    running, offsets = 0, []
-    for pid in sorted(totals):
-        offsets.append((pid, running))
-        running += int(totals[pid] or 0)
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], schema="_pid int, _poffset long"
-    )
 
     # copy the field list: StructType shares the passed list and .add()
     # appends in place, which would corrupt part.schema itself
@@ -117,6 +92,42 @@ def with_global_cumsum(
             run += int(v.sum())
 
     local = part.mapInPandas(local_cumsum, schema=out_schema)
+    # Persist the PYTHON OUTPUT, not the pre-Python range shuffle (r16):
+    # the totals collect below plus every caller action re-ran the
+    # mapInPandas pass when only `part` was cached (profiled: two ~6 s
+    # 32-task Python stages per token_budget_select call at sf0.1).
+    # Cached here, the Python pass runs exactly once per distinct input;
+    # all consumers — the totals collect, callers' extra actions (e.g.
+    # token_budget_select's group-offset build) and the returned plan —
+    # read the materialized rows.  Registered in the bounded cache so
+    # bench/long sessions can invalidate and nothing leaks unbounded.
+    key = _CUMSUM_CACHE.key_for(local, value_col, *order_cols)
+    cached = _CUMSUM_CACHE.get(key)
+    if cached is not None:
+        local = cached
+    else:
+        local = local.persist()
+        _CUMSUM_CACHE.put(key, local)
+
+    # n_partitions rows — bounded by cluster parallelism, not data volume
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in local.groupBy("_pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("_t"))
+        .collect()
+    }
+    running, offsets = 0, []
+    for pid in sorted(totals):
+        offsets.append((pid, running))
+        running += int(totals[pid] or 0)
+    # inline-VALUES LocalRelation (r16): the offsets frame is broadcast-
+    # joined back; a createDataFrame Python RDD made every consumer's
+    # broadcast build a 32-task Python stage (see csv_etl_spark.local)
+    from csv_etl_spark.local import local_values_frame
+
+    off_df = local_values_frame(
+        spark, offsets or [(0, 0)], "_pid int, _poffset long"
+    )
     return (
         local.join(F.broadcast(off_df), "_pid")
         .withColumn(out_col, (F.col("_local_before") + F.col("_poffset")).cast("long"))

@@ -899,8 +899,10 @@ def phrase_merges(
             ).alias("_s")
         ).localCheckpoint(eager=False)
 
-    return spark.createDataFrame(
-        merges or [], schema="rank int, pair string, n bigint"
+    from csv_etl_spark.local import local_values_frame
+
+    return local_values_frame(
+        spark, merges or [], "rank int, pair string, n bigint"
     )
 
 

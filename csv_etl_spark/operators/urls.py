@@ -314,7 +314,14 @@ def psl_frame(spark, rules: list[str] | None = None) -> DataFrame:
         else:
             kind, sfx = "normal", r
         rows.append((sfx, kind, sfx.count(".") + 1))
-    return spark.createDataFrame(rows, "suffix string, kind string, nlab int")
+    # inline-VALUES LocalRelation, not createDataFrame: the rule table is
+    # consumed by max_labels broadcast builds — a Python-RDD spelling runs
+    # a cluster-wide Python stage per build (see csv_etl_spark.local)
+    from csv_etl_spark.local import local_values_frame
+
+    return local_values_frame(
+        spark, rows, "suffix string, kind string, nlab int"
+    )
 
 
 def registered_domain_psl(

@@ -1,0 +1,72 @@
+"""local_values_frame must be value-equivalent to createDataFrame with
+the same schema string while planning as a JVM LocalRelation (no Python
+RDD — the point of the helper; see csv_etl_spark/local.py)."""
+
+import math
+
+import pytest
+
+from csv_etl_spark.local import local_values_frame
+
+
+def _rowset(df):
+    return sorted(map(repr, df.collect()))
+
+
+def test_values_frame_matches_createdataframe(spark):
+    rows = [
+        ("a.b", "normal", 2),
+        ("it's", "wild\\card", 1),
+        ("x\ny", "tab\there", 0),
+        (None, "x", None),
+    ]
+    schema = "suffix string, kind string, nlab int"
+    a = spark.createDataFrame(rows, schema)
+    b = local_values_frame(spark, rows, schema)
+    assert a.schema.simpleString() == b.schema.simpleString()
+    assert _rowset(a) == _rowset(b)
+    # pure-JVM local relation: no Python RDD scan in the plan
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" not in plan
+
+
+def test_values_frame_floats_bools_exact(spark):
+    rows = [
+        (1.5e-300, True),
+        (float("nan"), False),
+        (float("-inf"), None),
+        (0.1, True),
+        (-2.5, False),
+        (None, None),
+    ]
+    a = spark.createDataFrame(rows, "x double, b boolean")
+    b = local_values_frame(spark, rows, "x double, b boolean")
+    va, vb = a.collect(), b.collect()
+    for ra, rb in zip(
+        sorted(va, key=repr), sorted(vb, key=repr)
+    ):
+        xa, xb = ra["x"], rb["x"]
+        assert (xa is None) == (xb is None)
+        if xa is not None:
+            assert (math.isnan(xa) and math.isnan(xb)) or xa == xb
+        assert ra["b"] == rb["b"]
+
+
+def test_values_frame_empty_and_errors(spark):
+    e = local_values_frame(spark, [], "a int, s string")
+    assert e.count() == 0
+    assert e.schema.simpleString() == "struct<a:int,s:string>"
+    with pytest.raises(ValueError, match="scalar"):
+        local_values_frame(spark, [({"k": 1},)], "a map<string,int>")
+    with pytest.raises(TypeError):
+        local_values_frame(spark, [(object(),)], "a string")
+
+
+def test_values_frame_arrays(spark):
+    rows = [(1, [10, 20]), (2, []), (3, None)]
+    schema = "band int, bucket array<bigint>"
+    a = spark.createDataFrame(rows, schema)
+    b = local_values_frame(spark, rows, schema)
+    assert a.schema.simpleString() == b.schema.simpleString()
+    assert _rowset(a) == _rowset(b)
