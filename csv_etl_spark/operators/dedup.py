@@ -986,12 +986,19 @@ def remove_duplicate_spans(
     n_tokens_removed)`` — text re-joined from surviving tokens in order
     (whitespace-normalized by construction, same as the chunk path).
 
-    Plan shape: duplicate_spans' window build + key count, a key-keyed
-    min() for the keeper doc, a bounded posexplode of loser windows into
-    (doc, token-position) mask rows (span_tokens rows per flagged
-    occurrence — output-sized, not corpus-sized), one (doc, pos)
-    left_anti against the token stream, and one doc-keyed reassembly
-    groupBy.  Everything keyed, no windows over data, no collect.
+    Plan shape (r17): duplicate_spans' window build + key count, a
+    key-keyed min() for the keeper doc, ONE small groupBy collapsing each
+    loser doc's flagged window STARTS into an array (loser-docs-sized,
+    not corpus-sized), one doc-keyed join re-attaching that array to the
+    input rows (AQE broadcasts it when small; even shuffled it moves
+    loser masks, never tokens), and a map-only higher-order ``filter``
+    that drops token ``i`` when any flagged start covers it.  The r16
+    spelling posexploded EVERY corpus token into rows, anti-joined, and
+    re-assembled text through a corpus-wide collect_list shuffle — two
+    token-stream exchanges paid for surgery on the (typically few)
+    flagged docs.  The guide-§2/§8 fix: decide on the small proxy
+    (window keys), move the heavy payload (tokens) zero times.
+    Everything keyed, no windows over data, no collect.
     Granularity caveat shared with duplicate_spans: strided windows only
     align on shared prefixes / whole-doc structure — the documented trade
     vs suffix-array substring dedup."""
@@ -1006,42 +1013,36 @@ def remove_duplicate_spans(
         F.count(F.lit(1)).alias("_nd"), F.min("_doc").alias("_keeper")
     ).filter(F.col("_nd") >= min_docs)
     losers = keyed.join(per_key, "_key").filter(F.col("_doc") != F.col("_keeper"))
-    mask = losers.select(
-        "_doc",
-        F.explode(
-            F.sequence(F.col("_start"), F.col("_start") + F.lit(span_tokens - 1))
-        ).alias("_pos"),
-    ).distinct()
+    # one array of flagged window starts per loser doc; bounded by that
+    # doc's n_tokens/stride, and rows bounded by the flagged-doc count
+    doc_masks = losers.groupBy("_doc").agg(
+        F.collect_set("_start").alias("_mstarts")
+    )
 
-    toks = df.select(
-        F.col(id_col).alias("_doc"),
-        F.posexplode(_wt(F.col(text_col))).alias("_pos", "_tok"),
-    )
-    kept = toks.join(mask, ["_doc", "_pos"], "left_anti")
-    reassembled = kept.groupBy("_doc").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
-                lambda s: s.getField("_tok"),
-            ),
-            " ",
-        ).alias("text"),
-        F.count(F.lit(1)).cast("bigint").alias("_n_kept"),
-    )
-    totals = df.select(
-        F.col(id_col).alias("_doc"),
-        F.greatest(F.size(_wt(F.col(text_col))), F.lit(0)).cast("bigint").alias(
-            "n_tokens"
+    toks = _wt(F.col(text_col))
+    n_tokens = F.greatest(F.size(toks), F.lit(0)).cast("bigint")
+    span = F.lit(int(span_tokens))
+    # token i survives unless some flagged window [s, s+span) covers it;
+    # filter preserves order, so array_join reproduces the old
+    # collect_list(struct(pos, tok)) → array_sort reassembly bit-exactly
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_mstarts"), lambda s: (i >= s) & (i < s + span)
         ),
     )
+    out_text = F.when(
+        F.col("_mstarts").isNull(), F.array_join(toks, " ")
+    ).otherwise(F.array_join(kept, " "))
+    n_removed = F.when(
+        F.col("_mstarts").isNull(), F.lit(0).cast("bigint")
+    ).otherwise(n_tokens - F.size(kept).cast("bigint"))
     return (
-        totals.join(reassembled, "_doc", "left")
+        df.join(doc_masks, F.col(id_col) == doc_masks["_doc"], "left")
         .select(
-            F.col("_doc").alias(id_col),
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            F.col("n_tokens"),
-            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0).cast("bigint")))
-            .cast("bigint")
-            .alias("n_tokens_removed"),
+            F.col(id_col),
+            F.coalesce(out_text, F.lit("")).alias("text"),
+            n_tokens.alias("n_tokens"),
+            n_removed.cast("bigint").alias("n_tokens_removed"),
         )
     )

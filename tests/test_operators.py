@@ -2450,6 +2450,37 @@ def test_interval_overlap_degenerate_intervals(spark):
     assert {(r["rid"], r["lid"]) for r in out2} == {(20, 12)}
 
 
+def test_remove_duplicate_spans_plan_is_mask_join_not_token_shuffle(spark):
+    """r17 plan pin: removal is a map-side HOF filter behind one small
+    mask join — the corpus token stream must NOT ride a collect_list
+    reassembly shuffle (the r16 spelling's ObjectHashAggregate), and an
+    all-tokens-removed doc still yields an empty-text row."""
+    import io
+    from contextlib import redirect_stdout
+
+    span = " ".join(f"s{j}" for j in range(32))
+    df = spark.createDataFrame(
+        [(1, span), (2, span), (3, "solo " * 5)], ["doc_id", "text"]
+    )
+    out = dedup.remove_duplicate_spans(df, span_tokens=32, stride=16)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the r16 reassembly: posexplode tokens -> anti-join -> collect_list
+    # shuffle.  Gone: no collect_list anywhere, and the removal is a
+    # higher-order filter/exists expression in the output projection
+    # (the only aggregate over window starts is the small collect_set
+    # mask build; the only Generate is the cached window build).
+    assert "collect_list" not in plan, plan
+    assert "exists(" in plan, plan
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 2 loses its entire text (whole doc is the flagged span)
+    assert rows[2]["text"] == "" and rows[2]["n_tokens_removed"] == 32
+    assert rows[1]["text"] == span and rows[1]["n_tokens_removed"] == 0
+    assert rows[3]["n_tokens"] == 5 and rows[3]["n_tokens_removed"] == 0
+
+
 def test_remove_duplicate_spans_keeps_lowest_doc(spark):
     prefix = " ".join(f"p{j}" for j in range(32))
     tail_a = " ".join(f"a{j}" for j in range(10))
