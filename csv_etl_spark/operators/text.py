@@ -823,50 +823,58 @@ def phrase_merges(
     Returns the learned merge table ``(rank, pair, n)``; stops early when
     no pair reaches ``min_count``.
 
-    Scale shape per round: one map-only pair build (the zip_with-over-
-    slices spelling — plan discipline #5), one count groupBy with
-    map-side partials, ONE driver row (TakeOrdered limit 1), and a
-    map-only merge pass — the merge is a single JVM ``regexp_replace``
-    over the SEP-joined token stream (left-to-right non-overlapping
-    replacement is exactly the greedy BPE merge order), with both tokens
-    quoted via Python ``re.escape`` — which never backslashes
-    alphanumerics, so every escape it emits (``\\(``, ``\\+``, …) is a
-    literal-char escape Java's Pattern also accepts; safe here because
-    whitespace tokenization guarantees tokens contain no whitespace, the
-    one class where the two engines' escape alphabets diverge.  State between rounds is localCheckpoint-ed
-    (eager), the same lineage-truncation discipline as the CC resolver:
-    persist alone would keep round k's plan containing rounds 1..k-1
-    until analysis overflows.  Driver traffic: k single rows."""
-    import re as _re
+    Scale shape per round: one map-only pair build, one count groupBy
+    with map-side partials, ONE driver row (TakeOrdered limit 1), and a
+    map-only merge pass.  State between rounds is localCheckpoint-ed,
+    the same lineage-truncation discipline as the CC resolver: persist
+    alone would keep round k's plan containing rounds 1..k-1 until
+    analysis overflows.  Driver traffic: k single rows.
 
+    Per-task spelling (r17, guide §1.2 step 2): the state rides as the
+    DOUBLED-separator stream ``apply_phrase_merges`` documents (every
+    token between two SEPs, ends wrapped), so each round's merge is one
+    literal JVM ``replace`` — ``SEP a SEP·SEP b SEP → SEP a+j+b SEP``
+    consumes one boundary SEP per side and restores it, which keeps the
+    invariant AND merges back-to-back occurrences ("a b a b") in one
+    left-to-right pass, exactly the greedy BPE order the old lookahead
+    regexp implemented (and pinned by the serial-reference test).  The
+    pair build is ``arrays_zip`` over two slices — whole-stage-codegen,
+    unlike the previous ``zip_with`` lambda, which is CodegenFallback
+    and was interpreted per token (profiled r17: 2–5.6 s task-time per
+    round over a 1.9 MB state; the HOF interpreter, not the data)."""
     spark = df.sparkSession
-    toks = ws_tokens(F.col(text_col))
+    text = F.col(text_col)
     if lowercase:
-        toks = F.transform(toks, lambda t: F.lower(t))
+        # lower() on the raw string — whitespace is untouched by case
+        # mapping, so tokenizing after equals the per-token transform
+        # lambda (which would cost an interpreted HOF pass)
+        text = F.lower(text)
+    toks = ws_tokens(text)
+    bnd = _MERGE_SEP + _MERGE_SEP
     # lazy checkpoints: materialization happens inside the round's count
     # job (first consumer) and is REUSED by the merge pass — one data pass
     # per round instead of two, same lineage truncation
     state = df.select(
-        F.concat_ws(_MERGE_SEP, toks).alias("_s")
+        F.concat(F.lit(bnd), F.concat_ws(bnd, toks), F.lit(bnd)).alias("_s")
     ).localCheckpoint(eager=False)
 
     merges: list[tuple[int, str, int]] = []
     for rank in range(1, k + 1):
-        ts = F.split(F.col("_s"), _MERGE_SEP)
-        # split("") yields [""] — guard empty docs out of the pair build
-        ts = F.when(F.col("_s") == "", F.array().cast("array<string>")).otherwise(ts)
+        full = F.split(F.col("_s"), bnd)
+        # wrapped stream splits to ['', t1..tn, '']; drop the boundary
+        # empties.  Empty docs ("" between the wraps) reduce to one
+        # empty-string pseudo-token → n = 1 → zero pairs, same as before.
+        ts = F.slice(full, 2, F.size(full) - 2)
         n = F.size(ts)
-        pairs = F.when(
-            n < 2, F.array().cast("array<string>")
-        ).otherwise(
-            F.zip_with(
-                F.slice(ts, F.lit(1), n - 1),
-                F.slice(ts, F.lit(2), n - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        )
+        m = F.greatest(n - 1, F.lit(0))
+        pairs = F.arrays_zip(F.slice(ts, 1, m), F.slice(ts, 2, m))
         top = (
-            state.select(F.explode(pairs).alias("pair"))
+            state.select(F.explode(pairs).alias("_p"))
+            .select(
+                F.concat(
+                    F.col("_p")["0"], F.lit(" "), F.col("_p")["1"]
+                ).alias("pair")
+            )
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("pair").asc())
@@ -878,24 +886,11 @@ def phrase_merges(
         pair, count = top[0]["pair"], int(top[0]["n"])
         merges.append((rank, pair, count))
         a, b = pair.split(" ", 1)
-        # Sentinel + lookahead spelling: the stream is wrapped in SEP on
-        # both ends, the pattern consumes "SEP a SEP b" and only LOOKS AT
-        # the trailing SEP — so back-to-back occurrences ("a b a b")
-        # merge in one pass (a consumed trailing SEP would swallow the
-        # next occurrence's leading boundary).  No lookbehind (Java
-        # bounded-lookbehind rules stay out of play).
-        pat = (
-            f"{_MERGE_SEP}{_re.escape(a)}{_MERGE_SEP}"
-            f"{_re.escape(b)}(?={_MERGE_SEP})"
-        )
-        merged = a + joiner + b
-        replacement = (_MERGE_SEP + merged).replace("\\", "\\\\").replace("$", "\\$")
-        wrapped = F.concat(F.lit(_MERGE_SEP), F.col("_s"), F.lit(_MERGE_SEP))
         state = state.select(
-            F.regexp_replace(
-                F.regexp_replace(wrapped, pat, replacement),
-                f"^{_MERGE_SEP}|{_MERGE_SEP}$",
-                "",
+            F.replace(
+                F.col("_s"),
+                F.lit(_MERGE_SEP + a + bnd + b + _MERGE_SEP),
+                F.lit(_MERGE_SEP + a + joiner + b + _MERGE_SEP),
             ).alias("_s")
         ).localCheckpoint(eager=False)
 
