@@ -142,6 +142,10 @@ _SHINGLE_CACHE = BoundedPersistCache(max_entries=8)
 # max_bucket_size; at the measured 15M-doc ladder the observed count
 # was 4 orders of magnitude under this bound.
 _MAX_HOT_BUCKETS = 100_000
+# inline-VALUES bound for the collected hot set (r17): past this the
+# literal SQL text's parse/analyze cost beats the 32-task Python stage
+# createDataFrame pays — see csv_etl_spark.local._MAX_INLINE_ROWS
+_MAX_INLINE_HOT_BUCKETS = 2_000
 
 
 def clear_shingle_cache() -> None:
@@ -452,7 +456,9 @@ def minhash_lsh_pairs(
         hot_rows = hot.limit(_MAX_HOT_BUCKETS + 1).collect()
         if len(hot_rows) == 0:
             pass  # no hot buckets: skip the anti-join entirely
-        elif len(hot_rows) <= _MAX_HOT_BUCKETS:
+        elif len(hot_rows) <= _MAX_INLINE_HOT_BUCKETS:
+            # small hot set: inline-VALUES LocalRelation — broadcast
+            # builds without a Python stage (csv_etl_spark.local)
             from csv_etl_spark.local import local_values_frame
 
             hot_lit = local_values_frame(
@@ -462,6 +468,19 @@ def minhash_lsh_pairs(
                     f"{f.name} {f.dataType.simpleString()}"
                     for f in hot.schema.fields
                 ),
+            )
+            band_rows = band_rows.join(
+                F.broadcast(hot_lit), ["band", "bucket"], "left_anti"
+            )
+        elif len(hot_rows) <= _MAX_HOT_BUCKETS:
+            # mid-sized hot set (r17, ADVICE r16): inline VALUES is for
+            # constant tables — 100k collected rows each carrying an
+            # array<bigint> bucket would render a multi-MB SQL text whose
+            # driver parse/analysis dwarfs the Python stage it avoids.
+            # createDataFrame + broadcast keeps the single-aggregation
+            # collect win without the literal-tree blowup.
+            hot_lit = band_rows.sparkSession.createDataFrame(
+                hot_rows, hot.schema
             )
             band_rows = band_rows.join(
                 F.broadcast(hot_lit), ["band", "bucket"], "left_anti"

@@ -101,7 +101,13 @@ def with_global_cumsum(
     # token_budget_select's group-offset build) and the returned plan —
     # read the materialized rows.  Registered in the bounded cache so
     # bench/long sessions can invalidate and nothing leaks unbounded.
-    key = _CUMSUM_CACHE.key_for(local, value_col, *order_cols)
+    # key on the PRE-Python plan + the cumsum parameters (r17, ADVICE
+    # r16): `local`'s semanticHash embeds the cloudpickled local_cumsum
+    # closure, so any byte drift in the pickle across calls silently
+    # missed the cache and re-ran the Python pass; `part`'s hash is
+    # pickle-free and the (value_col, order_cols) tuple pins what the
+    # closure computes.  The persisted VALUE stays the post-Python frame.
+    key = _CUMSUM_CACHE.key_for(part, "cumsum", value_col, *order_cols)
     cached = _CUMSUM_CACHE.get(key)
     if cached is not None:
         local = cached

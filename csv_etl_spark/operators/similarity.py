@@ -592,9 +592,15 @@ def kmeans_centroids(
         refined = {int(r["cluster"]): [float(x) for x in r["vec"]] for r in means}
         cents = [(cid, refined.get(cid, vec)) for cid, vec in cents]
 
-    return vectors.sparkSession.createDataFrame(
-        [(cid, vec) for cid, vec in cents],
-        schema="centroid_id int, centroid_vec array<double>",
+    # model-sized literal (≤ _KMEANS_LITERAL_MAX rows): inline-VALUES
+    # LocalRelation so consumers' broadcast builds stay JVM-only — the
+    # last createDataFrame literal frame in operator code (r17)
+    from csv_etl_spark.local import local_values_frame
+
+    return local_values_frame(
+        vectors.sparkSession,
+        [(cid, [float(x) for x in vec]) for cid, vec in cents],
+        "centroid_id int, centroid_vec array<double>",
     )
 
 
@@ -2595,7 +2601,17 @@ def standardize_embeddings(
     moments are bit-identical on any partitioning and any engine;
     means/stds/z-scores are all rounded to 6.  Variance uses the
     ROUNDED mean (deterministic everywhere; the O(1e-6) bias is far
-    below embedding noise)."""
+    below embedding noise).
+
+    Determinism assumption (r17, ADVICE r16): the row count ``_n`` runs
+    as its own tiny aggregate job, SEPARATE from the moment scan (the
+    fused spelling computed both atomically; the count cannot ride the
+    posexplode aggregate because exploding drops null/empty vectors the
+    count must include).  ``df`` must therefore be stable across jobs —
+    no ``sample()``/``rand()``-derived input, no source mutated between
+    jobs — or the count can disagree with the sums and skew the moments.
+    Every operator call site feeds it deterministic projections of
+    parquet scans, which satisfies this."""
     if dim < 1:
         raise ValueError("dim must be >= 1")
 

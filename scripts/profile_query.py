@@ -55,7 +55,6 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from csv_etl_spark.session import get_spark
 
-    SparkSession.builder.config("spark.ui.enabled", "true")
     spark = (
         SparkSession.builder.appName("profile")
         .master(f"local[{os.environ['SPARK_GRAFT_CPUS']}]")
@@ -127,13 +126,6 @@ def main() -> None:
                         "sh_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
                         "sh_fetch_wait_s": round(
                             s.get("shuffleFetchWaitTime", 0) / 1e3, 2
-                        ),
-                        "py_s": round(
-                            sum(
-                                t.get("executorRunTime", 0)
-                                for t in []
-                            ),
-                            2,
                         ),
                     }
                 )

@@ -70,3 +70,37 @@ def test_values_frame_arrays(spark):
     b = local_values_frame(spark, rows, schema)
     assert a.schema.simpleString() == b.schema.simpleString()
     assert _rowset(a) == _rowset(b)
+
+
+def test_values_frame_row_bound_and_type_validation(spark):
+    """r17 hardening: the inline bound rejects data-sized callers, and
+    values are validated against the declared type instead of silently
+    CAST-coercing (ADVICE r16: a float in an int column truncated, an
+    over-range int became NULL, an int in a string column stringified)."""
+    from csv_etl_spark.local import _MAX_INLINE_ROWS
+
+    with pytest.raises(ValueError, match="inline bound"):
+        local_values_frame(
+            spark, [(i,) for i in range(_MAX_INLINE_ROWS + 1)], "a int"
+        )
+    # type mismatches raise, like createDataFrame with a schema
+    with pytest.raises(TypeError, match="int column got float"):
+        local_values_frame(spark, [(1.5,)], "a int")
+    with pytest.raises(TypeError, match="double column got int"):
+        local_values_frame(spark, [(1,)], "a double")
+    with pytest.raises(TypeError, match="string column got int"):
+        local_values_frame(spark, [(7,)], "a string")
+    with pytest.raises(TypeError, match="boolean column got str"):
+        local_values_frame(spark, [("t",)], "a boolean")
+    with pytest.raises(TypeError, match="bigint column got bool"):
+        local_values_frame(spark, [(True,)], "a bigint")
+    with pytest.raises(TypeError, match="array column got int"):
+        local_values_frame(spark, [(3,)], "a array<int>")
+    # element validation inside arrays
+    with pytest.raises(TypeError, match="bigint column got str"):
+        local_values_frame(spark, [(["x"],)], "a array<bigint>")
+    # NULLs stay fine everywhere
+    ok = local_values_frame(
+        spark, [(None, None, None)], "a int, b double, c string"
+    )
+    assert ok.collect()[0] == (None, None, None)
