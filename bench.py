@@ -291,6 +291,8 @@ def main() -> None:
         _sim._ASSIGNED_CACHE.invalidate(blocking=True)
         _mm._DHASH_CACHE.invalidate(blocking=True)
         _text._TF_CACHE.invalidate(blocking=True)
+        # r17: learned BPE merge tables (driver-side memo)
+        _text._MERGE_MEMO.invalidate(blocking=True)
         # r7 fix: the prefix-sum cache was NOT cleared in r5/r6 benches, so
         # pack_sequences / corpus_shuffle passes 2+ timed a persisted range
         # shuffle instead of the operator — their honest medians rise a bit

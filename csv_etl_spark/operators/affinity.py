@@ -41,10 +41,6 @@ _ARROW_ITEM_TYPES = {
     "string", "boolean", "date",
 }
 
-# refusal bound for driver-collected hot-item sets: a freq_cap that
-# flags more items than this is a mis-set cap, not a skew problem
-_MAX_HOT_ITEMS = 100_000
-
 # upper bound on pair rows per DataFrame yielded by the Arrow kernel:
 # with max_basket=1000 a single basket is C(1000,2)≈500k pairs and a
 # 10k-row Arrow batch could otherwise materialize billions of rows in
@@ -58,9 +54,11 @@ _PAIR_ROW_BUDGET = 2_000_000
 # 5.32→13.03 s, 60M 32.1→43.5 s (BENCHNOTES_r12_lineitem.json A/B) —
 # because materializing the array-typed basket column into the block
 # manager costs more than the second aggregation pass it saves: the
-# hot-set probe's pipeline prunes to the exploded items only, while a
-# persist must serialize the full arrays.  The double computation is
-# the measured-faster plan; the probe stays unpersisted by choice.
+# hot-count branch prunes to the exploded items only, while a persist
+# must serialize the full arrays.  The double computation is the
+# measured-faster plan; the basket agg stays unpersisted by choice
+# (r17: with both consumers in ONE lazy plan, runtime exchange reuse
+# now dedups the basket shuffle anyway).
 
 
 def cooccurrence_pairs(
@@ -92,18 +90,16 @@ def cooccurrence_pairs(
     carrying no co-occurrence signal (its support with everything is
     just its own frequency); on skewed real-world baskets this is the
     difference between a bounded pair table and a blowup.  Cost when
-    set: one extra item-keyed count agg + a driver-collected hot set;
-    past ``_MAX_HOT_ITEMS`` the hot set is removed with a DISTRIBUTED
-    left_anti join + basket re-agg instead (r12 — measured at the
-    600M-line decade, where a uniform 20M-part catalog puts ~3% of
-    items over cap and hot-set size scales with the catalog; two extra
-    shuffles, nothing driver-side, identical semantics).
-    NOTE: ``freq_cap`` makes this call EAGER — the hot-set probe runs
-    Spark jobs at plan-construction time.  The basket aggregation is
-    recomputed by the pair query rather than persisted: the r12 A/B
-    measured the persist slower at every size (module-level note).
-    ``None`` (default) keeps the exact semantics, which is what the SQL
-    oracle checks, and stays fully lazy.
+    set (r17 — lazy at every hot-set size): one extra item-keyed count
+    agg and a left_anti join + basket re-agg, all inside the one lazy
+    plan — AQE broadcasts the hot side when it is small, and at catalog
+    scale (the 600M-line decade, where freq_cap=40 over a 20M-part
+    catalog flags ~3% of items) the same spelling degrades gracefully
+    to a shuffled anti-join; nothing is ever collected to the driver.
+    The basket aggregation is recomputed by the pair query rather than
+    persisted: the r12 A/B measured the persist slower at every size
+    (module-level note).  ``None`` (default) keeps the exact semantics,
+    which is what the SQL oracle checks.
 
     Plan: one groupBy on the basket key collapsing each basket to a
     sorted distinct-item array (``collect_set`` dedups in the partial
@@ -152,18 +148,29 @@ def cooccurrence_pairs(
     kept = baskets.filter(bn <= F.lit(int(max_basket)))
 
     item_t = df.schema[item_col].dataType.simpleString()
-    if freq_cap is not None and item_t not in _ARROW_ITEM_TYPES:
-        raise NotImplementedError(
-            f"freq_cap needs a numpy-representable item type, got {item_t}"
-        )
 
-    hot_items = None
     if freq_cap is not None:
-        # the basket agg is deliberately NOT persisted across the two
-        # consumers (hot-set probe here, pair query later): measured
-        # slower at every size — see the module-level r12 note
-        # item -> number of KEPT baskets it appears in (arrays are
-        # already distinct per basket, so explode counts baskets).
+        # r17 (guide §2.4/§5): hot-item removal is LAZY and fully
+        # distributed at EVERY hot-set size — explode the kept baskets
+        # once, count baskets per item (arrays are already distinct per
+        # basket, so explode counts baskets), drop over-cap items with a
+        # left_anti join (AQE broadcasts the hot side when it is small),
+        # and re-aggregate the surviving items.  The r12–r16 spelling
+        # probed the hot set EAGERLY at plan-construction time — its
+        # ``hot.limit(N+1).collect()`` ran a CollectLimit retry ladder of
+        # 3–4 driver round-trip jobs, each re-running the whole basket
+        # aggregation as an independent action — and then masked arrays
+        # inside the Arrow kernel with np.isin.  Profiled at sf0.1 the
+        # probe cost MORE task-time than the pair query itself (51 s vs
+        # 13 s, plans/r17/copurchase_capped_before.txt + commit profile).
+        # One lazy plan lets runtime exchange reuse dedup the basket
+        # shuffle, leaves nothing driver-side, and is exactly the
+        # spelling the old code already switched to past its
+        # 100k-row driver-collect bound — that bound, the collect, and
+        # the kernel-mask fast path all disappear, and freq_cap no
+        # longer requires a numpy-representable item type.
+        # (The basket agg is still deliberately NOT persisted across the
+        # two consumers: measured slower at every size — module note.)
         hot = (
             kept.select(F.explode("_items").alias("_it"))
             .groupBy("_it")
@@ -171,30 +178,15 @@ def cooccurrence_pairs(
             .filter(F.col("_n") > F.lit(int(freq_cap)))
             .select("_it")
         )
-        rows = hot.limit(_MAX_HOT_ITEMS + 1).collect()
-        if len(rows) > _MAX_HOT_ITEMS:
-            # HOT SET TOO BIG TO COLLECT (r12, measured at the 600M-line
-            # decade: freq_cap=40 over a 20M-part catalog flags ~3% of
-            # items = far past the driver bound — hot-set size scales
-            # with CATALOG size, not a mis-set cap as the r11 refusal
-            # assumed).  Scale spelling: remove hot items with a
-            # DISTRIBUTED left_anti join and re-aggregate the baskets —
-            # two extra shuffles ((bk,item) anti-join + re-agg), nothing
-            # driver-side, identical semantics to the kernel mask (size
-            # guard first, then hot removal, exactly like the np.isin
-            # path).  The collect fast path stays for the common small
-            # hot set, where the kernel mask costs no extra shuffle.
-            kept = (
-                kept.select("_bk", F.explode("_items").alias("_it"))
-                .join(hot, "_it", "left_anti")
-                .groupBy("_bk")
-                .agg(F.sort_array(F.collect_set("_it")).alias("_items"))
-            )
-        else:
-            hot_items = [r["_it"] for r in rows]
+        kept = (
+            kept.select("_bk", F.explode("_items").alias("_it"))
+            .join(hot, "_it", "left_anti")
+            .groupBy("_bk")
+            .agg(F.sort_array(F.collect_set("_it")).alias("_items"))
+        )
 
     if item_t in _ARROW_ITEM_TYPES:
-        pairs = _arrow_pairs(kept.select("_items"), item_t, hot_items)
+        pairs = _arrow_pairs(kept.select("_items"), item_t)
     else:
         # exotic element types: the original HOF spelling (interpreted,
         # fine at the cardinalities non-atomic items occur at)
@@ -213,17 +205,15 @@ def cooccurrence_pairs(
     return counted.filter(F.col("pair_count") >= F.lit(int(min_support)))
 
 
-def _arrow_pairs(
-    baskets: DataFrame, item_t: str, hot_items: list | None
-) -> DataFrame:
+def _arrow_pairs(baskets: DataFrame, item_t: str) -> DataFrame:
     """Vectorized C(b,2) pair expansion over sorted distinct-item
     arrays: baskets are grouped by size inside each Arrow batch, each
     size group becomes an (n_baskets, size) matrix, and one
     ``triu_indices`` gather emits every (item_a, item_b) with the
-    array order (item_a < item_b) preserved.  ``hot_items`` (freq_cap
-    mode) are masked out with ``np.isin`` BEFORE expansion so a hot
-    item never generates a pair.  Map-only: the one input column is the
-    item array; skinny pair rows come back.
+    array order (item_a < item_b) preserved.  Map-only: the one input
+    column is the item array; skinny pair rows come back.  (freq_cap's
+    hot items are removed upstream by the distributed left_anti spelling
+    since r17 — the kernel no longer carries an np.isin mask.)
 
     Output is yielded in chunks of at most ``_PAIR_ROW_BUDGET`` pair
     rows: expansion fan-out is C(b,2) per basket, so one Arrow batch of
@@ -232,8 +222,6 @@ def _arrow_pairs(
     split so even a lone C(max_basket,2) basket stays within budget."""
     import numpy as np
     import pandas as pd
-
-    hot_arr = np.asarray(hot_items) if hot_items else None
 
     def gen(batches):
         for pdf in batches:
@@ -246,11 +234,6 @@ def _arrow_pairs(
             if not sizes.sum():
                 continue
             flat = np.concatenate([np.asarray(a) for a in arrs])
-            if hot_arr is not None and len(hot_arr):
-                seg = np.repeat(np.arange(len(arrs)), sizes)
-                keep = ~np.isin(flat, hot_arr)
-                flat = flat[keep]
-                sizes = np.bincount(seg[keep], minlength=len(arrs))
             starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
             for s in np.unique(sizes):
                 if s < 2:

@@ -12,10 +12,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from csv_etl_spark.operators._cache import BoundedDriverMemo as _BDM
 from csv_etl_spark.operators._cache import BoundedPersistCache as _TF_BPC
 
 # persisted (doc, token) tf table reused by tfidf_top_terms' df-agg + join
 _TF_CACHE = _TF_BPC(max_entries=4)
+
+# r17: learned BPE merge tables, keyed by (tokenized-input plan,
+# min_count, joiner) — see phrase_merges.  Driver-side lists, session-
+# bounded, cleared between bench passes exactly like the persist caches.
+_MERGE_MEMO = _BDM(max_entries=8)
 
 # Small, order-stable English stopword list — shared with the DuckDB oracle.
 EN_STOPWORDS = [
@@ -52,9 +58,28 @@ def bpe_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
 
 
+def _token_hits(col: Column, words: list[str]) -> Column:
+    """Count whitespace tokens of ``col`` that exactly equal one of
+    ``words`` (all lowercase ASCII literals), case-insensitively.
+
+    r17 spelling (guide §4.1): one compiled-regex pass per document via
+    ``regexp_count`` — whole-stage-codegen JVM — instead of the
+    ``filter(toks, t -> lower(t).isin(...))`` higher-order lambda, which
+    is CodegenFallback and interprets the lambda per token (profiled as
+    the dominant per-task cost of corpus_report/text_metrics).  A token
+    is a maximal non-whitespace run, so a hit is a list member bounded
+    by start-or-whitespace on the left and whitespace-or-end on the
+    right; the right boundary is a LOOKAHEAD so adjacent hits sharing
+    one separator ("of to") both count.  Verified value-equal to the
+    lambda spelling over the sf0.1 documents corpus and pinned by the
+    consumers' DuckDB oracles."""
+    alt = "|".join(words)
+    return F.regexp_count(F.lower(col), F.lit(rf"(?:^|\s)(?:{alt})(?=\s|$)"))
+
+
 def stopword_ratio(col: Column) -> Column:
     toks = ws_tokens(col)
-    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(EN_STOPWORDS)))
+    hits = _token_hits(col, EN_STOPWORDS)
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
@@ -67,7 +92,12 @@ def punct_ratio(col: Column) -> Column:
 
 def mean_word_length(col: Column) -> Column:
     toks = ws_tokens(col)
-    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+    # total token chars == total non-whitespace chars (tokens are maximal
+    # non-whitespace runs); one codegen'd regex strip instead of the
+    # interpreted per-token aggregate lambda (r17, guide §4.1).  The old
+    # lambda accumulated int lengths into a DOUBLE from 0.0 — exact for
+    # any realistic document, as is double(int_total) here.
+    total = F.length(F.regexp_replace(col, r"\s", "")).cast("double")
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
@@ -91,11 +121,11 @@ def lang_id(col: Column) -> Column:
     full value-hash oracle; this zero-model heuristic stays for
     expression contexts (``text_metrics`` keeps it as a cheap inline
     column) and as the no-dependency baseline."""
-    toks = ws_tokens(col)
-    lowered = F.transform(toks, lambda t: F.lower(t))
-    en_hits = F.size(F.filter(lowered, lambda t: t.isin(EN_STOPWORDS)))
+    # r17: regexp_count token-hit spelling (see _token_hits) — the two
+    # interpreted filter-lambda passes were the per-task hotspot here
+    en_hits = _token_hits(col, EN_STOPWORDS)
     romance = ["el", "la", "de", "que", "y", "le", "et", "un", "una", "les"]
-    ro_hits = F.size(F.filter(lowered, lambda t: t.isin(romance)))
+    ro_hits = _token_hits(col, romance)
     return (
         F.when((en_hits > ro_hits) & (en_hits >= 2), F.lit("en"))
         .when((ro_hits > en_hits) & (ro_hits >= 2), F.lit("ro"))
@@ -854,12 +884,48 @@ def phrase_merges(
     # lazy checkpoints: materialization happens inside the round's count
     # job (first consumer) and is REUSED by the merge pass — one data pass
     # per round instead of two, same lineage truncation
-    state = df.select(
+    state0 = df.select(
         F.concat(F.lit(bnd), F.concat_ws(bnd, toks), F.lit(bnd)).alias("_s")
-    ).localCheckpoint(eager=False)
+    )
 
+    # r17: session-bounded merge-table memo (the _CUMSUM_CACHE /
+    # _TF_CACHE discipline, invalidated between bench passes).  BPE is
+    # prefix-stable — merge i depends only on merges 1..i-1 — so a
+    # table trained at k'≥k over the same tokenized input answers any
+    # smaller k verbatim, and a shorter cached table is a valid restart
+    # point: replay its merges as chained literal replaces (the exact
+    # per-round merge pass) and continue counting from rank len+1.
+    # Within one bench pass, bpe_merges (k=8) trains once and
+    # apply_merges' k=4 trainer re-uses the prefix with ZERO jobs.
+    key = _MERGE_MEMO.key_for(state0, int(min_count), joiner)
+    cached = _MERGE_MEMO.get(key)
     merges: list[tuple[int, str, int]] = []
-    for rank in range(1, k + 1):
+    start_rank = 1
+    if cached is not None:
+        mlist, exhausted = cached
+        if exhausted or len(mlist) >= k:
+            from csv_etl_spark.local import local_values_frame
+
+            return local_values_frame(
+                spark, list(mlist[:k]), "rank int, pair string, n bigint"
+            )
+        merges = list(mlist)
+        start_rank = len(mlist) + 1
+        replay = state0
+        for _, pair, _n in mlist:
+            a, b = pair.split(" ", 1)
+            replay = replay.select(
+                F.replace(
+                    F.col("_s"),
+                    F.lit(_MERGE_SEP + a + bnd + b + _MERGE_SEP),
+                    F.lit(_MERGE_SEP + a + joiner + b + _MERGE_SEP),
+                ).alias("_s")
+            )
+        state0 = replay
+    state = state0.localCheckpoint(eager=False)
+
+    exhausted = False
+    for rank in range(start_rank, k + 1):
         full = F.split(F.col("_s"), bnd)
         # wrapped stream splits to ['', t1..tn, '']; drop the boundary
         # empties.  Empty docs ("" between the wraps) reduce to one
@@ -882,6 +948,7 @@ def phrase_merges(
             .collect()
         )
         if not top or top[0]["n"] < min_count:
+            exhausted = True
             break
         pair, count = top[0]["pair"], int(top[0]["n"])
         merges.append((rank, pair, count))
@@ -893,6 +960,8 @@ def phrase_merges(
                 F.lit(_MERGE_SEP + a + joiner + b + _MERGE_SEP),
             ).alias("_s")
         ).localCheckpoint(eager=False)
+
+    _MERGE_MEMO.put(key, (tuple(merges), exhausted))
 
     from csv_etl_spark.local import local_values_frame
 
@@ -1012,6 +1081,10 @@ def dsir_importance(
     # parquet beats spilling a ~10x token stream)
     c_counts = _TF_CACHE.get_or_persist(c_counts, "dsir_corpus_counts")
     t_counts = t_exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_nt"))
+    # t_counts feeds the scalar agg AND the vocab ratio table — without
+    # the persist the target corpus is exploded and counted twice (two
+    # identical Generate→agg subtrees in the r17 before-plan)
+    t_counts = _TF_CACHE.get_or_persist(t_counts, "dsir_target_counts")
     scalars = (
         c_counts.agg(
             F.sum("_nc").cast("double").alias("_totc"),
@@ -1036,14 +1109,23 @@ def dsir_importance(
         - F.log((F.col("_nc") + k) / (F.col("_totc") + k * F.col("_v"))),
         6,
     )
-    scored = (
-        exploded.join(c_counts, "_tok")
-        .join(F.broadcast(t_counts), "_tok", "left")
+    # r17 (guide §2.3, compute on the small side): the log ratio depends
+    # only on token IDENTITY, so it is evaluated once per VOCAB entry on
+    # the broadcast side — not once per token OCCURRENCE on the stream
+    # side as before (two libm log() calls plus the full double chain per
+    # corpus token).  Same expression over the same values → bit-equal
+    # _r6; the stream join becomes a pure hash-probe gather of the
+    # precomputed decimal.
+    vocab = (
+        c_counts.join(F.broadcast(t_counts), "_tok", "left")
         .crossJoin(F.broadcast(scalars))
         .select(
-            F.col(id_col),
+            "_tok",
             (ratio * F.lit(1_000_000)).cast("decimal(38,0)").alias("_r6"),
         )
+    )
+    scored = exploded.join(F.broadcast(vocab), "_tok").select(
+        F.col(id_col), "_r6"
     )
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),

@@ -35,6 +35,8 @@ def clear_operator_caches() -> None:
     _sim._ASSIGNED_CACHE.invalidate(blocking=True)
     _mm._DHASH_CACHE.invalidate(blocking=True)
     _text._TF_CACHE.invalidate(blocking=True)
+    # r17: learned BPE merge tables (driver-side memo)
+    _text._MERGE_MEMO.invalidate(blocking=True)
     _pack._CUMSUM_CACHE.invalidate(blocking=True)
     _classify._FEAT_CACHE.invalidate(blocking=True)
     _graph._LINKS_CACHE.invalidate(blocking=True)

@@ -192,6 +192,8 @@ def clear_caches() -> None:
     _sim._ASSIGNED_CACHE.invalidate(blocking=True)
     _mm._DHASH_CACHE.invalidate(blocking=True)
     _text._TF_CACHE.invalidate(blocking=True)
+    # r17: learned BPE merge tables (driver-side memo)
+    _text._MERGE_MEMO.invalidate(blocking=True)
     # same r7 fix as bench.py: prefix-sum cache must not serve passes 2+
     _pack._CUMSUM_CACHE.invalidate(blocking=True)
     # r8 addition: the classifier's (doc, feature) pair cache

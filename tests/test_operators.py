@@ -2283,6 +2283,54 @@ def test_phrase_merges_matches_serial_reference(spark):
     # (a_a, a_a) can win a later round — serial reference covers it
 
 
+def test_phrase_merges_memo_prefix_and_restart(spark):
+    """r17 merge-table memo: BPE is prefix-stable, so (a) a k=6-trained
+    table must answer a later k=3 call verbatim with ZERO Spark jobs,
+    (b) a k=2-trained table must be a valid RESTART point for k=4 —
+    replayed merges + continued rounds equal a cold k=4 run — and
+    (c) the memo is invalidated by the bench-harness hook."""
+    from csv_etl_spark.operators.text import _MERGE_MEMO
+
+    docs = [
+        "new york city is in new york",
+        "new york is big and new york is loud",
+        "san francisco and new york city",
+        "a a a a",
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], ["doc_id", "text"]
+    )
+
+    def table(k):
+        return [
+            (r["rank"], r["pair"], r["n"])
+            for r in text.phrase_merges(df, k=k).orderBy("rank").collect()
+        ]
+
+    _MERGE_MEMO.invalidate()
+    cold6 = table(6)
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "merge-memo-hit")
+    try:
+        warm3 = table(3)
+        ran = sc.statusTracker().getJobIdsForGroup("merge-memo-hit")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert warm3 == cold6[:3]
+    # the memo hit must answer from the driver: no training rounds run,
+    # only the collect of the returned inline-VALUES frame (AQE runs a
+    # local frame's orderBy+collect as up to 3 tiny jobs).  A cold k=3
+    # run needs ≥1 corpus-count job per round on top of that.
+    assert len(ran or []) <= 3
+
+    _MERGE_MEMO.invalidate()
+    short2 = table(2)
+    restart4 = table(4)  # replay 2 cached merges, train rounds 3-4
+    _MERGE_MEMO.invalidate()
+    cold4 = table(4)
+    assert short2 == cold4[:2] and restart4 == cold4
+
+
 def test_winsorize_clamps_to_group_bounds(spark):
     from csv_etl_spark.operators.stats import winsorize
 
@@ -3350,10 +3398,12 @@ def test_cooccurrence_freq_cap_drops_hot_items(spark):
     assert high == exact and ("c0", "hot") in exact
 
 
-def test_cooccurrence_freq_cap_join_path_matches_collect(spark, monkeypatch):
-    """When the hot set outgrows the driver-collect bound, the
-    distributed left_anti spelling must produce EXACTLY the kernel-mask
-    result (r12 — the 600M-decade refusal turned into an auto-switch)."""
+def test_cooccurrence_freq_cap_is_lazy(spark):
+    """r17: freq_cap no longer probes the hot set eagerly — building the
+    capped plan must run ZERO Spark jobs (the r12–r16 spelling collected
+    the hot set at plan-construction time through a CollectLimit retry
+    ladder), and the lazy left_anti spelling must still drop exactly the
+    over-cap items with cold pair counts untouched."""
     from csv_etl_spark.operators import affinity
 
     rows = []
@@ -3364,18 +3414,20 @@ def test_cooccurrence_freq_cap_join_path_matches_collect(spark, monkeypatch):
         rows.append((b, f"d{b % 3}"))
     df = spark.createDataFrame(rows, "b int, i string")
 
-    def capped(**kw):
-        return {
-            (r["item_a"], r["item_b"]): r["pair_count"]
-            for r in affinity.cooccurrence_pairs(
-                df, "b", "i", min_support=1, freq_cap=5
-            ).collect()
-        }
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "freqcap-lazy-probe")
+    try:
+        plan = affinity.cooccurrence_pairs(
+            df, "b", "i", min_support=1, freq_cap=5
+        )
+        ran = sc.statusTracker().getJobIdsForGroup("freqcap-lazy-probe")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert not ran, "freq_cap plan construction ran Spark jobs"
 
-    via_collect = capped()
-    monkeypatch.setattr(affinity, "_MAX_HOT_ITEMS", 1)  # force the join path
-    via_join = capped()
-    assert via_join == via_collect
+    via_join = {
+        (r["item_a"], r["item_b"]): r["pair_count"] for r in plan.collect()
+    }
     assert all("hot" not in a and "hot" not in b for a, b in via_join)
     assert via_join == {("c0", "d0"): 4, ("c1", "d1"): 4, ("c2", "d2"): 4}
 
