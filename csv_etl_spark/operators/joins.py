@@ -137,13 +137,25 @@ def interval_overlap_join(
     interval explodes into the ``bucket_seconds``-wide epoch buckets it
     spans (map-only; two intervals can only overlap if they share a
     bucket), the join is a pure EQUIJOIN on (keys…, bucket) — shuffle
-    hash-partitioned, never a cross join — then bucket-duplicate pairs
-    collapse with one distinct and the exact predicate
+    hash-partitioned, never a cross join — and the exact predicate
     ``l.start < r.end AND r.start < l.end`` filters the false candidates
     from shared-bucket-but-disjoint pairs.  Cost: rows × spanned-buckets
     into one shuffle; pick ``bucket_seconds`` near the typical interval
     length (spans/interval ≈ 2) — the same width-matching rule as every
     spatial/temporal grid join.
+
+    Bucket-duplicate pairs (a pair meeting in k shared buckets) are
+    collapsed WITHOUT a distinct (r17, guide §2.4): a pair is kept only
+    in the FIRST bucket of its overlap, ``floor(greatest(sl, sr) / w)``
+    — a map-side equality on columns already in hand.  Every truly
+    overlapping pair lands in that bucket exactly once (``max(sl, sr)``
+    lies inside both intervals, so both sides exploded it), so the old
+    corpus-wide re-shuffle of the full candidate pair stream into a
+    distinct's HashAggregate pair is gone; after the equijoin the plan
+    is map-only.  Identical-duplicate INPUT rows now pair per copy
+    (SQL join semantics, matching the oracle) instead of collapsing —
+    ids are unique in every contract caller, where the two spellings
+    are row-identical.
 
     ``max_buckets_per_interval`` guards the explode: one year-long
     interval at 1-second buckets would fan out 31M rows silently; the
@@ -194,11 +206,20 @@ def interval_overlap_join(
 
     l = prep(left, left_id, "l")
     r = prep(right, right_id, "r")
+    w = F.lit(int(bucket_seconds))
     pairs = (
         l.join(r, [*keys, "_bucket"])
+        # exact predicate + first-overlap-bucket equality: each truly
+        # overlapping pair survives in exactly ONE bucket (see docstring)
+        # — no distinct, no second shuffle of the candidate stream.  The
+        # floor(x / w) spelling matches prep()'s sequence bounds exactly
+        # (same double-divide floor).
+        .filter(
+            (F.col("_sl") < F.col("_er"))
+            & (F.col("_sr") < F.col("_el"))
+            & (F.col("_bucket") == F.floor(F.greatest("_sl", "_sr") / w))
+        )
         .drop("_bucket")
-        .distinct()  # a pair meeting in k shared buckets collapses to one
-        .filter((F.col("_sl") < F.col("_er")) & (F.col("_sr") < F.col("_el")))
     )
     overlap_s = F.greatest("_sl", "_sr")
     overlap_e = F.least("_el", "_er")

@@ -294,9 +294,11 @@ def pairwise_corr(
     single scan with map-side partials (one job, no shuffle beyond the
     scalar agg).  Per pair, sums are conditioned on BOTH columns being
     non-null (pairwise deletion — each pair's n can differ), using the
-    module's exact fixed-point moment discipline: same quantization, same
-    decimal sums, same double combine, same 6-decimal rounding, same
-    loud-on-overflow assert riding every output, so the matrix is
+    module's exact fixed-point moment discipline: same quantization,
+    exact integer moment sums (r17: accumulated as arbitrary-precision
+    Python ints in one Arrow pass per task, combined as the same exact
+    decimal(38,0) sums — see the inline note), same double combine, same
+    6-decimal rounding, same loud-on-overflow behavior, so the matrix is
     bit-identical on any engine and any partitioning.  ``centers``
     optionally re-centers wide columns for decimal headroom (see module
     docstring).  Returns long format ``(col_x, col_y, n, corr)`` for
@@ -306,60 +308,159 @@ def pairwise_corr(
         raise ValueError("pairwise_corr needs at least 2 columns")
     centers = centers or {}
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
-    aggs = []
+
+    # r17 (guide §4.2): the moment accumulation runs as ONE Arrow pass
+    # with exact arbitrary-precision INTEGER partials instead of 7·k(k−1)/2
+    # decimal aggregate functions.  The old fused aggregate paid a JVM
+    # BigDecimal multiply + BigDecimal add per pair-product per row
+    # (decimal(19)×decimal(19)→38 never takes Spark's compact-long fast
+    # path): profiled at sf0.1 lineitem (600k rows, 6 pairs) as 14.5 s of
+    # task time, 3.4 s of it GC, plus ~1.4 s of driver analysis over the
+    # 42 CASE-heavy aggregate trees.  Python ints are exact at any width,
+    # so per-task partials are bit-identical to the decimal sums; the
+    # final combine is the SAME tiny decimal aggregation over one row per
+    # task.  mapInArrow (not mapInPandas): pandas folds SQL NULL and real
+    # NaN together, and the two must stay distinct — NULL is excluded by
+    # pairwise deletion, NaN quantizes to 0 like the JVM path
+    # (Double.NaN.toLong == 0; ±Inf saturate to ±2^63, probed r17).
+    # Overflow stays loud: a partial that exceeds decimal(38,0) raises in
+    # the Arrow writer; an overflowing final sum raises (ANSI-on) or
+    # NULLs into the assert guard below (ANSI-off) exactly as before.
+    ucols = list(dict.fromkeys(c for p in pairs for c in p))
+    center_of = {c: float(centers.get(c, 0.0)) for c in ucols}
+    idx = {c: i for i, c in enumerate(ucols)}
+    pair_idx = [(idx[a], idx[b]) for a, b in pairs]
+    tags = [f"{a}__{b}" for a, b in pairs]
+    fields = []
+    for t in tags:
+        fields.append(f"`_n_{t}` bigint")
+        for s in ("sa", "sb", "saa", "sbb", "sab"):
+            fields.append(f"`_{s}_{t}` decimal(38,0)")
+        fields.append(f"`_nab_{t}` bigint")
+    partial_schema = ", ".join(fields)
+    n_ucols = len(ucols)
+    centers_vec = [center_of[c] for c in ucols]
+    quant = float(QUANT)
+
+    def _moment_partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        long_lo = float(-(2**63))  # exactly representable doubles
+        long_hi = float(2**63)
+        acc = [[0, 0, 0, 0, 0, 0, 0] for _ in pair_idx]
+        seen = False
+        for batch in batches:
+            seen = True
+            q_arr: list = []
+            v_arr: list = []
+            for i in range(n_ucols):
+                col = batch.column(i)
+                valid = np.asarray(col.is_valid())
+                x = col.to_numpy(zero_copy_only=False).astype("float64")
+                if centers_vec[i]:
+                    x = x - centers_vec[i]
+                y = np.floor(x * quant)
+                # Scala Double.toLong parity: NaN → 0 (comparisons below
+                # are False for NaN), saturate outside [−2^63, 2^63)
+                q = np.zeros(len(y), dtype=np.int64)
+                in_range = (y >= long_lo) & (y < long_hi)
+                q[in_range] = y[in_range].astype(np.int64)
+                q[y >= long_hi] = 2**63 - 1
+                q[y < long_lo] = -(2**63)
+                q_arr.append(q)
+                v_arr.append(valid)
+            for k, (ia, ib) in enumerate(pair_idx):
+                m = v_arr[ia] & v_arr[ib]
+                n = int(m.sum())
+                if n == 0:
+                    continue
+                # object dtype = Python ints: exact products and sums at
+                # any magnitude (the decimal(38,0) write raises if a
+                # partial ever exceeds 38 digits — loud, like the old
+                # per-row product overflow assert)
+                qa = q_arr[ia][m].astype(object)
+                qb = q_arr[ib][m].astype(object)
+                a = acc[k]
+                a[0] += n
+                a[1] += int(qa.sum())
+                a[2] += int(qb.sum())
+                a[3] += int((qa * qa).sum())
+                a[4] += int((qb * qb).sum())
+                a[5] += int((qa * qb).sum())
+                a[6] += n
+        if not seen:
+            return
+        dec38 = pa.decimal128(38, 0)
+        arrays: list = []
+        names: list = []
+        for k, t in enumerate(tags):
+            a = acc[k]
+            arrays.append(pa.array([a[0]], type=pa.int64()))
+            names.append(f"_n_{t}")
+            for j, s in enumerate(("sa", "sb", "saa", "sbb", "sab")):
+                arrays.append(pa.array([a[1 + j]], type=dec38))
+                names.append(f"_{s}_{t}")
+            arrays.append(pa.array([a[6]], type=pa.int64()))
+            names.append(f"_nab_{t}")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    src = df.select(*[F.col(c).cast("double").alias(c) for c in ucols])
+    partials = src.mapInArrow(_moment_partials, schema=partial_schema)
+
+    # The final combine renders as SQL TEXT, one selectExpr each for the
+    # aggregate and the per-pair formulas (r17): the Column-API spelling
+    # spent ~0.9 s per call on ~200 py4j round-trips building the same
+    # expressions (profiled; the r16 embedding_standardize lesson).  The
+    # SQL is the exact operator-for-operator transliteration — same
+    # casts, same division order, same HALF_UP round — so results are
+    # bit-identical.
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    agg_exprs = []
+    for t in tags:
+        # counts coalesce to 0 like the old F.count() (sum over zero
+        # partial rows — empty input — is NULL, count never was)
+        agg_exprs.append(
+            f"coalesce(sum(`_n_{t}`), CAST(0 AS BIGINT)) AS `_n_{t}`"
+        )
+        for s in ("sa", "sb", "saa", "sbb", "sab"):
+            agg_exprs.append(f"sum(`_{s}_{t}`) AS `_{s}_{t}`")
+        agg_exprs.append(
+            f"coalesce(sum(`_nab_{t}`), CAST(0 AS BIGINT)) AS `_nab_{t}`"
+        )
+    m = partials.selectExpr(*agg_exprs)
+
+    pair_structs = []
     for a, b in pairs:
-        cond = F.col(a).isNotNull() & F.col(b).isNotNull()
-        qa = F.when(cond, _q(F.col(a), centers.get(a, 0.0)))
-        qb = F.when(cond, _q(F.col(b), centers.get(b, 0.0)))
         t = f"{a}__{b}"
-        aggs += [
-            F.count(F.when(cond, 1)).alias(f"_n_{t}"),
-            F.sum(qa).alias(f"_sa_{t}"),
-            F.sum(qb).alias(f"_sb_{t}"),
-            F.sum(qa * qa).alias(f"_saa_{t}"),
-            F.sum(qb * qb).alias(f"_sbb_{t}"),
-            F.sum(qa * qb).alias(f"_sab_{t}"),
-            # overflow flags (ANSI-off silently NULLs products/sums):
-            # product count must equal the pair count, sums non-null
-            F.count(qa * qb).alias(f"_nab_{t}"),
-        ]
-    m = df.agg(*aggs)
-    structs = []
-    for a, b in pairs:
-        t = f"{a}__{b}"
-        nb = F.col(f"_n_{t}")
-        n = nb.cast("double")
-        sa, sb = F.col(f"_sa_{t}").cast("double"), F.col(f"_sb_{t}").cast("double")
-        saa = F.col(f"_saa_{t}").cast("double")
-        sbb = F.col(f"_sbb_{t}").cast("double")
-        sab = F.col(f"_sab_{t}").cast("double")
-        van = n * saa - sa * sa
-        vbn = n * sbb - sb * sb
-        cvn = n * sab - sa * sb
-        corr = F.when(
-            (nb >= 2) & (van > 0) & (vbn > 0),
-            F.round(cvn / F.sqrt(van) / F.sqrt(vbn), 6),
+        n = f"CAST(`_n_{t}` AS DOUBLE)"
+        sa, sb = f"CAST(`_sa_{t}` AS DOUBLE)", f"CAST(`_sb_{t}` AS DOUBLE)"
+        saa = f"CAST(`_saa_{t}` AS DOUBLE)"
+        sbb = f"CAST(`_sbb_{t}` AS DOUBLE)"
+        sab = f"CAST(`_sab_{t}` AS DOUBLE)"
+        van = f"({n} * {saa} - {sa} * {sa})"
+        vbn = f"({n} * {sbb} - {sb} * {sb})"
+        cvn = f"({n} * {sab} - {sa} * {sb})"
+        corr = (
+            f"CASE WHEN `_n_{t}` >= 2 AND {van} > 0 AND {vbn} > 0 "
+            f"THEN round({cvn} / sqrt({van}) / sqrt({vbn}), 6) END"
         )
-        ok = (F.col(f"_nab_{t}") == nb) & (
-            (nb == 0)
-            | (
-                F.col(f"_sa_{t}").isNotNull()
-                & F.col(f"_sb_{t}").isNotNull()
-                & F.col(f"_saa_{t}").isNotNull()
-                & F.col(f"_sbb_{t}").isNotNull()
-                & F.col(f"_sab_{t}").isNotNull()
-            )
+        ok = (
+            f"(`_nab_{t}` = `_n_{t}`) AND ((`_n_{t}` = 0) OR ("
+            f"`_sa_{t}` IS NOT NULL AND `_sb_{t}` IS NOT NULL AND "
+            f"`_saa_{t}` IS NOT NULL AND `_sbb_{t}` IS NOT NULL AND "
+            f"`_sab_{t}` IS NOT NULL))"
         )
-        guard = F.assert_true(ok, F.lit(_OVERFLOW_MSG))
-        structs.append(
-            F.struct(
-                F.lit(a).alias("col_x"),
-                F.lit(b).alias("col_y"),
-                F.coalesce(guard.cast("bigint"), nb.cast("bigint")).alias("n"),
-                F.coalesce(guard.cast("double"), corr).alias("corr"),
-            )
+        guard = f"assert_true({ok}, '{esc(_OVERFLOW_MSG)}')"
+        pair_structs.append(
+            f"named_struct("
+            f"'col_x', '{esc(a)}', 'col_y', '{esc(b)}', "
+            f"'n', coalesce(CAST({guard} AS BIGINT), CAST(`_n_{t}` AS BIGINT)), "
+            f"'corr', coalesce(CAST({guard} AS DOUBLE), {corr}))"
         )
-    return m.select(F.explode(F.array(*structs)).alias("_p")).select("_p.*")
+    return m.selectExpr(f"inline(array({', '.join(pair_structs)}))")
 
 
 def pairwise_corr_oracle_sql(

@@ -2460,6 +2460,34 @@ def test_interval_overlap_join_matches_naive(spark):
         ).count()
 
 
+def test_interval_overlap_plan_has_no_distinct_shuffle(spark):
+    """r17 plan pin (guide §2.4): bucket-duplicate pairs collapse via the
+    first-overlap-bucket equality, not a distinct — the candidate pair
+    stream must NOT re-shuffle into a dedup HashAggregate after the
+    equijoin (the only aggregate-free plan is join + filter/project)."""
+    import io
+    from contextlib import redirect_stdout
+    from datetime import datetime, timedelta
+
+    from csv_etl_spark.operators.joins import interval_overlap_join
+
+    base = datetime(2024, 1, 1)
+    rows = [(1, 10, base, base + timedelta(minutes=60))]
+    left = spark.createDataFrame(rows, ["user_id", "lid", "start", "end"])
+    right = spark.createDataFrame(rows, ["user_id", "rid", "start", "end"])
+    out = interval_overlap_join(
+        left, right, keys=["user_id"], left_id="lid", right_id="rid",
+        bucket_seconds=600,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "HashAggregate" not in plan, plan
+    # a pair meeting in several buckets still comes out exactly once
+    assert out.count() == 1
+
+
 def test_interval_overlap_degenerate_intervals(spark):
     """Zero-length and inverted intervals match NOTHING (documented
     half-open semantics: [t, t) is the empty set), even when the point
@@ -3172,6 +3200,67 @@ def test_pairwise_corr_matches_numpy(spark):
                 assert got_c == pytest.approx(exp, abs=5e-4), (a, b)
     # constant column: undefined corr -> NULL
     assert out[("x", "k")] == (n, None)
+
+
+def test_pairwise_corr_arrow_partials_match_jvm_decimal_path(spark):
+    """r17 bit-parity pin: the Arrow exact-int moment pass must agree
+    with the old JVM decimal-aggregate spelling on EVERY edge the
+    quantizer can see — SQL NULL (excluded by pairwise deletion), real
+    NaN (Double.NaN.toLong == 0), ±Inf and out-of-long-range magnitudes
+    (saturate to ±2^63), negatives, and exact zero."""
+    from pyspark.sql import functions as F
+
+    from csv_etl_spark.operators.stats import QUANT, _q, pairwise_corr
+
+    nan, inf = float("nan"), float("inf")
+    # exactly ONE saturating row: a single (±2^63)² product is 38 digits
+    # (fits decimal(38,0)); a second would overflow the sum in BOTH the
+    # old decimal path and the new one — equally loud, but incomparable
+    rows = [
+        (1.25, -3.5),
+        (nan, 2.0),
+        (inf, -inf),
+        (None, 4.0),
+        (5.0, None),
+        (0.0, -0.0),
+        (-7.125, 9.75),
+        (2.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = pairwise_corr(df, ["x", "y"]).collect()[0]
+
+    # reference: the pre-r17 fused decimal aggregate, spelled inline
+    cond = F.col("x").isNotNull() & F.col("y").isNotNull()
+    qa = F.when(cond, _q(F.col("x"), 0.0))
+    qb = F.when(cond, _q(F.col("y"), 0.0))
+    ref = df.agg(
+        F.count(F.when(cond, 1)).alias("n"),
+        F.sum(qa).alias("sa"),
+        F.sum(qb).alias("sb"),
+        F.sum(qa * qa).alias("saa"),
+        F.sum(qb * qb).alias("sbb"),
+        F.sum(qa * qb).alias("sab"),
+    ).collect()[0]
+    # combine in Spark (JVM HALF_UP round, same double ops as the op)
+    one = spark.createDataFrame(
+        [(ref["n"], ref["sa"], ref["sb"], ref["saa"], ref["sbb"], ref["sab"])],
+        "n bigint, sa decimal(38,0), sb decimal(38,0), saa decimal(38,0),"
+        " sbb decimal(38,0), sab decimal(38,0)",
+    )
+    nn = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    van = nn * F.col("saa").cast("double") - sa * sa
+    vbn = nn * F.col("sbb").cast("double") - sb * sb
+    cvn = nn * F.col("sab").cast("double") - sa * sb
+    exp = one.select(
+        F.when(
+            (F.col("n") >= 2) & (van > 0) & (vbn > 0),
+            F.round(cvn / F.sqrt(van) / F.sqrt(vbn), 6),
+        ).alias("corr")
+    ).collect()[0]
+    assert got["n"] == ref["n"] == 6
+    assert got["corr"] == exp["corr"] and got["corr"] is not None
+    assert QUANT == 1_000_000  # the replica hard-codes the same scale
 
 
 def test_pairwise_corr_pairwise_deletion(spark):
